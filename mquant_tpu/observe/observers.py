@@ -1,0 +1,194 @@
+"""Observers as functional reductions.
+
+TPU-native rebuild of the reference observer stack (ref: fake_quant/observer/
+{base,minmax,ema,percentile,omse,ptf}.py). The reference implements observers as
+stateful hook objects mutated during forward passes; here an observer is a triple of
+pure functions over a small stats pytree:
+
+    stats  = init_stats(spec, channels)
+    stats  = update(spec, stats, activation)      # folded over calibration batches
+    qp     = finalize(spec, stats, fmt, sample)   # → QuantParams
+
+``update`` composes under ``jax.jit`` (it is just min/max/EMA/quantile reductions),
+so a whole-model calibration step is ONE compiled function returning a stats pytree —
+the functional equivalent of the reference's ``calibrate`` phase, with ``finalize``
+playing the role of ``last_calibrate`` (which in the reference receives the final
+batch — hence the optional ``sample`` argument used by omse/ptf,
+ref: fake_quant/observer/omse.py:31 / ptf.py:31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.formats import IntFormat
+from ..core.quant import QuantParams, scales_from_minmax
+
+OBSERVER_KINDS = ("minmax", "ema", "percentile", "omse", "ptf")
+
+
+@dataclasses.dataclass(frozen=True)
+class ObserverSpec:
+    """Static description of one observer site (jit-static, hashable)."""
+
+    kind: str = "minmax"  # one of OBSERVER_KINDS
+    per_channel: bool = False  # False → per-tensor ("layer_wise" in the reference)
+    symmetric: bool = True
+    ema_sigma: float = 0.01  # ref: observer/ema.py:10, percentile.py:16
+    percentile_alpha: float = 0.99999  # ref: observer/percentile.py:17
+
+    def __post_init__(self):
+        if self.kind not in OBSERVER_KINDS:
+            raise ValueError(f"unknown observer kind {self.kind!r}")
+        if self.kind == "percentile" and self.per_channel:
+            # ref: observer/percentile.py:30 "channel-wise needs too much time"
+            raise ValueError("percentile observer is per-tensor only")
+
+
+class ObserverStats(NamedTuple):
+    """Running statistics — a pytree leaf bundle of fixed shape."""
+
+    min: jax.Array  # scalar or (C,)
+    max: jax.Array
+    n: jax.Array  # int32 update counter (for first-update EMA semantics)
+
+
+def init_stats(spec: ObserverSpec, channels: Optional[int] = None) -> ObserverStats:
+    shape = (channels,) if (spec.per_channel and channels is not None) else ()
+    return ObserverStats(
+        min=jnp.zeros(shape, jnp.float32),
+        max=jnp.zeros(shape, jnp.float32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _reduce_minmax(spec: ObserverSpec, x: jax.Array, mask: Optional[jax.Array]):
+    """Per-update (min, max) over all axes except the channel (last) axis.
+
+    ``mask`` (broadcastable to x's leading axes, 1 = valid token) lets padded
+    tokens from shape bucketing be excluded so padding never pollutes the
+    calibration range — a TPU-specific need the reference does not have.
+    """
+    xf = x.astype(jnp.float32)
+    if mask is not None:
+        m = jnp.broadcast_to(mask[..., None], xf.shape).astype(bool)
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        xmin_src = jnp.where(m, xf, big)
+        xmax_src = jnp.where(m, xf, -big)
+    else:
+        xmin_src = xmax_src = xf
+    if spec.per_channel:
+        axes = tuple(range(xf.ndim - 1))
+        return jnp.min(xmin_src, axis=axes), jnp.max(xmax_src, axis=axes)
+    return jnp.min(xmin_src), jnp.max(xmax_src)
+
+
+def update(
+    spec: ObserverSpec,
+    stats: ObserverStats,
+    x: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> ObserverStats:
+    """Fold one activation batch into the running stats (pure)."""
+    if spec.kind == "percentile":
+        xf = x.astype(jnp.float32).reshape(-1)
+        if mask is not None:
+            m = jnp.broadcast_to(mask[..., None], x.shape).reshape(-1).astype(bool)
+            # replace padded entries with the batch median so quantiles are ~unbiased
+            med = jnp.median(jnp.where(m, xf, 0.0))
+            xf = jnp.where(m, xf, med)
+        cur_max = jnp.quantile(xf, spec.percentile_alpha)
+        cur_min = jnp.quantile(xf, 1.0 - spec.percentile_alpha)
+    else:
+        cur_min, cur_max = _reduce_minmax(spec, x, mask)
+
+    first = stats.n == 0
+    if spec.kind in ("ema", "percentile"):
+        sigma = spec.ema_sigma
+        new_min = jnp.where(first, cur_min, stats.min + sigma * (cur_min - stats.min))
+        new_max = jnp.where(first, cur_max, stats.max + sigma * (cur_max - stats.max))
+    else:  # minmax / omse / ptf accumulate running extrema
+        new_min = jnp.where(first, jnp.minimum(cur_min, 0.0), jnp.minimum(cur_min, stats.min))
+        new_max = jnp.where(first, jnp.maximum(cur_max, 0.0), jnp.maximum(cur_max, stats.max))
+    return ObserverStats(min=new_min, max=new_max, n=stats.n + 1)
+
+
+# ---------------------------------------------------------------------------
+# finalize
+# ---------------------------------------------------------------------------
+
+
+def _lp_loss(pred, tgt, p=2.0):
+    return jnp.mean(jnp.abs(pred - tgt) ** p)
+
+
+def _fake_quant_affine(x, scale, zero_point, fmt: IntFormat):
+    q = jnp.clip(jnp.round(x / scale) + zero_point, fmt.qmin, fmt.qmax)
+    return (q - zero_point) * scale
+
+
+def _finalize_omse(spec, stats, fmt, sample):
+    """LAPQ-style 90-step shrink search minimizing L2 reconstruction loss,
+    vectorized over the whole grid (ref: fake_quant/observer/omse.py:31-57)."""
+    x = sample.astype(jnp.float32)
+    shrinks = 1.0 - jnp.arange(90, dtype=jnp.float32) * 0.01
+
+    def score(shrink):
+        qp = scales_from_minmax(stats.min * shrink, stats.max * shrink, fmt, spec.symmetric)
+        zp = qp.zero_point if qp.zero_point is not None else jnp.zeros_like(qp.scale)
+        xq = _fake_quant_affine(x, qp.scale, zp, fmt)
+        return _lp_loss(x, xq)
+
+    scores = jax.vmap(score)(shrinks)
+    best = shrinks[jnp.argmin(scores)]
+    return scales_from_minmax(stats.min * best, stats.max * best, fmt, spec.symmetric)
+
+
+def _finalize_ptf(spec, stats, fmt, sample):
+    """Power-of-Two-Factor per-channel scales (FQ-ViT): one per-tensor base scale,
+    per-channel multiplier in {1,2,4,8} by L2 loss — vectorized over the 4
+    candidates and all channels at once (ref: fake_quant/observer/ptf.py:31-69)."""
+    x = sample.astype(jnp.float32)  # (..., C)
+    min_t = jnp.min(stats.min)
+    max_t = jnp.max(stats.max)
+    qp8 = scales_from_minmax(min_t, max_t, fmt, symmetric=False)
+    scale8, zp = qp8.scale, qp8.zero_point
+    scale1 = scale8 / 8.0
+    cand = scale1 * jnp.asarray([1.0, 2.0, 4.0, 8.0])  # (4,)
+
+    def score(scale):
+        xq = _fake_quant_affine(x, scale, zp, fmt)
+        axes = tuple(range(x.ndim - 1))
+        return jnp.mean(jnp.abs(xq - x) ** 2.0, axis=axes)  # (C,)
+
+    scores = jax.vmap(score)(cand)  # (4, C)
+    mask = jnp.asarray([1.0, 2.0, 4.0, 8.0])[jnp.argmin(scores, axis=0)]  # (C,)
+    scale = scale1 * mask
+    return QuantParams(scale=scale, zero_point=jnp.broadcast_to(zp, scale.shape))
+
+
+def finalize(
+    spec: ObserverSpec,
+    stats: ObserverStats,
+    fmt: IntFormat,
+    sample: Optional[jax.Array] = None,
+) -> QuantParams:
+    """Stats → static (scale, zero_point).
+
+    ``sample`` — a representative final batch — is required for omse/ptf (the
+    reference passes the last-calibration-batch activation to their
+    ``get_quantization_params``).
+    """
+    if spec.kind in ("minmax", "ema", "percentile"):
+        return scales_from_minmax(stats.min, stats.max, fmt, spec.symmetric)
+    if sample is None:
+        raise ValueError(f"{spec.kind} observer requires a `sample` batch to finalize")
+    if spec.kind == "omse":
+        return _finalize_omse(spec, stats, fmt, sample)
+    if spec.kind == "ptf":
+        return _finalize_ptf(spec, stats, fmt, sample)
+    raise ValueError(spec.kind)
