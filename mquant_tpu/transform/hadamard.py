@@ -171,7 +171,7 @@ def _paley_I(q: int) -> np.ndarray:
     Qm = _paley_qr_char(q)
     n = q + 1
     H = np.ones((n, n))
-    H[1:, 1:] = Qm - np.eye(q)
+    H[1:, 1:] = Qm + np.eye(q)
     H[1:, 0] = -1.0
     return H
 
