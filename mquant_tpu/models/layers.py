@@ -1,0 +1,290 @@
+"""Functional model-layer library + the quantized-linear dispatch.
+
+This replaces the reference's universal ``ActQuantWrapper`` insertion point
+(ref: fake_quant/quant_utils.py:271-391). The reference wraps every nn.Linear in a
+stateful module with calibrate/quant flags; here each linear *site* is a pure
+function parameterized by:
+
+  * ``params``   — weight pytree entry {"w", optional "b", "w_col0" (RMS split),
+                   or "w_q"+"w_scale" for real-int serving}
+  * ``SiteSpec`` — static per-site quantization config (hashable, jit-static)
+  * ``state``    — dynamic per-site quant state (static activation QuantParams)
+  * ``mode``     — "fp" | "calib" | "fake" | "real" (jit-static string)
+  * ``tape``     — stats collector threaded through the forward (calib mode)
+
+Weight quantization happens OFFLINE (RTN/GPTQ write fake-quantized fp weights, or
+int values + scales); the runtime path only quantizes ACTIVATIONS — which is what
+makes static-scale inference one fused XLA graph with no host sync (the "MSQ →
+30% TTFT" claim of the reference, ref: README.md:28-29).
+
+Forward order inside a site (matches ref: quant_utils.py:330-391):
+  online Hadamard (full-dim or per-head) → RMS first-column split →
+  activation quantize (static or dynamic per-token) → GEMM → + fp col0 GEMM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.formats import get_format
+from ..core import quant as Q
+from ..observe import observers as O
+
+
+# ---------------------------------------------------------------------------
+# site configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SiteSpec:
+    """Static quantization config for one linear/conv site (jit-static).
+
+    Field parity with ``ActQuantizer.configure`` + ``ActQuantWrapper`` flags
+    (ref: fake_quant/quant_utils.py:142-179, :288-295).
+    """
+
+    w_bits: Optional[int] = None  # None → fp weights
+    a_bits: Optional[int] = None  # None → fp activations
+    a_static: bool = False  # static (calibrated) vs dynamic per-token scales
+    a_symmetric: bool = True
+    a_per_channel: bool = False  # static granularity (per-tensor default)
+    a_per_token: bool = True  # dynamic granularity
+    a_clip_ratio: float = 1.0
+    observer: str = "minmax"  # calibration observer kind
+    online_had: Optional[str] = None  # None | "full" | "head" (partial, per-head)
+    head_dim: int = 0  # for online_had == "head"
+    split: bool = False  # RMS first-column split
+    out_bits: Optional[int] = None  # optional output quantizer (ref :386-388)
+
+    def observer_spec(self) -> O.ObserverSpec:
+        return O.ObserverSpec(
+            kind=self.observer,
+            per_channel=self.a_per_channel,
+            symmetric=self.a_symmetric,
+        )
+
+
+class Tape:
+    """Collects per-site activation stats during a calibration forward.
+
+    The dict insertion pattern is static per model config, so a forward that
+    threads a Tape is still one jittable function returning (out, tape.stats).
+    """
+
+    def __init__(self, prev: Optional[Dict[str, O.ObserverStats]] = None,
+                 specs: Optional[Dict[str, SiteSpec]] = None,
+                 collect_samples: bool = False):
+        self.prev = prev or {}
+        self.specs = specs or {}
+        self.stats: Dict[str, O.ObserverStats] = {}
+        self.samples: Dict[str, jax.Array] = {}
+        self.collect_samples = collect_samples
+        self.mask: Optional[jax.Array] = None  # token-validity mask for padding
+
+    def record(self, name: str, x: jax.Array, spec: SiteSpec):
+        ospec = spec.observer_spec()
+        if name in self.prev:
+            st = self.prev[name]
+        else:
+            st = O.init_stats(ospec, x.shape[-1] if ospec.per_channel else None)
+        self.stats[name] = O.update(ospec, st, x, mask=self.mask)
+        if self.collect_samples:
+            self.samples[name] = x.reshape(-1, x.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# online transforms
+# ---------------------------------------------------------------------------
+
+
+def _online_hadamard(x: jax.Array, spec: SiteSpec) -> jax.Array:
+    """Runtime Hadamard on the activation (before quantization).
+
+    full: orthonormal transform over the whole feature dim (down_proj input,
+    ref: quant_utils.py:334-348). head: per-head_dim blocks (o_proj input,
+    ref: quant_utils.py:349-365). Uses the fused Pallas kernel on TPU and the
+    pure-JAX butterfly elsewhere.
+    """
+    from ..kernels.fwht import online_hadamard
+
+    if spec.online_had == "full":
+        return online_hadamard(x)
+    assert spec.online_had == "head" and spec.head_dim > 0
+    *lead, n = x.shape
+    h = n // spec.head_dim
+    xr = x.reshape(*lead, h, spec.head_dim)
+    return online_hadamard(xr).reshape(*lead, n)
+
+
+def _quantize_act(x, spec: SiteSpec, site_state, mode: str):
+    """Activation fake-quant (calib/fake) path."""
+    fmt = get_format(spec.a_bits, signed=spec.a_symmetric)
+    if spec.a_static:
+        if site_state is None or site_state.get("act") is None:
+            return x  # calibration not finalized yet → fp passthrough
+        return Q.fake_quantize(x, site_state["act"], fmt)
+    return Q.dynamic_fake_quant(
+        x, bits=spec.a_bits, per_token=spec.a_per_token,
+        symmetric=spec.a_symmetric, clip_ratio=spec.a_clip_ratio,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the quantized linear
+# ---------------------------------------------------------------------------
+
+
+def qlinear(
+    x: jax.Array,
+    p: Dict[str, Any],
+    name: str,
+    spec: Optional[SiteSpec] = None,
+    state: Optional[Dict[str, Any]] = None,
+    mode: str = "fp",
+    tape: Optional[Tape] = None,
+) -> jax.Array:
+    """The universal quantized linear site. y = x @ w + b with the configured
+    transform/quant pipeline. ``mode``/``spec`` are jit-static."""
+    site_state = None if state is None else state.get(name)
+    if spec is None or mode == "fp":
+        w = p["w"]
+        if "w_col0" in p:  # split storage but fp mode → recombine
+            w = jnp.concatenate([p["w_col0"], p["w"]], axis=-2)
+        y = x @ w.astype(x.dtype)
+        return y + p["b"].astype(x.dtype) if p.get("b") is not None else y
+
+    if spec.online_had is not None:
+        x = _online_hadamard(x, spec)
+
+    # RMS split: channel 0 stays fp (ref: quant_utils.py:367-376)
+    x0 = None
+    if "w_col0" in p:
+        if spec.split:
+            x0 = x[..., :1]
+            x = x[..., 1:]
+        else:  # split storage but spec toggled off → recombine
+            p = dict(p)
+            p["w"] = jnp.concatenate([p["w_col0"], p["w"]], axis=-2)
+
+    if tape is not None and spec.a_bits is not None and spec.a_static:
+        tape.record(name, x, spec)
+
+    if mode == "real" and "w_q" in p:
+        # real-int path: activation int-quantization + MXU int GEMM + fused
+        # dequant epilogue all happen inside the kernel wrapper
+        from ..kernels.qmm import quantized_matmul
+
+        y = quantized_matmul(x, p, spec, site_state)
+    else:
+        xq = x
+        if spec.a_bits is not None and mode in ("fake", "calib", "real"):
+            xq = _quantize_act(x, spec, site_state, mode)
+        y = xq @ p["w"].astype(xq.dtype)
+
+    if x0 is not None:
+        # fp rank-1 correction for the split first column, computed in fp32
+        y = y + (x0.astype(jnp.float32) @ p["w_col0"].astype(jnp.float32)).astype(y.dtype)
+
+    if p.get("b") is not None:
+        y = y + p["b"].astype(y.dtype)
+
+    if spec.out_bits is not None and site_state is not None and site_state.get("out") is not None:
+        fmt = get_format(spec.out_bits, signed=spec.a_symmetric)
+        y = Q.fake_quantize(y, site_state["out"], fmt)
+    elif tape is not None and spec.out_bits is not None:
+        tape.record(name + ".out", y, spec)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# norms / activations / rope
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm in fp32 accumulate (the reference's RMSN equivalent,
+    ref: fake_quant/module_util.py:42-61)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, w, b, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    out = out * w.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def rotary_embedding(positions: jax.Array, head_dim: int, theta: float = 10000.0,
+                     dtype=jnp.float32):
+    """Standard RoPE cos/sin tables for integer positions (..., T)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., T, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """Rotate-half RoPE application; q/k: (..., T, H, hd), cos/sin (..., T, hd)."""
+
+    def rot(v):
+        v1, v2 = jnp.split(v, 2, axis=-1)
+        return jnp.concatenate([-v2, v1], axis=-1)
+
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    return (q * c + rot(q) * s).astype(q.dtype), (k * c + rot(k) * s).astype(k.dtype)
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    return jax.nn.silu(gate) * up
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def attention(
+    q: jax.Array,  # (B, T, H, hd)
+    k: jax.Array,  # (B, S, KVH, hd)
+    v: jax.Array,  # (B, S, KVH, hd)
+    mask: Optional[jax.Array] = None,  # (B, 1, T, S) additive or bool
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Grouped-query attention with fp32 softmax. XLA fuses this well on TPU for
+    moderate sequence lengths; long-context uses the splash kernel (kernels/)."""
+    B, T, H, hd = q.shape
+    KVH = k.shape[2]
+    scale = scale if scale is not None else hd**-0.5
+    if H != KVH:
+        rep = H // KVH
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+        else:
+            logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def causal_mask(T: int, S: int, offset: int = 0) -> jax.Array:
+    """Boolean (1, 1, T, S) causal mask; offset = number of cached tokens."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0) + offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    return (cols <= rows)[None, None]

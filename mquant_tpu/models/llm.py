@@ -1,0 +1,340 @@
+"""Generic quantizable LLM decoder — the text tower of every supported VLM.
+
+One functional decoder covers Qwen (Qwen-VL-Chat's LLM, ref:
+model/modeling_qwen_opt.py), Qwen2 (Qwen2-VL / MiniCPM-V, HF qwen2), InternLM2
+(InternVL2, GQA) and ChatGLM (GLM-4V) via config flags; per-model loaders in
+``mquant_tpu.models.loader`` map HF checkpoints into this layout (doing the
+qkv-split surgery the reference performs offline in exam/qwen_opt.py).
+
+TPU-first design decisions (vs the reference's per-layer nn.Module stack):
+  * layer parameters are STACKED along a leading (L,) axis and the forward is a
+    single ``lax.scan`` over layers → compile time O(1) in depth, and offline
+    transforms (rotations, RTN) fold over all layers in one einsum.
+  * KV cache is a pytree of (L, B, S, KVH, hd) arrays updated with
+    ``dynamic_update_slice`` inside the scan — prefill/decode are two jitted
+    functions with static shapes (TTFT measurable by construction).
+  * calibration statistics are scan OUTPUTS (stacked per layer) merged into
+    running stats outside — the functional replacement of the reference's
+    stateful observer hooks (ref: fake_quant/quant_utils.py:116-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..observe import observers as O
+from . import layers as L
+from .layers import SiteSpec, qlinear
+
+# site names within one decoder layer
+LLM_SITES = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab: int
+    hidden: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    intermediate: int
+    head_dim: int = 0
+    rope_theta: float = 1_000_000.0
+    norm_eps: float = 1e-6
+    qkv_bias: bool = True  # Qwen1/Qwen2 style
+    o_bias: bool = False
+    tie_embeddings: bool = False
+    rope_partial: float = 1.0  # fraction of head_dim receiving RoPE (GLM-4: 0.5)
+    rope_interleaved: bool = False  # GLM pairwise-interleaved rotary
+    mrope_sections: Tuple[int, ...] = ()  # Qwen2-VL M-RoPE (t, h, w) sections
+    intermediate_pad: int = 0  # Hadamard-friendly padded intermediate (0 = none)
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.head_dim == 0:
+            object.__setattr__(self, "head_dim", self.hidden // self.n_heads)
+
+    @property
+    def inter_eff(self) -> int:
+        return self.intermediate_pad or self.intermediate
+
+
+def init_decoder_params(cfg: DecoderConfig, key: jax.Array, dtype=None) -> Dict:
+    """Random-init params in the stacked layout (testing / benchmarking)."""
+    dtype = dtype or cfg.dtype
+    k = jax.random.split(key, 8)
+    Lx, Hd, KV, hd, I = cfg.n_layers, cfg.hidden, cfg.n_kv_heads, cfg.head_dim, cfg.inter_eff
+    H = cfg.n_heads
+
+    def w(key, *shape, scale=None):
+        scale = scale or (1.0 / (shape[-2] ** 0.5))
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    def maybe_b(*shape):
+        return jnp.zeros(shape, dtype)
+
+    params = {
+        "embed": {"w": w(k[0], cfg.vocab, Hd, scale=0.02)},
+        "layers": {
+            "ln1": {"w": jnp.ones((Lx, Hd), dtype)},
+            "q": {"w": w(k[1], Lx, Hd, H * hd), "b": maybe_b(Lx, H * hd) if cfg.qkv_bias else None},
+            "k": {"w": w(k[2], Lx, Hd, KV * hd), "b": maybe_b(Lx, KV * hd) if cfg.qkv_bias else None},
+            "v": {"w": w(k[3], Lx, Hd, KV * hd), "b": maybe_b(Lx, KV * hd) if cfg.qkv_bias else None},
+            "o": {"w": w(k[4], Lx, H * hd, Hd), "b": maybe_b(Lx, Hd) if cfg.o_bias else None},
+            "ln2": {"w": jnp.ones((Lx, Hd), dtype)},
+            "gate": {"w": w(k[5], Lx, Hd, I), "b": None},
+            "up": {"w": w(k[6], Lx, Hd, I), "b": None},
+            "down": {"w": w(k[7], Lx, I, Hd), "b": None},
+        },
+        "ln_f": {"w": jnp.ones((Hd,), dtype)},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": w(jax.random.fold_in(key, 99), Hd, cfg.vocab, scale=0.02)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# rope
+# ---------------------------------------------------------------------------
+
+
+def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype):
+    """cos/sin for positions.
+
+    positions: (B, T) for standard RoPE, or (3, B, T) for Qwen2-VL M-RoPE where
+    the three planes are (temporal, height, width) position ids and head_dim
+    channels are split into ``mrope_sections`` consuming one plane each
+    (capability parity with HF Qwen2-VL's multimodal rotary).
+    """
+    rd = int(cfg.head_dim * cfg.rope_partial)
+    if cfg.mrope_sections and positions.ndim == 3:
+        cos3, sin3 = L.rotary_embedding(positions, rd, cfg.rope_theta, dtype)  # (3,B,T,rd)
+        # sections are in half-dim units; the table is [freqs, freqs] concat
+        half = rd // 2
+        secs = list(cfg.mrope_sections)
+        assert sum(secs) == half, (secs, half)
+        idx = []
+        for i, s in enumerate(secs):
+            idx += [i] * s
+        idx = jnp.asarray(idx + idx)  # (rd,) plane id per channel
+        plane = jax.nn.one_hot(idx, 3, dtype=cos3.dtype)  # (rd, 3)
+        cos = jnp.einsum("pbtd,dp->btd", cos3, plane)
+        sin = jnp.einsum("pbtd,dp->btd", sin3, plane)
+        return cos, sin
+    if positions.ndim == 3:
+        positions = positions[0]
+    return L.rotary_embedding(positions, rd, cfg.rope_theta, dtype)
+
+
+def _apply_rope(cfg: DecoderConfig, q, k, cos, sin):
+    rd = int(cfg.head_dim * cfg.rope_partial)
+    if cfg.rope_partial < 1.0:
+        q_r, q_p = q[..., :rd], q[..., rd:]
+        k_r, k_p = k[..., :rd], k[..., rd:]
+        q_r, k_r = _rope_core(cfg, q_r, k_r, cos, sin)
+        return (jnp.concatenate([q_r, q_p], -1), jnp.concatenate([k_r, k_p], -1))
+    return _rope_core(cfg, q, k, cos, sin)
+
+
+def _rope_core(cfg, q, k, cos, sin):
+    if cfg.rope_interleaved:
+        # GLM-style: channels are (re, im) interleaved pairs; the table layout is
+        # [freqs, freqs] so pair i's angle lives at channel i (first half).
+        half = q.shape[-1] // 2
+
+        def rot(v):
+            v2 = v.reshape(*v.shape[:-1], half, 2)
+            re, im = v2[..., 0], v2[..., 1]
+            cs = cos[..., :, None, :half]
+            sn = sin[..., :, None, :half]
+            nre = re * cs - im * sn
+            nim = im * cs + re * sn
+            return jnp.stack([nre, nim], axis=-1).reshape(v.shape).astype(v.dtype)
+
+        return rot(q), rot(k)
+    return L.apply_rope(q, k, cos, sin)
+
+
+# ---------------------------------------------------------------------------
+# decoder forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_step(
+    cfg: DecoderConfig,
+    specs: Dict[str, SiteSpec],
+    mode: str,
+    h: jax.Array,  # (B, T, hidden)
+    lp: Dict,  # this layer's params (no leading L axis)
+    lstate: Optional[Dict],
+    cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # (B, S, KVH, hd) each
+    cache_pos: Optional[jax.Array],  # scalar: write offset
+    cos, sin,
+    attn_mask,  # (B, 1, T, S) bool
+    tape: Optional[L.Tape],
+):
+    B, T, Hd = h.shape
+    hd, H, KV = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+
+    def site(nm):
+        return specs.get("llm." + nm)
+
+    x = L.rms_norm(h, lp["ln1"]["w"], cfg.norm_eps)
+    q = qlinear(x, lp["q"], "llm.q", site("q"), lstate, mode, tape)
+    k = qlinear(x, lp["k"], "llm.k", site("k"), lstate, mode, tape)
+    v = qlinear(x, lp["v"], "llm.v", site("v"), lstate, mode, tape)
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, KV, hd)
+    v = v.reshape(B, T, KV, hd)
+    q, k = _apply_rope(cfg, q, k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        k_all, v_all = ck, cv
+        new_cache = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        new_cache = None
+
+    attn = L.attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask)
+    attn = attn.reshape(B, T, H * hd)
+    h = h + qlinear(attn, lp["o"], "llm.o", site("o"), lstate, mode, tape)
+
+    x = L.rms_norm(h, lp["ln2"]["w"], cfg.norm_eps)
+    g = qlinear(x, lp["gate"], "llm.gate", site("gate"), lstate, mode, tape)
+    u = qlinear(x, lp["up"], "llm.up", site("up"), lstate, mode, tape)
+    a = L.swiglu(g, u)
+    d = qlinear(a, lp["down"], "llm.down", site("down"), lstate, mode, tape)
+    h = h + d
+    return h, new_cache
+
+
+def decoder_forward(
+    cfg: DecoderConfig,
+    params: Dict,
+    tokens_or_embeds: jax.Array,  # (B, T) int tokens or (B, T, hidden) embeds
+    specs: Optional[Dict[str, SiteSpec]] = None,
+    state: Optional[Dict] = None,
+    mode: str = "fp",
+    cache: Optional[Dict] = None,  # {"k": (L,B,S,KVH,hd), "v": ..., "pos": scalar}
+    positions: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,  # (B, 1, T, S) bool
+    collect_stats: bool = False,
+    collect_samples: bool = False,
+    token_mask: Optional[jax.Array] = None,  # (B, T) valid-token mask for calib
+):
+    """Full decoder forward. Returns (logits, new_cache, stats | None).
+
+    ``specs``/``mode`` are jit-static; stats (when collected) are stacked per
+    layer: each site maps to ObserverStats with leading (L,) axes.
+    """
+    specs = specs or {}
+    if tokens_or_embeds.ndim == 2:
+        h = params["embed"]["w"][tokens_or_embeds].astype(cfg.dtype)
+    else:
+        h = tokens_or_embeds.astype(cfg.dtype)
+    B, T = h.shape[:2]
+
+    if positions is None:
+        offset = cache["pos"] if cache is not None else 0
+        positions = jnp.arange(T)[None, :] + offset  # (B=1 broadcast, T)
+        positions = jnp.broadcast_to(positions, (B, T))
+    cos, sin = rope_tables(cfg, positions, jnp.float32)
+
+    if attn_mask is None:
+        if cache is not None:
+            S = cache["k"].shape[2]
+            rows = cache["pos"] + jnp.arange(T)[:, None]
+            cols = jnp.arange(S)[None, :]
+            attn_mask = (cols <= rows)[None, None]
+        else:
+            attn_mask = L.causal_mask(T, T)
+
+    # split quant state: per-layer sites (stacked (L,...) leaves, scanned) vs
+    # global sites like lm_head (used outside the scan)
+    layer_site_names = {"llm." + s for s in LLM_SITES}
+    lstate = None
+    if state:
+        lstate = {k: v for k, v in state.items() if k in layer_site_names} or None
+
+    def body(carry, xs):
+        h = carry
+        lp, lst, ck, cv = xs
+        tape = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
+        if tape is not None and token_mask is not None:
+            tape.mask = token_mask
+        cache_kv = (ck, cv) if ck is not None else None
+        h, new_cache = _layer_step(
+            cfg, specs, mode, h, lp, lst, cache_kv,
+            cache["pos"] if cache is not None else None,
+            cos, sin, attn_mask, tape,
+        )
+        ys = {}
+        if new_cache is not None:
+            ys["k"], ys["v"] = new_cache
+        if tape is not None:
+            ys["stats"] = tape.stats
+            if collect_samples:
+                ys["samples"] = tape.samples
+        return h, ys
+
+    xs = (
+        params["layers"],
+        lstate,
+        cache["k"] if cache is not None else None,
+        cache["v"] if cache is not None else None,
+    )
+    h, ys = jax.lax.scan(body, h, xs)
+
+    h = L.rms_norm(h, params["ln_f"]["w"], cfg.norm_eps)
+    if cfg.tie_embeddings:
+        logits = h @ params["embed"]["w"].T.astype(h.dtype)
+    else:
+        logits = qlinear(h, params["lm_head"], "llm.lm_head", specs.get("llm.lm_head"), state, mode)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": ys["k"], "v": ys["v"], "pos": cache["pos"] + T}
+    stats = ys.get("stats") if isinstance(ys, dict) else None
+    samples = ys.get("samples") if isinstance(ys, dict) else None
+    return logits, new_cache, (stats, samples) if collect_stats else None
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None) -> Dict:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# calibration-stats merging across batches
+# ---------------------------------------------------------------------------
+
+
+def merge_stats(
+    specs: Dict[str, SiteSpec],
+    running: Optional[Dict[str, O.ObserverStats]],
+    batch: Dict[str, O.ObserverStats],
+) -> Dict[str, O.ObserverStats]:
+    """Merge per-batch (possibly layer-stacked) stats into running stats."""
+    if running is None:
+        return batch
+    out = {}
+    for name, b in batch.items():
+        a = running.get(name)
+        if a is None:
+            out[name] = b
+            continue
+        spec = specs[name.removesuffix(".out")].observer_spec()
+        out[name] = O.merge(spec, a, b)
+    return out

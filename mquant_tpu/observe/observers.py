@@ -117,6 +117,27 @@ def update(
     return ObserverStats(min=new_min, max=new_max, n=stats.n + 1)
 
 
+def merge(spec: ObserverSpec, a: ObserverStats, b: ObserverStats) -> ObserverStats:
+    """Merge batch-local stats ``b`` into running stats ``a`` (pure, jittable).
+
+    Used when stats are computed as scan outputs (layer-stacked) and folded into
+    running stats outside the scan. EMA/percentile treat ``b`` as one update;
+    extrema-based observers take elementwise min/max.
+    """
+    a_empty = a.n == 0
+    b_empty = b.n == 0
+    if spec.kind in ("ema", "percentile"):
+        sigma = spec.ema_sigma
+        new_min = jnp.where(a_empty, b.min, a.min + sigma * (b.min - a.min))
+        new_max = jnp.where(a_empty, b.max, a.max + sigma * (b.max - a.max))
+    else:
+        new_min = jnp.where(a_empty, b.min, jnp.minimum(a.min, b.min))
+        new_max = jnp.where(a_empty, b.max, jnp.maximum(a.max, b.max))
+    new_min = jnp.where(b_empty, a.min, new_min)
+    new_max = jnp.where(b_empty, a.max, new_max)
+    return ObserverStats(min=new_min, max=new_max, n=a.n + b.n)
+
+
 # ---------------------------------------------------------------------------
 # finalize
 # ---------------------------------------------------------------------------
