@@ -218,16 +218,23 @@ def weight_qparams(
     clip_grid: int = 100,
     max_shrink: float = 0.8,
     norm: float = 2.4,
+    reduce_axes=None,
 ) -> QuantParams:
-    """Quantization params for a weight matrix (out_features, in_features).
+    """Quantization params for a weight laid out (..., in_features, out_features).
 
-    With ``mse_clip`` this runs the reference ``WeightQuantizer.find_params``
-    MSE grid search over shrink ratios (ref: fake_quant/quant_utils.py:446-509:
-    grid 100, maxshrink 0.8, p-norm 2.4) — vectorized over the whole grid with
-    ``vmap`` instead of a Python loop so it stays one fused XLA computation.
+    ``per_channel`` = one scale per OUTPUT channel: reduces every axis except the
+    last (pass ``reduce_axes=(-2,)`` for stacked-layer weights (L, in, out) so
+    each layer keeps its own scales). With ``mse_clip`` this runs the reference
+    ``WeightQuantizer.find_params`` MSE grid search over shrink ratios
+    (ref: fake_quant/quant_utils.py:446-509: grid 100, maxshrink 0.8, p-norm 2.4)
+    — vectorized over the whole grid with ``vmap`` instead of a Python loop so it
+    stays one fused XLA computation.
     """
     wf = w.astype(jnp.float32)
-    axis = tuple(range(1, wf.ndim)) if per_channel else None
+    if reduce_axes is not None:
+        axis = tuple(reduce_axes)
+    else:
+        axis = tuple(range(wf.ndim - 1)) if per_channel else None
     if axis is None:
         xmin = jnp.min(wf)
         xmax = jnp.max(wf)
@@ -260,8 +267,25 @@ def rtn_quantize_weight(
     per_channel: bool = True,
     symmetric: bool = True,
     mse_clip: bool = False,
+    reduce_axes=None,
 ) -> tuple[jax.Array, QuantParams]:
     """Round-to-nearest weight quantization → (int values, params)."""
     fmt = get_format(bits, signed=symmetric)
-    qp = weight_qparams(w, fmt, per_channel=per_channel, symmetric=symmetric, mse_clip=mse_clip)
+    qp = weight_qparams(w, fmt, per_channel=per_channel, symmetric=symmetric,
+                        mse_clip=mse_clip, reduce_axes=reduce_axes)
     return quantize(w, qp, fmt), qp
+
+
+def rtn_fake_quant_weight(
+    w: jax.Array,
+    bits: int,
+    per_channel: bool = True,
+    symmetric: bool = True,
+    mse_clip: bool = False,
+    reduce_axes=None,
+) -> jax.Array:
+    """Offline fake-quantize a weight in place (the "fake" serving mode)."""
+    fmt = get_format(bits, signed=symmetric)
+    qp = weight_qparams(w, fmt, per_channel=per_channel, symmetric=symmetric,
+                        mse_clip=mse_clip, reduce_axes=reduce_axes)
+    return fake_quantize(w, qp, fmt)

@@ -21,6 +21,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -29,8 +30,10 @@ from ..transform import hadamard as H
 
 @functools.lru_cache(maxsize=None)
 def _hadK_cached(n: int):
+    # cache NUMPY only — caching a jnp array created inside a trace would leak
+    # tracers (constants are lifted into the enclosing trace in jax>=0.9)
     hadK, K = H.get_hadK(n)
-    return jnp.asarray(hadK, jnp.float32), K
+    return np.asarray(hadK, np.float32), K
 
 
 def online_hadamard(x: jax.Array) -> jax.Array:
@@ -44,7 +47,7 @@ def online_hadamard(x: jax.Array) -> jax.Array:
     hadK, K = _hadK_cached(n)
     if _use_pallas(x):
         return fwht_pallas(x, hadK, K)
-    return H.hadamard_transform(x, hadK.astype(x.dtype), K)
+    return H.hadamard_transform(x, jnp.asarray(hadK, x.dtype), K)
 
 
 def _use_pallas(x: jax.Array) -> bool:
@@ -115,7 +118,7 @@ def fwht_pallas(x: jax.Array, hadK: jax.Array, K: int, tile_t: int = 256) -> jax
             pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(x2, hadK)
+    )(x2, jnp.asarray(hadK))
     if pad:
         out = out[:tokens]
     return out.reshape(*lead, n)

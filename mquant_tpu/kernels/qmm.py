@@ -78,11 +78,9 @@ def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True) -> Dict[st
         lo = pairs[:, 0].astype(jnp.uint8) & 0x0F
         hi = pairs[:, 1].astype(jnp.uint8) & 0x0F
         out["w_q"] = (lo | (hi << 4)).astype(jnp.int8)
-        out["w_packed"] = True
     else:
         out["w_q"] = q
-        out["w_packed"] = False
-    return out
+    return out  # caller records packing via the static "w_packed" entry
 
 
 def quantized_matmul(
@@ -95,7 +93,8 @@ def quantized_matmul(
     """y = dequant(int8(x) @ int_w) with fused scales. Bias NOT added here."""
     out_dtype = out_dtype or x.dtype
     xq, x_scale = _act_int8(x, spec, site_state)
-    packed = bool(p.get("w_packed", False))
+    # packedness is inferred from static shapes: packed int4 stores in/2 rows
+    packed = p["w_q"].shape[-2] * 2 == x.shape[-1]
     if packed and jax.default_backend() in ("tpu", "axon"):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]

@@ -119,13 +119,15 @@ def pad_linear_output(linear: dict, new_out: int) -> dict:
     return new
 
 
-def fold_exact_hadamard_input(linear: dict, H: np.ndarray) -> dict:
-    """Fold an exact Hadamard into a linear's input side: w' = Hᵀ w, pairing
-    with the runtime activation transform x → x @ H (the online Pallas FWHT):
-    (x @ H) @ (Hᵀ w) = x @ w.
-    Equivalent of ``apply_exact_had_to_linear(..., output=False)``
+def fold_exact_hadamard_input(linear: dict, M: np.ndarray) -> dict:
+    """Fold the online Hadamard into a linear's input side: w' = M w.
+
+    The runtime op ``online_hadamard(x)`` computes x @ Mᵀ (M =
+    ``transform_matrix(n)``; row-vector convention), so the function-preserving
+    fold is (x Mᵀ)(M w) = x w — M is orthogonal. Equivalent of
+    ``apply_exact_had_to_linear(..., output=False)``
     (ref: fake_quant/hadamard_utils.py:135-191)."""
-    return rotate_linear_input(linear, _f64(H))
+    return rotate_linear_input(linear, _f64(M).T)  # Qᵀ w with Q = Mᵀ → M w
 
 
 def fold_exact_hadamard_output_per_head(linear: dict, head_dim: int) -> dict:

@@ -63,8 +63,8 @@ class TestQuantDequant:
         assert float(jnp.abs(z)) <= float(qp.scale) / 2 + 1e-7
 
     def test_per_channel_beats_per_tensor(self, rng):
-        # channels with wildly different ranges
-        w = jnp.asarray(rng.normal(size=(8, 64)) * (10.0 ** rng.uniform(-2, 2, size=(8, 1))), jnp.float32)
+        # output channels (last axis, (in, out) layout) with wildly different ranges
+        w = jnp.asarray(rng.normal(size=(64, 8)) * (10.0 ** rng.uniform(-2, 2, size=(1, 8))), jnp.float32)
         q_pc, qp_pc = Q.rtn_quantize_weight(w, 8, per_channel=True)
         q_pt, qp_pt = Q.rtn_quantize_weight(w, 8, per_channel=False)
         e_pc = jnp.mean((Q.dequantize(q_pc, qp_pc) - w) ** 2)
@@ -104,8 +104,8 @@ class TestPacking:
 
 class TestMseClip:
     def test_mse_clip_helps_outliers(self, rng):
-        w = rng.normal(size=(4, 256)).astype(np.float32)
-        w[:, 0] = 50.0  # a huge outlier per row
+        w = rng.normal(size=(256, 4)).astype(np.float32)
+        w[0, :] = 50.0  # a huge outlier in one input row, seen by every out channel
         w = jnp.asarray(w)
         fmt = INT4
         qp_plain = Q.weight_qparams(w, fmt, mse_clip=False)
