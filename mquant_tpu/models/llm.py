@@ -194,8 +194,10 @@ def _layer_step(
 
     if cache_kv is not None:
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        z = jnp.zeros((), jnp.int32)
+        pos = jnp.asarray(cache_pos, jnp.int32)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (z, pos, z, z))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (z, pos, z, z))
         k_all, v_all = ck, cv
         new_cache = (ck, cv)
     else:

@@ -1,0 +1,163 @@
+"""Greedy generation with KV cache under jit — prefill/decode split.
+
+The reference's inference is HF ``model.generate`` under VLMEvalKit
+(ref: vlmeval/vlm/base.py:99-121 → model/modeling_qwen_opt.py:995-1057); TTFT is
+not separately measurable there (SURVEY §5 "tracing: none"). Here prefill and
+decode are separate jitted functions with static shapes, so TTFT (= one prefill
+dispatch) and decode throughput are measurable by construction — and the decode
+loop is a ``lax.while_loop`` on device, avoiding per-token host round trips.
+
+Prompt lengths are bucketed to powers of two to bound recompilation
+(SURVEY §7.3 "calibration under jit ... bucketed shapes").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llm import DecoderConfig, decoder_forward, init_cache
+
+
+def bucket_len(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Generator:
+    """Builds and caches jitted prefill/decode closures for one (cfg, specs, mode)."""
+
+    def __init__(self, cfg: DecoderConfig, params, specs=None, state=None,
+                 mode: str = "fp", max_len: int = 512, batch: int = 1,
+                 embedder=None):
+        self.cfg = cfg
+        self.params = params
+        self.specs = specs or {}
+        self.state = state
+        self.mode = mode
+        self.max_len = max_len
+        self.batch = batch
+        self.embedder = embedder  # optional fn(params, tokens, extra) -> embeds
+        self._prefill_cache: Dict[int, Any] = {}
+        self._decode_fn = None
+
+    # -- jitted building blocks --------------------------------------------
+
+    def _prefill_fn(self, T: int):
+        if T not in self._prefill_cache:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def prefill(params, tokens_or_embeds, cache, positions, length):
+                # mask: causal AND within the true (unpadded) prompt length
+                S = cache["k"].shape[2]
+                rows = jnp.arange(T)[:, None]
+                cols = jnp.arange(S)[None, :]
+                mask = (cols <= rows) & (cols < length)
+                mask = mask[None, None]
+                logits, cache2, _ = decoder_forward(
+                    cfg, params, tokens_or_embeds, specs=specs, state=state,
+                    mode=mode, cache=cache, positions=positions, attn_mask=mask)
+                # cache position advances by the TRUE length, not the padded T
+                cache2 = dict(cache2)
+                cache2["pos"] = cache["pos"] + length
+                return logits, cache2
+
+            self._prefill_cache[T] = prefill
+        return self._prefill_cache[T]
+
+    def _decode(self):
+        if self._decode_fn is None:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def step(params, tok, cache, pos_override=None):
+                positions = (pos_override if pos_override is not None
+                             else jnp.broadcast_to(cache["pos"], (tok.shape[0], 1)))
+                logits, cache2, _ = decoder_forward(
+                    cfg, params, tok, specs=specs, state=state, mode=mode,
+                    cache=cache, positions=positions)
+                return logits, cache2
+
+            self._decode_fn = step
+        return self._decode_fn
+
+    # -- public API ---------------------------------------------------------
+
+    def prefill(self, tokens_or_embeds: jax.Array, positions=None
+                ) -> Tuple[jax.Array, Dict]:
+        """Run (padded) prefill; returns (last-token logits, cache)."""
+        B, T = tokens_or_embeds.shape[:2]
+        length = T
+        Tb = bucket_len(T)
+        pad = Tb - T
+        if pad:
+            if tokens_or_embeds.ndim == 2:
+                tokens_or_embeds = jnp.pad(tokens_or_embeds, ((0, 0), (0, pad)))
+            else:
+                tokens_or_embeds = jnp.pad(
+                    tokens_or_embeds, ((0, 0), (0, pad), (0, 0)))
+            if positions is not None:
+                widen = [(0, 0)] * (positions.ndim - 1) + [(0, pad)]
+                positions = jnp.pad(positions, widen, mode="edge")
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(Tb)[None], (B, Tb))
+        cache = init_cache(self.cfg, B, self.max_len)
+        logits, cache = self._prefill_fn(Tb)(
+            self.params, tokens_or_embeds, cache, positions,
+            jnp.asarray(length, jnp.int32))
+        return logits[:, length - 1], cache
+
+    def generate(self, tokens: jax.Array, max_new_tokens: int = 32,
+                 eos_id: Optional[int] = None, positions=None):
+        """Greedy decode. Returns (B, <=max_new_tokens) int32 array."""
+        last_logits, cache = self.prefill(tokens, positions=positions)
+        step = self._decode()
+        tok = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
+        out = [tok]
+        for _ in range(max_new_tokens - 1):
+            logits, cache = step(self.params, tok, cache)
+            tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+            out.append(tok)
+            if eos_id is not None and bool((tok == eos_id).all()):
+                break
+        return jnp.concatenate(out, axis=1)
+
+
+def measure_ttft(gen: Generator, tokens: jax.Array, iters: int = 5) -> float:
+    """Median wall-clock prefill latency in seconds (after warmup compile)."""
+    import time
+
+    logits, cache = gen.prefill(tokens)
+    jax.block_until_ready(logits)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        logits, cache = gen.prefill(tokens)
+        jax.block_until_ready(logits)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64) -> float:
+    """Decode throughput (tokens/s) after prefill, excluding compile."""
+    import time
+
+    last_logits, cache = gen.prefill(tokens)
+    step = gen._decode()
+    tok = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
+    logits, cache = step(gen.params, tok, cache)  # warmup compile
+    jax.block_until_ready(logits)
+    t0 = time.perf_counter()
+    for _ in range(n_tokens):
+        logits, cache = step(gen.params, tok, cache)
+        tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+    return n_tokens * tokens.shape[0] / dt

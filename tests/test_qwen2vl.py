@@ -1,0 +1,141 @@
+"""Tests for the Qwen2-VL end-to-end model (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.models.qwen2vl import (
+    Qwen2VLConfig,
+    default_w4a8_specs,
+    init_qwen2vl_params,
+    mrope_positions,
+    qwen2vl_forward,
+    splice_image_embeds,
+)
+from mquant_tpu.models.vision import patchify_qwen2vl
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Qwen2VLConfig.tiny()
+    params = init_qwen2vl_params(cfg, jax.random.key(0))
+    B, img = 1, 16  # 16x16 image, patch 4 → 4x4=16 patches → 4 merged tokens
+    images = jax.random.normal(jax.random.key(1), (B, img, img, 3), jnp.float32)
+    patches, grid = patchify_qwen2vl(images, patch=cfg.patch)
+    n_merged = patches.shape[1] // 4
+    toks = np.full((B, 10), 7, np.int64)
+    toks[0, 2:2 + n_merged] = cfg.image_token_id
+    toks = jnp.asarray(toks)
+    return cfg, params, toks, patches, grid
+
+
+class TestSplice:
+    def test_splice_in_order(self):
+        B, T, H, N = 1, 6, 4, 2
+        text = jnp.zeros((B, T, H))
+        toks = jnp.asarray([[1, 9, 9, 2, 3, 4]])
+        img = jnp.stack([jnp.full((H,), 10.0), jnp.full((H,), 20.0)])[None]
+        out = splice_image_embeds(text, toks, img, image_token_id=9)
+        np.testing.assert_allclose(np.asarray(out[0, 1]), 10.0)
+        np.testing.assert_allclose(np.asarray(out[0, 2]), 20.0)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)
+        np.testing.assert_allclose(np.asarray(out[0, 3]), 0.0)
+
+
+class TestMrope:
+    def test_text_only_positions_match_standard(self):
+        toks = np.full((1, 5), 3, np.int64)
+        pos = mrope_positions(toks, image_token_id=99)
+        for p in range(3):
+            np.testing.assert_array_equal(pos[p, 0], np.arange(5))
+
+    def test_image_span_grid(self):
+        # 1 temporal, 4x4 patches, merge 2 → 2x2 = 4 image tokens
+        toks = np.asarray([[1, 9, 9, 9, 9, 2]])
+        pos = mrope_positions(toks, image_token_id=9, grid_thw=(1, 4, 4))
+        # text token 0 at 0; image tokens start at 1
+        np.testing.assert_array_equal(pos[1, 0, 1:5], [1, 1, 2, 2])  # height ids
+        np.testing.assert_array_equal(pos[2, 0, 1:5], [1, 2, 1, 2])  # width ids
+        assert pos[0, 0, 5] == 3  # text resumes at 1 + max(1,2,2) = 3
+
+
+class TestForward:
+    def test_fp_forward(self, tiny):
+        cfg, params, toks, patches, grid = tiny
+        logits, _, _ = qwen2vl_forward(cfg, params, toks, patches, grid)
+        assert logits.shape == (1, 10, cfg.llm.vocab)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_images_change_logits(self, tiny):
+        cfg, params, toks, patches, grid = tiny
+        l1, _, _ = qwen2vl_forward(cfg, params, toks, patches, grid)
+        l2, _, _ = qwen2vl_forward(cfg, params, toks, patches * 2.0, grid)
+        assert float(jnp.abs(l1 - l2).max()) > 1e-4
+        # text-only positions unaffected... (same tokens, different image)
+        l3, _, _ = qwen2vl_forward(cfg, params, toks)
+        assert l3.shape == l1.shape
+
+    def test_mrope_positions_accepted(self, tiny):
+        cfg, params, toks, patches, grid = tiny
+        pos = mrope_positions(np.asarray(toks), cfg.image_token_id, grid_thw=(1, 4, 4))
+        logits, _, _ = qwen2vl_forward(cfg, params, toks, patches, grid,
+                                       positions=jnp.asarray(pos))
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_fake_quant_forward_and_stats(self, tiny):
+        cfg, params, toks, patches, grid = tiny
+        specs = default_w4a8_specs(online_had=False, split=False)
+        logits, _, st = qwen2vl_forward(cfg, params, toks, patches, grid,
+                                        specs=specs, mode="calib",
+                                        collect_stats=True)
+        stats, _ = st
+        # all three subsystems produce stats (MSQ: separate scale sets)
+        assert any(k.startswith("vis.") for k in stats)
+        assert any(k.startswith("merger.") for k in stats)
+        assert any(k.startswith("llm.") for k in stats)
+        # vit block stats are layer-stacked
+        assert stats["vis.q"].min.shape[0] == cfg.vit.n_layers
+        assert stats["llm.q"].min.shape[0] == cfg.llm.n_layers
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_whole_forward_jits(self, tiny):
+        cfg, params, toks, patches, grid = tiny
+        specs = default_w4a8_specs(online_had=False, split=False)
+
+        @jax.jit
+        def f(params, toks, patches, grid):
+            return qwen2vl_forward(cfg, params, toks, patches, grid,
+                                   specs=specs, mode="fake")[0]
+
+        out = f(params, toks, patches, grid)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestGenerate:
+    def test_greedy_generate_text(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        gen = Generator(cfg.llm, params["llm"], max_len=64)
+        out = gen.generate(toks[:, :4], max_new_tokens=6)
+        assert out.shape[0] == 1 and out.shape[1] <= 6
+        assert bool(jnp.all((out >= 0) & (out < cfg.llm.vocab)))
+
+    def test_prefill_decode_consistency(self, tiny):
+        """Decoding token-by-token must equal a single full forward (cache math)."""
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        T = 8
+        seq = toks[:, :T]
+        full_logits, _, _ = qwen2vl_forward(cfg, params, seq)
+        gen = Generator(cfg.llm, params["llm"], max_len=32)
+        last, cache = gen.prefill(seq[:, :T - 1])
+        np.testing.assert_allclose(
+            np.asarray(last), np.asarray(full_logits[:, T - 2]), rtol=2e-3, atol=2e-3)
+        step = gen._decode()
+        step_logits, _ = step(params["llm"], seq[:, T - 1:T], cache)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, T - 1]),
+            rtol=2e-3, atol=2e-3)
