@@ -1,0 +1,148 @@
+"""Device-mesh sharding for calibration and serving.
+
+The reference has no real parallelism (SURVEY §2.7: HF-accelerate layer
+placement only, ref: fake_quant/utils.py:413-433). The TPU-native equivalents:
+
+  * **TP over ICI**: Megatron-style column/row parallel sharding of every
+    quantized GEMM — q/k/v/gate/up shard the OUTPUT axis (heads split across
+    devices), o/down shard the INPUT axis (XLA inserts one psum per block via
+    GSPMD). The vocab matrices shard the vocab axis.
+  * **DP over DCN (or spare ICI)**: batch axis for calibration/eval fan-out —
+    the functional replacement of VLMEvalKit's multiprocess eval sharding
+    (ref: third/VLMEvalKit/vlmeval/utils/mp_util.py); observer stats merge with
+    a psum-free elementwise min/max reduce after gathering.
+
+Everything is expressed as PartitionSpecs over a ("dp", "tp") mesh; XLA/GSPMD
+derives the collectives. No NCCL-style explicit comm layer is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. tp defaults to all devices (pure TP)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    tp = tp or n
+    assert n % tp == 0
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# PartitionSpec per decoder site (stacked weights (L, in, out))
+_DECODER_PARAM_SPECS = {
+    "embed": {"w": P(None, None)},  # replicated (gather cost > shard win at 7B)
+    "layers": {
+        "ln1": {"w": P(None, None)},
+        "q": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "k": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "v": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "o": {"w": P(None, "tp", None), "b": P(None, None)},
+        "ln2": {"w": P(None, None)},
+        "gate": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "up": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "down": {"w": P(None, "tp", None), "b": P(None, None),
+                 "w_col0": P(None, None, None)},
+    },
+    "ln_f": {"w": P(None)},
+    "lm_head": {"w": P(None, "tp"), "b": P("tp")},
+}
+
+# ViT blocks follow the same column/row pattern
+_VIT_PARAM_SPECS = {
+    "patch_embed": {"w": P(None, "tp"), "b": P("tp")},
+    "pos_embed": {"w": P(None, None)},
+    "ln_pre": {"w": P(None), "b": P(None)},
+    "ln_post": {"w": P(None), "b": P(None)},
+    "fc_sub_mean": {"w": P(None, None)},
+    "blocks": {
+        "ln1": {"w": P(None, None), "b": P(None, None)},
+        "q": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "k": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "v": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "o": {"w": P(None, "tp", None), "b": P(None, None)},
+        "ls1": {"w": P(None, None)},
+        "ls2": {"w": P(None, None)},
+        "ln2": {"w": P(None, None), "b": P(None, None)},
+        "fc1": {"w": P(None, None, "tp"), "b": P(None, "tp")},
+        "fc2": {"w": P(None, "tp", None), "b": P(None, None)},
+    },
+}
+
+_MERGER_PARAM_SPECS = {
+    "ln_q": {"w": P(None), "b": P(None)},
+    "mlp0": {"w": P(None, "tp"), "b": P("tp")},
+    "mlp2": {"w": P("tp", None), "b": P(None)},
+}
+
+
+def _spec_tree_for(params: Dict, spec_map: Dict) -> Dict:
+    """Match the spec map against the actual params structure (missing entries →
+    replicated; quantized storage w_q/w_scale inherit w's sharding)."""
+    out = {}
+    for k, v in params.items():
+        m = spec_map.get(k, None)
+        if v is None:
+            out[k] = None
+        elif isinstance(v, dict):
+            if isinstance(m, dict):
+                sub = dict(m)
+                if "w" in m and isinstance(m.get("w"), P):
+                    wspec = m["w"]
+                    sub.setdefault("w_q", wspec)
+                    # per-out-channel scale (..., out): drop the `in` axis of
+                    # the weight spec, keep leading (layer) axes + out axis
+                    if len(wspec) >= 2:
+                        sub.setdefault("w_scale", P(*wspec[:-2], wspec[-1]))
+                    else:
+                        sub.setdefault("w_scale", P())
+                out[k] = _spec_tree_for(v, sub)
+            else:
+                out[k] = _spec_tree_for(v, {})
+        else:
+            out[k] = m if m is not None else P()
+    return out
+
+
+def decoder_param_specs(params: Dict) -> Dict:
+    return _spec_tree_for(params, _DECODER_PARAM_SPECS)
+
+
+def vlm_param_specs(params: Dict) -> Dict:
+    """Spec tree for the full {llm, vit, merger} params pytree."""
+    out = {}
+    if "llm" in params:
+        out["llm"] = _spec_tree_for(params["llm"], _DECODER_PARAM_SPECS)
+    if "vit" in params:
+        out["vit"] = _spec_tree_for(params["vit"], _VIT_PARAM_SPECS)
+    if "merger" in params:
+        out["merger"] = _spec_tree_for(params["merger"], _MERGER_PARAM_SPECS)
+    return out
+
+
+def shard_params(params: Dict, mesh: Mesh, specs: Optional[Dict] = None) -> Dict:
+    """device_put the params pytree with the TP plan (host → sharded HBM)."""
+    specs = specs or (vlm_param_specs(params) if "llm" in params
+                      else decoder_param_specs(params))
+
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, params, specs,
+                        is_leaf=lambda x: x is None)
+
+
+def data_specs(batch_shape_ndim: int = 2) -> P:
+    """Batch data shards over dp; everything else replicated."""
+    return P("dp", *([None] * (batch_shape_ndim - 1)))
