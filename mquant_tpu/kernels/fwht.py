@@ -93,7 +93,8 @@ def _fwht_kernel(x_ref, hadk_ref, o_ref, *, K: int, m: int, scale: float):
     o_ref[:] = xv.reshape(t, K * m).astype(o_ref.dtype)
 
 
-def fwht_pallas(x: jax.Array, hadK: jax.Array, K: int, tile_t: int = 256) -> jax.Array:
+def fwht_pallas(x: jax.Array, hadK: jax.Array, K: int, tile_t: int = 256,
+                interpret: bool = False) -> jax.Array:
     """Pallas FWHT over the last axis; x: (..., n) flattened to (tokens, n)."""
     n = x.shape[-1]
     m = n // K
@@ -118,6 +119,7 @@ def fwht_pallas(x: jax.Array, hadK: jax.Array, K: int, tile_t: int = 256) -> jax
             pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x2, jnp.asarray(hadK))
     if pad:
         out = out[:tokens]

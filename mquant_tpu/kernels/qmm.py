@@ -146,7 +146,8 @@ def _qmm_w4_kernel(x_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref, *, n_k: int):
 
 
 def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dtype,
-                   tm: int = 256, tn: int = 256, tk: int = 512) -> jax.Array:
+                   tm: int = 256, tn: int = 256, tk: int = 512,
+                   interpret: bool = False) -> jax.Array:
     lead = xq.shape[:-1]
     Kin = xq.shape[-1]
     x2 = xq.reshape(-1, Kin)
@@ -182,6 +183,7 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        interpret=interpret,
     )(x2, p["w_q"], xs, ws)
     if padm:
         out = out[:M]
