@@ -1,17 +1,26 @@
-"""Online fast Walsh–Hadamard transform — the hot rotation on the serving path.
+"""Online fast Hadamard transform — the hot rotation on the serving path.
 
 TPU-native replacement for the reference's external CUDA kernel
 (``fast_hadamard_transform``, ref: docs/install.md:10-16; call sites
 fake_quant/quant_utils.py:334-365 and hadamard_utils.py:115-128). Runs before
-every MLP down-projection at inference time, so it must be bandwidth-optimal.
+every MLP down-projection at inference time.
 
-Two paths:
-  * :func:`online_hadamard` — pure-JAX butterfly + K-block einsum. XLA already
-    fuses the log2(m) add/sub passes into a handful of VPU loops; this is the
-    default and the CPU/interpret fallback.
-  * :func:`fwht_pallas` — explicit Pallas kernel holding a token-tile resident in
-    VMEM across all log2(m) passes + the K×K MXU matmul, avoiding HBM round
-    trips between passes. Used on TPU for large token counts.
+Design: on TPU the O(n log n) VPU butterfly is the WRONG shape — log2(n)
+sequential add/sub passes are layout-hostile (Mosaic rejects the rank-4
+reshapes) and leave the MXU idle. Instead we use the Kronecker two-matmul
+factorization (the HadaCore/tensor-core formulation): with n = K·m,
+
+    y = (hadK ⊗ H_m) x   ==   hadK @ (X · H_m),  X = x viewed (K, m)
+
+two small dense matmuls that run at MXU throughput and fuse with the
+surrounding quantize ops under XLA. For power-of-two n, n = a·b with a,b ≈ √n
+(H_n = H_a ⊗ H_b by the Sylvester construction). FLOP count rises from
+n·log2(n) adds to n·(K+m) MACs, but MXU int8/bf16 throughput makes it faster
+in wall-clock — and it needs no custom kernel to hit peak.
+
+``fwht_pallas`` keeps an explicit VMEM-resident Pallas version of the same
+two-matmul form (future base for the fused hadamard→int8-quantize→GEMM
+megakernel).
 """
 
 from __future__ import annotations
@@ -28,99 +37,95 @@ from jax.experimental.pallas import tpu as pltpu
 from ..transform import hadamard as H
 
 
+def _pow2_split(n: int) -> tuple[int, int]:
+    """n = a*b, both pow2, b >= a, b >= 128 when possible (lane-aligned)."""
+    p = n.bit_length() - 1
+    bp = max(p - p // 2, min(7, p))
+    b = 1 << bp
+    return n // b, b
+
+
 @functools.lru_cache(maxsize=None)
-def _hadK_cached(n: int):
-    # cache NUMPY only — caching a jnp array created inside a trace would leak
-    # tracers (constants are lifted into the enclosing trace in jax>=0.9)
+def _factors(n: int):
+    """numpy (A, B, K) for the two-matmul form: x (…, K, m) → A-over-K, B-over-m.
+    A = hadK (orthonormal), B = H_m/√m; for pow2 n, K axis further split a·b."""
     hadK, K = H.get_hadK(n)
-    return np.asarray(hadK, np.float32), K
+    m = n // K
+    if K > 1:
+        Hm = H.hadamard_matrix(m) / math.sqrt(m)
+        return (np.asarray(hadK, np.float32), np.asarray(Hm, np.float32), K)
+    a, b = _pow2_split(n)
+    Ha = H.hadamard_matrix(a) / math.sqrt(a)
+    Hb = H.hadamard_matrix(b) / math.sqrt(b)
+    return (np.asarray(Ha, np.float32), np.asarray(Hb, np.float32), a)
 
 
 def online_hadamard(x: jax.Array) -> jax.Array:
     """Orthonormal Hadamard transform along the last axis (n = K·2^p).
 
-    Matches the offline fold matrix :func:`mquant_tpu.transform.hadamard.
-    transform_matrix` exactly (tested), so folded weights + this online op are
-    function-preserving.
+    Matches :func:`mquant_tpu.transform.hadamard.transform_matrix` exactly
+    (y = x @ Mᵀ), so offline-folded weights + this online op are
+    function-preserving. Implemented as two MXU matmuls (see module docstring).
     """
     n = x.shape[-1]
-    hadK, K = _hadK_cached(n)
-    if _use_pallas(x):
-        return fwht_pallas(x, hadK, K)
-    return H.hadamard_transform(x, jnp.asarray(hadK, x.dtype), K)
-
-
-def _use_pallas(x: jax.Array) -> bool:
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    # token count large enough to tile; feature dim aligned
-    tokens = 1
-    for d in x.shape[:-1]:
-        tokens *= d
-    return tokens >= 8 and x.shape[-1] % 128 == 0
+    A_np, B_np, K = _factors(n)
+    m = n // K
+    dt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    A = jnp.asarray(A_np, dt)
+    B = jnp.asarray(B_np, dt)
+    xr = x.astype(dt).reshape(*x.shape[:-1], K, m)
+    # over the minor axis: both factor matrices are applied as y_i = Σ_j M[i,j] x_j;
+    # B (pow2 Sylvester) is symmetric so xr @ B == B-transform over m.
+    t = jnp.einsum("...km,mj->...kj", xr, B)
+    out = jnp.einsum("kl,...lm->...km", A, t)
+    return out.reshape(x.shape).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernel (same two-matmul form, VMEM-resident)
 # ---------------------------------------------------------------------------
 
 
-def _fwht_kernel(x_ref, hadk_ref, o_ref, *, K: int, m: int, scale: float):
-    """One token-tile: (T, n) resident in VMEM.
-
-    Butterfly over the pow2 factor m via statically unrolled stride-doubling
-    passes (reshape + concat on VPU), then the K×K block on the MXU.
-    """
+def _fwht_kernel(x_ref, a_ref, b_ref, o_ref, *, K: int, m: int):
     t = x_ref.shape[0]
     xv = x_ref[:].astype(jnp.float32)  # (T, n)
     xv = xv.reshape(t * K, m)
-    h = 1
-    while h < m:
-        xv = xv.reshape(t * K, m // (2 * h), 2, h)
-        a = xv[:, :, 0, :]
-        b = xv[:, :, 1, :]
-        xv = jnp.stack([a + b, a - b], axis=2)
-        h *= 2
-    xv = xv.reshape(t, K, m) * scale
-    if K > 1:
-        hk = hadk_ref[:].astype(jnp.float32)  # (K, K)
-        xv = jax.lax.dot_general(
-            hk, xv,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, T, m)
-        xv = jnp.swapaxes(xv, 0, 1)
+    xv = jax.lax.dot_general(  # over the minor axis (B symmetric)
+        xv, b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xv = xv.reshape(t, K, m)
+    xv = jax.lax.dot_general(  # over the K axis, batched over T
+        a_ref[:], xv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (K, T, m)
+    xv = jnp.swapaxes(xv, 0, 1)
     o_ref[:] = xv.reshape(t, K * m).astype(o_ref.dtype)
 
 
-def fwht_pallas(x: jax.Array, hadK: jax.Array, K: int, tile_t: int = 256,
-                interpret: bool = False) -> jax.Array:
-    """Pallas FWHT over the last axis; x: (..., n) flattened to (tokens, n)."""
+def fwht_pallas(x: jax.Array, tile_t: int = 128, interpret: bool = False) -> jax.Array:
+    """Pallas two-matmul Hadamard over the last axis; x: (..., n)."""
     n = x.shape[-1]
+    A_np, B_np, K = _factors(n)
     m = n // K
-    assert H.is_pow2(m)
     lead = x.shape[:-1]
     tokens = int(math.prod(lead)) if lead else 1
     x2 = x.reshape(tokens, n)
-    # pad token dim to a tile multiple
-    T = tile_t if tokens > tile_t else max(8, 1 << max(0, (tokens - 1).bit_length()))
+    T = min(tile_t, max(8, tokens))
     pad = (-tokens) % T
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    grid = (x2.shape[0] // T,)
-    scale = 1.0 / math.sqrt(m)
 
     out = pl.pallas_call(
-        functools.partial(_fwht_kernel, K=K, m=m, scale=scale),
+        functools.partial(_fwht_kernel, K=K, m=m),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
-        grid=grid,
+        grid=(x2.shape[0] // T,),
         in_specs=[
             pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x2, jnp.asarray(hadK))
+    )(x2, jnp.asarray(A_np), jnp.asarray(B_np))
     if pad:
         out = out[:tokens]
     return out.reshape(*lead, n)

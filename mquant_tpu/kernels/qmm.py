@@ -38,6 +38,12 @@ from ..core import quant as Q
 from ..core.formats import INT8
 
 
+def _pallas_enabled() -> bool:
+    import os
+
+    return os.environ.get("MQUANT_DISABLE_PALLAS", "0") != "1"
+
+
 def _act_int8(x: jax.Array, spec, site_state) -> tuple[jax.Array, jax.Array]:
     """Quantize activation to int8; returns (q: int8, scale broadcastable)."""
     if spec.a_static and site_state is not None and site_state.get("act") is not None:
@@ -95,7 +101,7 @@ def quantized_matmul(
     xq, x_scale = _act_int8(x, spec, site_state)
     # packedness is inferred from static shapes: packed int4 stores in/2 rows
     packed = p["w_q"].shape[-2] * 2 == x.shape[-1]
-    if packed and jax.default_backend() in ("tpu", "axon"):
+    if packed and _pallas_enabled() and jax.default_backend() in ("tpu", "axon"):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]
     acc = jax.lax.dot_general(
@@ -125,12 +131,14 @@ def _qmm_w4_kernel(x_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    u = wq_ref[:].astype(jnp.uint8)  # (TK/2, TN)
-    lo = (u & 0x0F).astype(jnp.int8)
-    hi = ((u >> 4) & 0x0F).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    # nibble unpack with int32 mask/div ops (Mosaic has no uint8 shrui)
+    u = wq_ref[:].astype(jnp.int32) & 0xFF  # (TK/2, TN) in 0..255
+    lo = u & 0x0F
+    hi = (u // 16) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
     w = jnp.stack([lo, hi], axis=1).reshape(u.shape[0] * 2, u.shape[1])
+    w = w.astype(jnp.int8)
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w,

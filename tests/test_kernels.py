@@ -1,4 +1,4 @@
-"""Pallas kernel correctness tests (interpret mode on CPU)."""
+"""Kernel correctness tests (Pallas in interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,23 +11,45 @@ from mquant_tpu.models.layers import SiteSpec
 from mquant_tpu.transform import hadamard as H
 
 
-class TestFwhtPallas:
-    @pytest.mark.parametrize("n", [128, 156 * 2 if False else 256, 96])
-    def test_matches_pure_jax(self, rng, n):
-        hadK_np, K = H.get_hadK(n)
+class TestOnlineHadamard:
+    @pytest.mark.parametrize("n", [128, 256, 96, 108 * 2, 1024])
+    def test_matches_reference_transform(self, rng, n):
+        """The two-matmul MXU form must equal the butterfly reference exactly —
+        this is the invariant that keeps offline weight folds correct."""
         x = jnp.asarray(rng.normal(size=(32, n)), jnp.float32)
-        ref = H.hadamard_transform(x, jnp.asarray(hadK_np, jnp.float32), K)
-        out = KF.fwht_pallas(x, jnp.asarray(hadK_np, jnp.float32), K,
-                             tile_t=16, interpret=True)
+        ref = H.hadamard_transform(x)
+        out = KF.online_hadamard(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_matches_dense_matrix(self, rng):
+        n = 96
+        x = jnp.asarray(rng.normal(size=(4, n)), jnp.float32)
+        M = H.transform_matrix(n)
+        np.testing.assert_allclose(
+            np.asarray(KF.online_hadamard(x)),
+            np.asarray(x) @ M.T.astype(np.float32), rtol=1e-4, atol=1e-4)
+
+    def test_orthonormal(self, rng):
+        x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+        y = KF.online_hadamard(x)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(y), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+
+
+class TestFwhtPallas:
+    @pytest.mark.parametrize("n", [128, 256, 96])
+    def test_matches_pure_jax(self, rng, n):
+        x = jnp.asarray(rng.normal(size=(32, n)), jnp.float32)
+        ref = H.hadamard_transform(x)
+        out = KF.fwht_pallas(x, tile_t=16, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
     def test_3d_input_and_padding(self, rng):
         n = 128
-        hadK_np, K = H.get_hadK(n)
         x = jnp.asarray(rng.normal(size=(3, 5, n)), jnp.float32)  # 15 tokens → pad
         ref = H.hadamard_transform(x)
-        out = KF.fwht_pallas(x, jnp.asarray(hadK_np, jnp.float32), K,
-                             tile_t=8, interpret=True)
+        out = KF.fwht_pallas(x, tile_t=8, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
@@ -38,9 +60,7 @@ class TestQmmPallas:
         p = dict(KQ.quantize_weights_real(w, 4))
         x = jnp.asarray(rng.normal(size=(M, In)), jnp.float32)
         spec = SiteSpec(w_bits=4, a_bits=8)
-        # XLA reference path (unpack + dot_general)
         ref = KQ.quantized_matmul(x, p, spec, None, out_dtype=jnp.float32)
-        # Pallas path
         xq, xs = KQ._act_int8(x, spec, None)
         out = KQ._qmm_pallas_w4(xq, xs, p, jnp.float32,
                                 tm=16, tn=128, tk=128, interpret=True)
