@@ -1,0 +1,175 @@
+"""GPTQ — Hessian-based error-compensated weight quantization, TPU-native.
+
+Fresh implementation of the GPTQ algorithm (Frantar et al.) with the same
+capabilities as the reference's ``GPTQ.fasterquant``
+(ref: fake_quant/gptq/gptq_utils.py:197-307): percdamp Cholesky damping,
+act_order permutation by diag(H), optional per-group scale re-finding, NaN
+guard, and RTN fallback on Cholesky failure. Differences by design:
+
+  * weight layout (in, out): rows are input features; quantization walks input
+    rows, propagating error to later rows (the transpose of the reference's
+    column walk over torch's (out, in)).
+  * the sequential inner loop is a ``lax.fori_loop`` over rows *within* a
+    128-row block with masked rank-1 updates (VPU), and the cross-block error
+    propagation is one (in-b, B) × (B, out) matmul on the MXU — the whole thing
+    is ONE jitted function, vmappable over stacked layers.
+  * Cholesky failure cannot raise under jit; it surfaces as NaNs, which the NaN
+    guard converts into an RTN fallback via ``jnp.where`` (same observable
+    behavior as ref:239-245 + 296-303).
+  * conv patch-embeds need no special im2col path (``GPTQConv``,
+    ref: gptq_utils.py:15-168): the model zoo already expresses them as linears
+    over pre-extracted patches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.formats import get_format
+from ..core import quant as Q
+
+BLOCK = 128
+
+
+class GPTQResult(NamedTuple):
+    w: jax.Array  # fake-quantized weight (in, out), original dtype
+    scale: jax.Array  # (n_groups_or_1, out) per-out-channel scales
+    used_fallback: jax.Array  # bool scalar: RTN fallback (Cholesky failed)
+
+
+def accumulate_hessian(h: Optional[jax.Array], x: jax.Array) -> jax.Array:
+    """H += 2 XᵀX over a batch of activations x (..., in). The running-mean
+    normalization of the reference (ref: gptq_utils.py:182-195 ``add_batch``)
+    only rescales H uniformly, which cancels in the algorithm; plain
+    accumulation is numerically equivalent and cheaper."""
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    hh = 2.0 * (xf.T @ xf)
+    return hh if h is None else h + hh
+
+
+def _hinv_cholesky(H: jax.Array, percdamp: float) -> jax.Array:
+    """Upper-triangular U with U = chol(H⁻¹)ᵀ-style factor used for error
+    propagation: the i-th diagonal entry scales the i-th row's error, and
+    U[i, j>i] carries it to later rows."""
+    n = H.shape[-1]
+    H = H.astype(jnp.float32)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    dead = diag == 0
+    one = jnp.ones((), jnp.float32)
+    H = H + jnp.diag(jnp.where(dead, one, 0 * one))
+    damp = jnp.float32(percdamp) * jnp.mean(jnp.abs(diag))
+    H = H + damp * jnp.eye(n, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(H)
+    # H⁻¹ via two triangular solves on the identity
+    eye = jnp.eye(n, dtype=H.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Hinv = Linv.T @ Linv
+    # upper cholesky factor of H⁻¹ (reference: cholesky(Hinv, upper=True))
+    U = jnp.linalg.cholesky(Hinv, upper=True)
+    return U
+
+
+def _quantize_rows_block(Wb, Ub, scale, qmin, qmax):
+    """Quantize one B-row block sequentially with in-block error propagation.
+    Wb (B, out); Ub (B, B) upper-tri slice; scale (out,) or (B, out)."""
+    B = Wb.shape[0]
+
+    def body(i, carry):
+        Wb, Eb = carry
+        w = jax.lax.dynamic_slice_in_dim(Wb, i, 1, 0)[0]  # (out,)
+        s = scale if scale.ndim == 1 else jax.lax.dynamic_slice_in_dim(scale, i, 1, 0)[0]
+        q = jnp.clip(jnp.round(w / s), qmin, qmax) * s
+        d = jax.lax.dynamic_slice(Ub, (i, i), (1, 1))[0, 0]
+        e = (w - q) / d
+        # propagate to later rows in the block: Wb[j] -= Ub[i, j] * e  (j > i)
+        urow = jax.lax.dynamic_slice_in_dim(Ub, i, 1, 0)[0]  # (B,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        mask = (rows > i).astype(Wb.dtype)
+        Wb = Wb - mask * (urow[:, None] * e[None, :])
+        Wb = jax.lax.dynamic_update_slice_in_dim(Wb, q[None, :], i, 0)
+        Eb = jax.lax.dynamic_update_slice_in_dim(Eb, e[None, :], i, 0)
+        return Wb, Eb
+
+    Eb0 = jnp.zeros_like(Wb)
+    return jax.lax.fori_loop(0, B, body, (Wb, Eb0))
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "act_order", "group_size",
+                                             "mse_clip", "sym", "percdamp"))
+def gptq_quantize_matrix(
+    W: jax.Array,  # (in, out)
+    H: jax.Array,  # (in, in) accumulated Hessian
+    bits: int,
+    percdamp: float = 0.01,
+    act_order: bool = False,
+    group_size: Optional[int] = None,
+    mse_clip: bool = False,
+    sym: bool = True,
+) -> GPTQResult:
+    fmt = get_format(bits, signed=sym)
+    Win = W.astype(jnp.float32)
+    n, out = Win.shape
+    diag = jnp.diagonal(H)
+    Win = jnp.where((diag == 0)[:, None], 0.0, Win)  # dead inputs → 0 (ref:205-207)
+
+    if act_order:  # quantize most-salient inputs first (ref:225-229)
+        perm = jnp.argsort(-diag)
+        Win = Win[perm]
+        H = H[perm][:, perm]
+
+    U = _hinv_cholesky(H.astype(jnp.float32), percdamp)
+
+    # per-out-channel scales; optionally per input-row group (ref:263-273)
+    if group_size is None:
+        qp = Q.weight_qparams(Win, fmt, per_channel=True, symmetric=sym,
+                              mse_clip=mse_clip)
+        scales = jnp.broadcast_to(qp.scale.reshape(1, out), (1, out))
+    else:
+        g = n // group_size
+        Wg = Win.reshape(g, group_size, out)
+        qp = Q.weight_qparams(Wg, fmt, symmetric=sym, mse_clip=mse_clip,
+                              reduce_axes=(-2,))
+        scales = qp.scale.reshape(g, out)
+
+    pad = (-n) % BLOCK
+    Wp = jnp.pad(Win, ((0, pad), (0, 0)))
+    Up = jnp.pad(U, ((0, pad), (0, pad)))
+    Up = Up + jnp.diag(jnp.pad(jnp.zeros((n,), jnp.float32), (0, pad),
+                               constant_values=1.0))
+    nb = Wp.shape[0] // BLOCK
+
+    def scale_for_block(b):
+        if group_size is None:
+            return scales[0]
+        # rows b*BLOCK..: group index per row
+        row0 = b * BLOCK
+        gidx = (row0 + jnp.arange(BLOCK)) // group_size
+        gidx = jnp.clip(gidx, 0, scales.shape[0] - 1)
+        return scales[gidx]  # (BLOCK, out)
+
+    W_work = Wp
+    for b in range(nb):  # static unroll over ~in/128 blocks
+        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+        Wb, Eb = _quantize_rows_block(
+            W_work[sl], Up[sl, sl], scale_for_block(b), fmt.qmin, fmt.qmax)
+        W_work = W_work.at[sl].set(Wb)
+        # cross-block propagation: remaining rows -= U[b, rest]ᵀ @ Eb (MXU)
+        rest = slice((b + 1) * BLOCK, Wp.shape[0])
+        if (b + 1) * BLOCK < Wp.shape[0]:
+            W_work = W_work.at[rest].add(-Up[sl, rest].T @ Eb)
+
+    Wq = W_work[:n]
+    if act_order:
+        inv = jnp.argsort(perm)
+        Wq = Wq[inv]
+
+    # NaN guard → RTN fallback (ref: gptq_utils.py:239-245, 296-303)
+    bad = ~jnp.all(jnp.isfinite(Wq))
+    rtn = Q.rtn_fake_quant_weight(W.astype(jnp.float32), bits, symmetric=sym,
+                                  mse_clip=mse_clip)
+    Wq = jnp.where(bad, rtn, Wq)
+    return GPTQResult(w=Wq.astype(W.dtype), scale=scales, used_fallback=bad)
