@@ -1,0 +1,221 @@
+"""GPTQ driver for the stacked decoder — stage-sequential, layer-streamed.
+
+Capability parity with the reference's per-model GPTQ drivers
+(ref: fake_quant/gptq/{qwenvl,qwen2vl,internvl,minicpmv}_gptq_plus.py): process
+layers in order; within a layer quantize site groups in dependency order
+  [q, k, v] → [o] → [gate, up] → [down (rows 1: when RMS-split)]
+re-deriving each group's inputs with the previously-quantized groups in place,
+then produce the next layer's inputs with the fully-quantized layer.
+
+TPU-native differences:
+  * no Catcher/forward-abort hooks (ref: qwenvl_gptq_plus.py:76-98): the caller
+    hands in the decoder-input hidden states directly (one jitted embedding+
+    splice pass produces them);
+  * each stage replay is ONE jitted function reused across layers (static
+    shapes → 5 compiles total, not 5×L), batched over all calibration samples;
+  * Hessians accumulate on device in f32 via ``accumulate_hessian``; only one
+    layer's weights are device-resident at a time (same streaming memory
+    profile as the reference's layer-at-a-time design, ref: SURVEY §3.3).
+
+Activations stay in floating point during GPTQ (matching the reference, whose
+act quantizers are in the default pass-through state at this point); the online
+Hadamard and RMS split ARE active so the Hessian matches the serving-time input
+distribution of down_proj (ref: exam/quant_qwenvl.py:135-158 configures the
+wrappers before GPTQ runs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import layers as L
+from ..models.layers import SiteSpec, qlinear
+from ..models.llm import DecoderConfig, rope_tables, _apply_rope
+from . import core as C
+
+STAGES = ("qkv", "o", "gu", "down", "next")
+
+
+def _strip_act_quant(specs: Dict[str, SiteSpec]) -> Dict[str, SiteSpec]:
+    """Keep transforms (online Hadamard, split) but disable activation quant —
+    GPTQ sees fp activations through progressively-quantized weights."""
+    out = {}
+    for k, v in (specs or {}).items():
+        out[k] = dataclasses.replace(v, a_bits=None, a_static=False)
+    return out
+
+
+def make_stage_fn(cfg: DecoderConfig, specs: Dict[str, SiteSpec], stage: str):
+    specs = _strip_act_quant(specs)
+
+    def site(nm):
+        return specs.get("llm." + nm)
+
+    @jax.jit
+    def f(lp, h, cos, sin, mask):
+        B, T, _ = h.shape
+        hd, H, KV = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+        x1 = L.rms_norm(h, lp["ln1"]["w"], cfg.norm_eps)
+        if stage == "qkv":
+            return x1
+        q = qlinear(x1, lp["q"], "llm.q", site("q"), None, "fake", None)
+        k = qlinear(x1, lp["k"], "llm.k", site("k"), None, "fake", None)
+        v = qlinear(x1, lp["v"], "llm.v", site("v"), None, "fake", None)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, KV, hd)
+        v = v.reshape(B, T, KV, hd)
+        q, k = _apply_rope(cfg, q, k, cos, sin)
+        attn = L.attention(q, k, v, mask).reshape(B, T, H * hd)
+        if stage == "o":
+            return attn
+        h2 = h + qlinear(attn, lp["o"], "llm.o", site("o"), None, "fake", None)
+        x2 = L.rms_norm(h2, lp["ln2"]["w"], cfg.norm_eps)
+        if stage == "gu":
+            return x2
+        g = qlinear(x2, lp["gate"], "llm.gate", site("gate"), None, "fake", None)
+        u = qlinear(x2, lp["up"], "llm.up", site("up"), None, "fake", None)
+        a = L.swiglu(g, u)
+        dspec = site("down")
+        if dspec is not None and dspec.online_had is not None:
+            from ..kernels.fwht import online_hadamard
+
+            a = online_hadamard(a)
+        if stage == "down":
+            return a
+        # full down (split-aware) via qlinear with the hadamard already applied
+        nohad = dataclasses.replace(dspec, online_had=None) if dspec else None
+        d = qlinear(a, lp["down"], "llm.down", nohad, None, "fake", None)
+        return h2 + d
+
+    return f
+
+
+@dataclasses.dataclass
+class GPTQConfig:
+    """Knob parity with the reference CLI (--percdamp --act_order --w_groupsize
+    --w_clip, ref: exam/quant_qwenvl.py argparse)."""
+
+    percdamp: float = 0.01
+    act_order: bool = False
+    group_size: Optional[int] = None
+    mse_clip: bool = False
+    use_rtn: bool = False  # --llm_w_rtn fallback path
+
+
+def gptq_quantize_decoder(
+    cfg: DecoderConfig,
+    params: Dict,
+    hidden_batches: List[jax.Array],  # decoder-input embeds per batch (B,T,hid)
+    specs: Dict[str, SiteSpec],
+    positions: Optional[List[jax.Array]] = None,
+    gcfg: GPTQConfig = GPTQConfig(),
+    progress: Optional[callable] = None,
+) -> tuple[Dict, Dict]:
+    """Quantize every spec'd decoder weight with GPTQ. Returns (params, report)."""
+    nL = cfg.n_layers
+    stage_fns = {s: make_stage_fn(cfg, specs, s) for s in STAGES}
+    hess = jax.jit(C.accumulate_hessian)
+
+    # per-batch rope tables + causal masks (constant across layers)
+    pre = []
+    for i, h in enumerate(hidden_batches):
+        B, T, _ = h.shape
+        pos = (positions[i] if positions is not None
+               else jnp.broadcast_to(jnp.arange(T)[None], (B, T)))
+        cos, sin = rope_tables(cfg, pos, jnp.float32)
+        pre.append((cos, sin, L.causal_mask(T, T)))
+
+    def quantize_site(lp, name, H):
+        spec = specs.get("llm." + name)
+        if spec is None or spec.w_bits is None:
+            return lp, None
+        site_p = dict(lp[name])
+        w = site_p["w"].astype(jnp.float32)
+        if gcfg.use_rtn:
+            from ..core import quant as Q
+
+            site_p["w"] = Q.rtn_fake_quant_weight(
+                w, spec.w_bits, mse_clip=gcfg.mse_clip).astype(lp[name]["w"].dtype)
+            lp = dict(lp)
+            lp[name] = site_p
+            return lp, False
+        res = C.gptq_quantize_matrix(
+            w, H, bits=spec.w_bits, percdamp=gcfg.percdamp,
+            act_order=gcfg.act_order, group_size=gcfg.group_size,
+            mse_clip=gcfg.mse_clip)
+        site_p["w"] = res.w.astype(lp[name]["w"].dtype)
+        lp = dict(lp)
+        lp[name] = site_p
+        return lp, bool(res.used_fallback)
+
+    report = {"fallbacks": [], "sites": 0}
+    hb = hidden_batches
+    new_layers = []
+    for l in range(nL):
+        lp = jax.tree.map(lambda x: x[l], params["layers"])
+
+        # group 1: q, k, v share the post-ln1 input
+        Hq = None
+        for h, (cos, sin, mask) in zip(hb, pre):
+            x1 = stage_fns["qkv"](lp, h, cos, sin, mask)
+            Hq = hess(Hq, x1) if Hq is not None else C.accumulate_hessian(None, x1)
+        for s in ("q", "k", "v"):
+            lp, fb = quantize_site(lp, s, Hq)
+            _track(report, f"L{l}.{s}", fb)
+
+        # group 2: o
+        Ho = None
+        for h, (cos, sin, mask) in zip(hb, pre):
+            attn = stage_fns["o"](lp, h, cos, sin, mask)
+            Ho = hess(Ho, attn) if Ho is not None else C.accumulate_hessian(None, attn)
+        lp, fb = quantize_site(lp, "o", Ho)
+        _track(report, f"L{l}.o", fb)
+
+        # group 3: gate, up share the post-ln2 input
+        Hg = None
+        for h, (cos, sin, mask) in zip(hb, pre):
+            x2 = stage_fns["gu"](lp, h, cos, sin, mask)
+            Hg = hess(Hg, x2) if Hg is not None else C.accumulate_hessian(None, x2)
+        for s in ("gate", "up"):
+            lp, fb = quantize_site(lp, s, Hg)
+            _track(report, f"L{l}.{s}", fb)
+
+        # group 4: down — on the post-hadamard input; RMS split keeps col0 fp
+        # and quantizes only the remaining rows (ref: gptq drivers target
+        # down_proj.L2, e.g. qwenvl_gptq_plus.py:542-545)
+        dspec = specs.get("llm.down")
+        split = dspec is not None and dspec.split and "w_col0" in lp["down"]
+        Hd = None
+        for h, (cos, sin, mask) in zip(hb, pre):
+            a = stage_fns["down"](lp, h, cos, sin, mask)
+            if split:
+                a = a[..., 1:]
+            Hd = hess(Hd, a) if Hd is not None else C.accumulate_hessian(None, a)
+        lp, fb = quantize_site(lp, "down", Hd)
+        _track(report, f"L{l}.down", fb)
+
+        # produce next layer's inputs with the fully quantized layer
+        if l < nL - 1:
+            hb = [stage_fns["next"](lp, h, cos, sin, mask)
+                  for h, (cos, sin, mask) in zip(hb, pre)]
+        new_layers.append(lp)
+        if progress:
+            progress(l, nL)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
+    out = dict(params)
+    out["layers"] = stacked
+    return out, report
+
+
+def _track(report, name, fb):
+    if fb is None:
+        return
+    report["sites"] += 1
+    if fb:
+        report["fallbacks"].append(name)

@@ -316,27 +316,3 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None) -> Dict
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
-
-
-# ---------------------------------------------------------------------------
-# calibration-stats merging across batches
-# ---------------------------------------------------------------------------
-
-
-def merge_stats(
-    specs: Dict[str, SiteSpec],
-    running: Optional[Dict[str, O.ObserverStats]],
-    batch: Dict[str, O.ObserverStats],
-) -> Dict[str, O.ObserverStats]:
-    """Merge per-batch (possibly layer-stacked) stats into running stats."""
-    if running is None:
-        return batch
-    out = {}
-    for name, b in batch.items():
-        a = running.get(name)
-        if a is None:
-            out[name] = b
-            continue
-        spec = specs[name.removesuffix(".out")].observer_spec()
-        out[name] = O.merge(spec, a, b)
-    return out

@@ -1,0 +1,100 @@
+"""GPTQ decoder-driver tests (tiny model, CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.gptq.driver import GPTQConfig, gptq_quantize_decoder
+from mquant_tpu.models.layers import SiteSpec
+from mquant_tpu.models.llm import (
+    LLM_SITES,
+    DecoderConfig,
+    decoder_forward,
+    init_decoder_params,
+)
+from mquant_tpu.transform import recipes as RZ
+
+CFG = DecoderConfig(vocab=97, hidden=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                    intermediate=96, dtype=jnp.float32)
+
+
+def specs_for(w_bits=4, split=False, online_had=False):
+    s = {f"llm.{n}": SiteSpec(w_bits=w_bits, a_bits=8, a_static=True)
+         for n in LLM_SITES}
+    if online_had or split:
+        s["llm.down"] = dataclasses.replace(
+            s["llm.down"], online_had="full" if online_had else None, split=split)
+    return s
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_decoder_params(CFG, jax.random.key(0))
+    fused = RZ.fuse_decoder(CFG, params)
+    toks = jax.random.randint(jax.random.key(1), (4, 16), 0, CFG.vocab)
+    embeds = fused["embed"]["w"][toks]
+    batches = [embeds[:2], embeds[2:]]
+    return fused, toks, batches
+
+
+def fwd_noact(params, toks, specs):
+    """Forward with weight quantization baked in but activation quant off."""
+    s = {k: dataclasses.replace(v, a_bits=None) for k, v in specs.items()}
+    logits, _, _ = decoder_forward(CFG, params, toks, specs=s, mode="fake")
+    return logits
+
+
+class TestGptqDriver:
+    def test_runs_and_beats_rtn(self, setup):
+        fused, toks, batches = setup
+        specs = specs_for(w_bits=3)
+        ref = fwd_noact(fused, toks, specs)
+
+        qg, report = gptq_quantize_decoder(CFG, fused, batches, specs)
+        assert report["sites"] == 2 * 7
+        out_g = fwd_noact(qg, toks, specs)
+        assert bool(jnp.all(jnp.isfinite(out_g)))
+
+        qr = RZ.rtn_quantize_decoder(CFG, fused, specs)
+        out_r = fwd_noact(qr, toks, specs)
+
+        e_g = float(jnp.linalg.norm(out_g - ref))
+        e_r = float(jnp.linalg.norm(out_r - ref))
+        assert e_g < e_r, (e_g, e_r)
+
+    def test_structure_preserved(self, setup):
+        fused, toks, batches = setup
+        specs = specs_for()
+        qg, _ = gptq_quantize_decoder(CFG, fused, batches, specs)
+        assert jax.tree.structure(qg) == jax.tree.structure(fused)
+        for s in LLM_SITES:
+            assert qg["layers"][s]["w"].shape == fused["layers"][s]["w"].shape
+            assert qg["layers"][s]["w"].dtype == fused["layers"][s]["w"].dtype
+
+    def test_split_preserves_col0(self, setup):
+        fused, toks, batches = setup
+        rotated, _ = RZ.rotate_decoder(CFG, fused, jax.random.key(3),
+                                       online_had_down=True)
+        split = RZ.split_decoder_down(rotated)
+        specs = specs_for(split=True, online_had=True)
+        emb = split["embed"]["w"]
+        bat = [emb[jax.random.randint(jax.random.key(4), (2, 16), 0, CFG.vocab)]]
+        qg, _ = gptq_quantize_decoder(CFG, split, bat, specs)
+        # fp first column untouched
+        np.testing.assert_array_equal(
+            np.asarray(qg["layers"]["down"]["w_col0"]),
+            np.asarray(split["layers"]["down"]["w_col0"]))
+        # quantized part has the split shape
+        assert qg["layers"]["down"]["w"].shape[-2] == CFG.intermediate - 1
+
+    def test_rtn_mode(self, setup):
+        fused, toks, batches = setup
+        specs = specs_for()
+        q, report = gptq_quantize_decoder(CFG, fused, batches, specs,
+                                          gcfg=GPTQConfig(use_rtn=True))
+        qr = RZ.rtn_quantize_decoder(CFG, fused, specs)
+        np.testing.assert_allclose(np.asarray(q["layers"]["q"]["w"]),
+                                   np.asarray(qr["layers"]["q"]["w"]), atol=1e-6)
