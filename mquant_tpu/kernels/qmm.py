@@ -3,25 +3,25 @@
 The reference only fake-quantizes (quant→dequant in fp; real int GEMMs never
 execute — ref: SURVEY §3.4; the int4 pack/unpack primitives at
 fake_quant/quant_utils.py:61-94 are unused by its pipelines). This module is
-where the TPU rebuild goes beyond the reference: actual INT8×INT8 MXU GEMMs with
-int32 accumulation and a fused dequant epilogue.
+where the TPU rebuild goes beyond the reference: actual INT8×INT8 MXU GEMMs
+(native s8 MXU path, ~2× bf16 throughput on v5e) with int32 accumulation and a
+fused dequant epilogue.
 
 Weight storage in the params pytree (produced by ``quantize_weights_real``):
-  * ``w_q``      int8 (in, out) — W8, or int4 values packed 2-per-byte along the
-                 *input* axis for W4 (shape (in/2, out)) with ``w_packed=True``
+  * ``w_q``      int8 (in, out) for W8; for W4, **split-half packed**
+                 (in/2, out): byte row r holds nibble rows r (low) and
+                 r + in/2 (high). Split-half (not adjacent-pair) packing makes
+                 the in-kernel unpack relayout-free: the two nibble planes are
+                 contiguous row blocks, so the kernel runs two MXU dots
+                 (x_lo·lo + x_hi·hi) with no interleave/stack.
   * ``w_scale``  f32 (out,) per-output-channel symmetric scale
-  * ``b``        fp bias (added by the caller)
-
-Activation quantization (int8 symmetric) happens here so the whole
-quantize→GEMM→dequant chain stays one fused XLA/Pallas computation:
-  * static scale from calibrated QuantParams (per-tensor scalar), or
-  * dynamic per-token scales.
 
 Two implementations:
-  * XLA path — ``lax.dot_general`` on int8 inputs hits the MXU natively and XLA
-    fuses the quantize/dequant elementwise ops around it. Default.
-  * Pallas path — unpacks int4 in VMEM (halving weight HBM traffic, the whole
-    point of W4) and fuses the epilogue; used on TPU for packed weights.
+  * XLA path — ``lax.dot_general`` on int8 hits the MXU natively; used for W8
+    (and as W4 fallback, where XLA must materialize the unpacked weights).
+  * Pallas path (W4) — unpacks nibbles in VMEM, halving weight HBM traffic
+    (the whole point of W4 at decode time), fusing the per-token × per-channel
+    dequant epilogue.
 """
 
 from __future__ import annotations
@@ -54,23 +54,9 @@ def _act_int8(x: jax.Array, spec, site_state) -> tuple[jax.Array, jax.Array]:
     return Q.quantize(x, qp, INT8), qp.scale
 
 
-def unpack_int4_weights(p: Dict[str, Any]) -> jax.Array:
-    """int4-packed (in/2, out) → int8 (in, out). Packing is along the INPUT axis
-    (row i holds rows 2i, 2i+1) so unpacking interleaves rows."""
-    packed = p["w_q"]
-    pin, out = packed.shape
-    u = packed.astype(jnp.uint8)
-    lo = (u & 0x0F).astype(jnp.int8)
-    hi = ((u >> 4) & 0x0F).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    w = jnp.stack([lo, hi], axis=1).reshape(pin * 2, out)
-    return w
-
-
 def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True) -> Dict[str, Any]:
-    """Offline: fp weight (in, out) → real-int storage dict (per-out-channel sym
-    scales). For W4, values are packed two-per-byte along the input axis."""
+    """Offline: fp weight (in, out) → real-int storage (per-out-channel sym
+    scales). W4 values are split-half packed (see module docstring)."""
     wf = w.astype(jnp.float32)
     fmt = Q.get_format(bits, signed=True)
     amax = jnp.max(jnp.abs(wf), axis=0)  # per-out-channel
@@ -78,15 +64,31 @@ def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True) -> Dict[st
     q = jnp.clip(jnp.round(wf / scale[None, :]), fmt.qmin, fmt.qmax).astype(jnp.int8)
     out: Dict[str, Any] = {"w_scale": scale}
     if bits == 4 and pack:
-        assert q.shape[0] % 2 == 0
-        pin = q.shape[0] // 2
-        pairs = q.reshape(pin, 2, q.shape[1])
-        lo = pairs[:, 0].astype(jnp.uint8) & 0x0F
-        hi = pairs[:, 1].astype(jnp.uint8) & 0x0F
+        n = q.shape[0]
+        assert n % 2 == 0
+        lo = q[: n // 2].astype(jnp.uint8) & 0x0F
+        hi = q[n // 2 :].astype(jnp.uint8) & 0x0F
         out["w_q"] = (lo | (hi << 4)).astype(jnp.int8)
     else:
         out["w_q"] = q
-    return out  # caller records packing via the static "w_packed" entry
+    return out
+
+
+def _decode_nibbles_i32(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8 packed bytes → (lo, hi) sign-extended int32 planes (Mosaic-safe:
+    no uint shifts, mask/divide only)."""
+    u = u_i8.astype(jnp.int32) & 0xFF
+    lo = u & 0x0F
+    hi = (u // 16) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return lo, hi
+
+
+def unpack_int4_weights(p: Dict[str, Any]) -> jax.Array:
+    """Split-half packed (in/2, out) → int8 (in, out)."""
+    lo, hi = _decode_nibbles_i32(p["w_q"])
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def quantized_matmul(
@@ -99,7 +101,7 @@ def quantized_matmul(
     """y = dequant(int8(x) @ int_w) with fused scales. Bias NOT added here."""
     out_dtype = out_dtype or x.dtype
     xq, x_scale = _act_int8(x, spec, site_state)
-    # packedness is inferred from static shapes: packed int4 stores in/2 rows
+    # packedness inferred from static shapes: packed int4 stores in/2 rows
     packed = p["w_q"].shape[-2] * 2 == x.shape[-1]
     if packed and _pallas_enabled() and jax.default_backend() in ("tpu", "axon"):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
@@ -114,37 +116,35 @@ def quantized_matmul(
 
 
 # ---------------------------------------------------------------------------
-# Pallas W4A8 kernel: unpack int4 in VMEM + int8 MXU GEMM + fused epilogue
+# Pallas W4A8 kernel: split-half nibble decode in VMEM + two int8 MXU dots
 # ---------------------------------------------------------------------------
 
 
-def _qmm_w4_kernel(x_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref, *, n_k: int):
-    """Grid (M/TM, N/TN, K/TK). x: int8 (TM, TK); wq packed int8 (TK/2, TN).
+def _pick_tile(dim: int, maxt: int) -> Optional[int]:
+    """Largest lane-aligned (multiple of 128) divisor of dim, at most maxt."""
+    for t in range(min(maxt, dim) // 128 * 128, 0, -128):
+        if dim % t == 0:
+            return t
+    return None
 
-    Unpacks the weight tile in VMEM (two int4 rows per byte row), runs the int8
-    MXU GEMM with int32 accumulation in scratch, applies the per-token ×
-    per-channel scale epilogue on the last K step.
-    """
+
+def _qmm_w4_kernel(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref,
+                   *, n_k: int):
+    """Grid (M/TM, N/TN, K2/TK) where K2 = in/2. Per step:
+    x_lo (TM, TK) from rows [k·TK, ...), x_hi (TM, TK) from rows in/2 + k·TK;
+    wq (TK, TN) packed bytes → lo/hi int8 planes; acc += x_lo·lo + x_hi·hi."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # nibble unpack with int32 mask/div ops (Mosaic has no uint8 shrui)
-    u = wq_ref[:].astype(jnp.int32) & 0xFF  # (TK/2, TN) in 0..255
-    lo = u & 0x0F
-    hi = (u // 16) & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    w = jnp.stack([lo, hi], axis=1).reshape(u.shape[0] * 2, u.shape[1])
-    w = w.astype(jnp.int8)
-
+    lo, hi = _decode_nibbles_i32(wq_ref[:])
+    dn = (((1,), (0,)), ((), ()))
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+        xlo_ref[:], lo.astype(jnp.int8), dn, preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi_ref[:], hi.astype(jnp.int8), dn, preferred_element_type=jnp.int32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -154,45 +154,57 @@ def _qmm_w4_kernel(x_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref, *, n_k: int):
 
 
 def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dtype,
-                   tm: int = 256, tn: int = 256, tk: int = 512,
+                   tm: int = 256, tn: int = 512, tk: int = 512,
                    interpret: bool = False) -> jax.Array:
     lead = xq.shape[:-1]
     Kin = xq.shape[-1]
+    K2 = Kin // 2
     x2 = xq.reshape(-1, Kin)
     M = x2.shape[0]
     N = p["w_q"].shape[1]
-    # per-token scale column vector (M, 1)
-    xs = jnp.broadcast_to(jnp.asarray(x_scale, jnp.float32), (*lead, 1) if lead else (1,))
-    xs = xs.reshape(-1, 1)
+    xs = jnp.broadcast_to(jnp.asarray(x_scale, jnp.float32),
+                          (*lead, 1) if lead else (1,)).reshape(-1, 1)
     if xs.shape[0] != M:
         xs = jnp.broadcast_to(xs, (M, 1))
     ws = p["w_scale"].reshape(1, N).astype(jnp.float32)
 
     tm = min(tm, max(8, M))
-    tn = min(tn, N)
-    tk = min(tk, Kin)
+    tn = _pick_tile(N, tn)
+    tk = _pick_tile(K2, tk)
+    if tn is None or tk is None:  # dims not 128-tileable → XLA fallback
+        w = unpack_int4_weights(p)
+        acc = jax.lax.dot_general(
+            x2, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * xs * ws).astype(out_dtype).reshape(*lead, N)
     padm = (-M) % tm
     if padm:
         x2 = jnp.pad(x2, ((0, padm), (0, 0)))
         xs = jnp.pad(xs, ((0, padm), (0, 0)))
     Mp = x2.shape[0]
-    assert Kin % tk == 0 and N % tn == 0, (Kin, tk, N, tn)
-    n_k = Kin // tk
+    n_k = K2 // tk
 
+    flops = 2 * Mp * Kin * N
     out = pl.pallas_call(
         functools.partial(_qmm_w4_kernel, n_k=n_k),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         grid=(Mp // tm, N // tn, n_k),
         in_specs=[
+            # low-half rows of x
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            # high-half rows of x (offset K2, expressed in block units)
+            pl.BlockSpec((tm, tk), lambda i, j, k, _nk=n_k: (i, k + _nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=Mp * Kin + K2 * N + Mp * N * 2,
+            transcendentals=0),
         interpret=interpret,
-    )(x2, p["w_q"], xs, ws)
+    )(x2, x2, p["w_q"], xs, ws)
     if padm:
         out = out[:M]
     return out.reshape(*lead, N)

@@ -230,6 +230,8 @@ def decoder_forward(
     collect_stats: bool = False,
     collect_samples: bool = False,
     token_mask: Optional[jax.Array] = None,  # (B, T) valid-token mask for calib
+    last_index: Optional[jax.Array] = None,  # serving prefill: compute logits
+    # only at this position (skips the B·T·hidden·vocab GEMM for all others)
 ):
     """Full decoder forward. Returns (logits, new_cache, stats | None).
 
@@ -294,6 +296,8 @@ def decoder_forward(
     )
     h, ys = jax.lax.scan(body, h, xs)
 
+    if last_index is not None:
+        h = jax.lax.dynamic_slice_in_dim(h, jnp.asarray(last_index, jnp.int32), 1, 1)
     h = L.rms_norm(h, params["ln_f"]["w"], cfg.norm_eps)
     if cfg.tie_embeddings:
         logits = h @ params["embed"]["w"].T.astype(h.dtype)

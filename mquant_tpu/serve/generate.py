@@ -62,7 +62,8 @@ class Generator:
                 mask = mask[None, None]
                 logits, cache2, _ = decoder_forward(
                     cfg, params, tokens_or_embeds, specs=specs, state=state,
-                    mode=mode, cache=cache, positions=positions, attn_mask=mask)
+                    mode=mode, cache=cache, positions=positions, attn_mask=mask,
+                    last_index=length - 1)  # TTFT: logits only for the last token
                 # cache position advances by the TRUE length, not the padded T
                 cache2 = dict(cache2)
                 cache2["pos"] = cache["pos"] + length
@@ -111,7 +112,7 @@ class Generator:
         logits, cache = self._prefill_fn(Tb)(
             self.params, tokens_or_embeds, cache, positions,
             jnp.asarray(length, jnp.int32))
-        return logits[:, length - 1], cache
+        return logits[:, 0], cache
 
     def generate(self, tokens: jax.Array, max_new_tokens: int = 32,
                  eos_id: Optional[int] = None, positions=None):
@@ -129,35 +130,49 @@ class Generator:
         return jnp.concatenate(out, axis=1)
 
 
+def _force(x) -> float:
+    """Force completion by fetching one scalar. On remote-tunnel backends
+    ``block_until_ready`` does not actually wait for execution, and repeated
+    identical (fn, args) calls are memoized — timing code must fetch a value
+    and vary its inputs."""
+    import numpy as np
+
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
 def measure_ttft(gen: Generator, tokens: jax.Array, iters: int = 5) -> float:
-    """Median wall-clock prefill latency in seconds (after warmup compile)."""
+    """Median wall-clock prefill latency in seconds (after warmup compile).
+    Each iteration uses distinct tokens to defeat any dispatch memoization."""
     import time
 
     logits, cache = gen.prefill(tokens)
-    jax.block_until_ready(logits)
+    _force(logits)
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        toks_i = (tokens + i + 1) % 100 + 1
         t0 = time.perf_counter()
-        logits, cache = gen.prefill(tokens)
-        jax.block_until_ready(logits)
+        logits, _ = gen.prefill(toks_i)
+        _force(logits)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
 
 
 def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64) -> float:
-    """Decode throughput (tokens/s) after prefill, excluding compile."""
+    """Decode throughput (tokens/s) after prefill, excluding compile. The loop
+    is data-dependent (each step consumes the previous argmax), so only the
+    final fetch needs forcing."""
     import time
 
     last_logits, cache = gen.prefill(tokens)
     step = gen._decode()
     tok = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
-    logits, cache = step(gen.params, tok, cache)  # warmup compile
-    jax.block_until_ready(logits)
+    logits, cache2 = step(gen.params, tok, cache)  # warmup compile
+    _force(logits)
     t0 = time.perf_counter()
     for _ in range(n_tokens):
         logits, cache = step(gen.params, tok, cache)
         tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
-    jax.block_until_ready(logits)
+    _force(tok)
     dt = time.perf_counter() - t0
     return n_tokens * tokens.shape[0] / dt
