@@ -73,7 +73,7 @@ def mlp1_forward(cfg: Mlp1Config, params: Dict, x: jax.Array,
     tape = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
     if tape is not None:
         tape.mask = token_mask
-    if cfg.norm_kind == "ln":
+    if cfg.norm_kind == "ln" and params["ln"].get("b") is not None:
         x = L.layer_norm(x, params["ln"]["w"], params["ln"].get("b"), cfg.norm_eps)
     else:
         x = L.rms_norm(x, params["ln"]["w"], cfg.norm_eps)

@@ -122,7 +122,8 @@ def resampler_forward(
         return specs.get(f"{prefix}.{nm}")
 
     def nrm(x, np_):
-        if cfg.norm_kind == "ln":
+        # bias presence decides LN vs RMSN (fusion drops the bias)
+        if cfg.norm_kind == "ln" and np_.get("b") is not None:
             return L.layer_norm(x, np_["w"], np_.get("b"), cfg.norm_eps)
         return L.rms_norm(x, np_["w"], cfg.norm_eps)
 

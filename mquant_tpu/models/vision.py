@@ -105,7 +105,11 @@ def init_vit_params(cfg: ViTConfig, key: jax.Array, dtype=None) -> Dict:
 
 
 def _norm(cfg: ViTConfig, x, nparams):
-    if cfg.norm_kind == "ln":
+    # LN vs RMSN is decided per-norm by bias presence: the fusion recipe folds
+    # the affine into consumers and DROPS the bias, leaving a unit RMSNorm
+    # (exact once the residual stream is mean-centered — the reference's
+    # bake_mean + RMSN replacement, ref: fake_quant/rotation_utils.py:76-105).
+    if cfg.norm_kind == "ln" and nparams.get("b") is not None:
         return L.layer_norm(x, nparams["w"], nparams.get("b"), cfg.norm_eps)
     return L.rms_norm(x, nparams["w"], cfg.norm_eps)
 
@@ -321,7 +325,7 @@ def merger_forward(cfg: MergerConfig, params, x: jax.Array,
     tape = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
     g = cfg.merge * cfg.merge
     B, T, D = x.shape
-    if cfg.norm_kind == "ln":
+    if cfg.norm_kind == "ln" and params["ln_q"].get("b") is not None:
         x = L.layer_norm(x, params["ln_q"]["w"], params["ln_q"].get("b"), cfg.norm_eps)
     else:
         x = L.rms_norm(x, params["ln_q"]["w"], cfg.norm_eps)

@@ -50,8 +50,8 @@ def fold_norm_into_linears(
         new = dict(lin)
         new["w"] = w * g[..., :, None]  # scale input rows by γ
         if norm_b is not None:
-            beta = _f64(norm_b)
-            contrib = np.einsum("i,...io->...o", beta, w)
+            beta = _f64(norm_b)  # (i,) or layer-stacked (L, i)
+            contrib = np.einsum("...i,...io->...o", beta, w)
             b = _f64(lin["b"]) if lin.get("b") is not None else 0.0
             new["b"] = b + contrib
         out.append(new)

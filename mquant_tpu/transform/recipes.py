@@ -30,12 +30,28 @@ def _to_np64(tree):
 
 
 def _cast_like(new, old):
-    """Cast transformed fp64 arrays back to each original leaf's dtype."""
+    """Cast transformed fp64 arrays back to the original leaves' dtypes.
 
-    def cast(n, o):
-        return jnp.asarray(n, o.dtype) if o is not None else None
+    Structure-tolerant: transforms may DROP keys (e.g. a fused norm loses its
+    bias) or add them; missing counterparts fall back to the first dtype found
+    in the original subtree."""
+    def first_dtype(t):
+        for leaf in jax.tree.leaves(t):
+            return leaf.dtype
+        return jnp.float32
 
-    return jax.tree.map(cast, new, old)
+    default = first_dtype(old)
+
+    def walk(n, o):
+        if n is None:
+            return None
+        if isinstance(n, dict):
+            o = o if isinstance(o, dict) else {}
+            return {k: walk(v, o.get(k)) for k, v in n.items()}
+        dt = getattr(o, "dtype", None) or default
+        return jnp.asarray(n, dt)
+
+    return walk(new, old)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,113 @@
+"""End-to-end fuse+rotate invariance for every VLM family — the strongest
+correctness property in the suite: the full offline transform pipeline must
+leave fp logits unchanged."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.models.layers import SiteSpec
+from mquant_tpu.models.registry import get_family
+from mquant_tpu.models.vision import patchify_2d, patchify_qwen2vl
+from mquant_tpu.transform import vlm_recipes as VR
+
+FAMILIES = ["qwen2vl", "qwenvl", "internvl", "minicpmv", "glm4v"]
+
+
+def build(fam):
+    cfg = fam.tiny_fn()
+    params = fam.init_fn(cfg, jax.random.key(0))
+    # non-trivial norm affines so fusion is actually exercised
+    def spice(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if k.startswith("ln") or k == "norm1":
+                    nv = dict(v)
+                    kk = jax.random.key(hash((path, k)) % 2**31)
+                    nv["w"] = v["w"] + 0.2 * jax.random.normal(kk, v["w"].shape)
+                    if v.get("b") is not None:
+                        nv["b"] = v["b"] + 0.1 * jax.random.normal(
+                            jax.random.fold_in(kk, 1), v["b"].shape)
+                    out[k] = nv
+                else:
+                    out[k] = spice(v, path + (k,))
+            else:
+                out[k] = v
+        return out
+
+    params = spice(params)
+    B, img = 1, 16
+    images = jax.random.normal(jax.random.key(1), (B, img, img, 3), jnp.float32)
+    gh = gw = img // 4
+    extra = {}
+    if fam.name == "qwen2vl":
+        patches, grid = patchify_qwen2vl(images, patch=4)
+        n_img = patches.shape[1] // 4
+        extra = {"grid_hw": grid}
+    else:
+        patches, _ = patchify_2d(images, 4)
+        if fam.name == "qwenvl":
+            n_img = cfg.resampler.n_queries
+        elif fam.name == "minicpmv":
+            n_img = cfg.resampler.n_queries
+        elif fam.name == "internvl":
+            n_img = (gh // 2) * (gw // 2)
+            extra = {"grid": (gh, gw)}
+        else:  # glm4v
+            n_img = 2 + (gh // 2) * (gw // 2)
+            extra = {"grid": (gh, gw)}
+    toks = np.full((B, n_img + 6), 7, np.int64)
+    toks[:, 3:3 + n_img] = cfg.image_token_id
+    return cfg, params, jnp.asarray(toks), patches, extra
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_fuse_rotate_invariance(name):
+    fam = get_family(name)
+    cfg, params, toks, patches, extra = build(fam)
+    if name == "internvl":
+        # InternVL's mlp1 LayerNorm spans 4 concatenated stream vectors; the
+        # fusion drops their per-block mean differences — the SAME approximation
+        # the reference makes (ref: internvl_rotation.py:198-207 converts
+        # mlp1[0] LN→RMSN after per-block mean baking). The exactness oracle is
+        # therefore the FUSED model; rotation on top must be exact.
+        fused, _ = VR.prepare_vlm(name, cfg, params, jax.random.key(7), rotate=False)
+        ref, _, _ = fam.forward_fn(cfg, fused, toks, patches, **extra)
+    elif name == "qwen2vl":
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, extra["grid_hw"])
+    else:
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, **extra)
+
+    prepared, info = VR.prepare_vlm(name, cfg, params, jax.random.key(7),
+                                    online_had_down=True, split_down=True)
+    assert prepared["llm"]["layers"]["down"].get("w_col0") is not None
+    specs = {"llm.down": SiteSpec(online_had="full", split=True)}
+    if name == "qwen2vl":
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, extra["grid_hw"],
+                                   specs=specs, mode="fake")
+    else:
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, specs=specs,
+                                   mode="fake", **extra)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("name", ["qwen2vl", "minicpmv"])
+def test_fuse_only_invariance(name):
+    fam = get_family(name)
+    cfg, params, toks, patches, extra = build(fam)
+    if name == "qwen2vl":
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, extra["grid_hw"])
+    else:
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, **extra)
+    prepared, _ = VR.prepare_vlm(name, cfg, params, jax.random.key(3), rotate=False)
+    if name == "qwen2vl":
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, extra["grid_hw"])
+    else:
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, **extra)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
