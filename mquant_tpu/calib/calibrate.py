@@ -45,7 +45,7 @@ def merge_stats(
         if a is None:
             out[name] = b
             continue
-        spec = specs[name.removesuffix(".out")].observer_spec()
+        spec = specs[name.removesuffix("#out")].observer_spec()
         out[name] = O.merge(spec, a, b)
     return out
 
@@ -61,9 +61,9 @@ def finalize_state(
     percentile) or via vmap over layers (omse/ptf, which need samples)."""
     state: Dict[str, Dict[str, Q.QuantParams]] = {}
     for name, st in stats.items():
-        base = name.removesuffix(".out")
+        base = name.removesuffix("#out")
         spec = specs[base]
-        bits = spec.out_bits if name.endswith(".out") else spec.a_bits
+        bits = spec.out_bits if name.endswith("#out") else spec.a_bits
         if bits is None:
             continue
         fmt = get_format(bits, signed=spec.a_symmetric)
@@ -80,7 +80,7 @@ def finalize_state(
                 qp = jax.vmap(lambda s: O.finalize(ospec, s, fmt))(st)
         else:
             qp = O.finalize(ospec, st, fmt, sample)
-        key = "out" if name.endswith(".out") else "act"
+        key = "out" if name.endswith("#out") else "act"
         state.setdefault(base, {})[key] = qp
     return state
 

@@ -197,7 +197,7 @@ def qlinear(
         fmt = get_format(spec.out_bits, signed=spec.a_symmetric)
         y = Q.fake_quantize(y, site_state["out"], fmt)
     elif tape is not None and spec.out_bits is not None:
-        tape.record(name + ".out", y, spec)
+        tape.record(name + "#out", y, spec)
     return y
 
 

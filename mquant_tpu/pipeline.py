@@ -1,0 +1,349 @@
+"""End-to-end PTQ pipeline: load → fuse/rotate → weight-quant → calibrate → serve.
+
+The functional equivalent of the reference's per-model pipeline scripts
+(``exam/quant_{qwenvl,qwen2vl,internvl,minicpmv}.py`` main(), ref:
+exam/quant_qwenvl.py:74-262) with ONE structured config replacing the ~50-flag
+argparse duplicated per script (SURVEY §5 "config/flag system"). Flag-name
+parity is kept in :class:`QuantizeConfig` field names and the CLI wrappers in
+``exam/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.layers import SiteSpec
+from .models.llm import LLM_SITES
+from .models.registry import ModelFamily, get_family
+from .models.vision import VIT_SITES
+
+log = logging.getLogger("mquant_tpu.pipeline")
+
+# site lists per subsystem prefix (superset; sites absent from a family are
+# simply never referenced by its forward)
+SUBSYSTEM_SITES = {
+    "vis": VIT_SITES + ("patch_embed",),
+    "merger": ("mlp0", "mlp2"),
+    "res": ("kv_proj", "q", "k", "v", "out", "proj_fc"),
+    "proj": ("fc1", "fc2", "conv", "linear_proj", "gate", "h_to_4h", "4h_to_h"),
+    "llm": LLM_SITES,
+}
+
+
+@dataclasses.dataclass
+class QuantizeConfig:
+    """One structured config. Field ↔ reference-flag parity (exam/quant_*.py):
+
+    rotate/rotate_mode/rotate_visual ↔ --rotate --rotate_mode
+    --rotate_visual_clip/--rotate_visual_cross_attn/--rotate_llm;
+    online_llm_hadamard ↔ --online_llm_hadamard; llm_split ↔ --llm_split;
+    {visual,llm}_{w,a}_bits ↔ --{visual,llm}_{w,a}_bits; {visual,llm}_w_rtn;
+    w_clip ↔ --{visual,llm}_w_clip; {visual,llm}_static; act_observer ↔
+    observer str; calib_num; nsamples/percdamp/act_order/w_groupsize (GPTQ);
+    a_asym/w_asym; act_per_tensor; skip_names; fp32_had ↔ (online had always
+    runs in fp32 here); seed.
+    """
+
+    # rotation / equivalent transforms
+    rotate: bool = True
+    rotate_mode: str = "hadamard"  # hadamard | random
+    rotate_visual: bool = True
+    online_llm_hadamard: bool = True
+    llm_split: bool = True
+    # weight quantization
+    visual_w_bits: int = 8
+    llm_w_bits: int = 4
+    visual_w_rtn: bool = True  # visual GPTQ → RTN (reference --visual_w_rtn)
+    llm_w_rtn: bool = False
+    w_clip: bool = False  # MSE clip grid search
+    w_groupsize: Optional[int] = None
+    act_order: bool = False
+    percdamp: float = 0.01
+    nsamples: int = 128
+    # activation quantization
+    visual_a_bits: int = 8
+    llm_a_bits: int = 8
+    visual_static: bool = True
+    llm_static: bool = True
+    a_asym: bool = False
+    act_per_tensor: bool = True  # static granularity
+    act_observer: str = "minmax"
+    calib_num: int = 128
+    skip_names: Tuple[str, ...] = ()
+    # serving
+    realize_int: bool = False
+    seed: int = 0
+
+
+def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
+    """Specs for every quant site of the family (MSQ: per-subsystem settings).
+    Equivalent of the per-model ``*_add_act_qaunt`` wrap maps + quantizer
+    configure loops (ref: quant_utils.py:543-611, exam/quant_qwenvl.py:198-246).
+    """
+    specs: Dict[str, SiteSpec] = {}
+    for prefix in fam.subsystems:
+        visual = prefix != "llm"
+        w_bits = q.visual_w_bits if visual else q.llm_w_bits
+        a_bits = q.visual_a_bits if visual else q.llm_a_bits
+        static = q.visual_static if visual else q.llm_static
+        for s in SUBSYSTEM_SITES[prefix]:
+            name = f"{prefix}.{s}"
+            if any(sk in name for sk in q.skip_names):
+                continue
+            specs[name] = SiteSpec(
+                w_bits=w_bits or None, a_bits=a_bits or None, a_static=static,
+                a_symmetric=not q.a_asym,
+                a_per_channel=False if q.act_per_tensor else True,
+                observer=q.act_observer)
+    if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
+        specs["llm.down"] = dataclasses.replace(
+            specs["llm.down"], online_had="full", split=q.llm_split)
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# calibration data
+# ---------------------------------------------------------------------------
+
+
+def synthetic_calib_batches(fam: ModelFamily, cfg, n_batches: int, key: jax.Array,
+                            batch: int = 1, text_len: int = 32,
+                            image_size: int = 16, patch: Optional[int] = None):
+    """Random multimodal calibration batches (shape-correct) for environments
+    without datasets. Real runs use ``mquant_tpu.evaluation`` datasets."""
+    from .models.vision import patchify_2d, patchify_qwen2vl
+
+    patch = patch or cfg.patch
+    out = []
+    for i in range(n_batches):
+        k = jax.random.fold_in(key, i)
+        images = jax.random.normal(k, (batch, image_size, image_size, 3),
+                                   jnp.float32)
+        extra = {}
+        if fam.name == "qwen2vl":
+            patches, grid = patchify_qwen2vl(images, patch=patch)
+            n_img = patches.shape[1] // 4
+            extra["grid_hw"] = grid
+        else:
+            patches, _ = patchify_2d(images, patch)
+            gh = gw = image_size // patch
+            if fam.name in ("qwenvl", "minicpmv"):
+                n_img = cfg.resampler.n_queries
+            elif fam.name == "internvl":
+                n_img = (gh // 2) * (gw // 2)
+                extra["grid"] = (gh, gw)
+            else:
+                n_img = 2 + (gh // 2) * (gw // 2)
+                extra["grid"] = (gh, gw)
+        toks = np.full((batch, n_img + text_len), 11, np.int64)
+        toks[:, 2:2 + n_img] = cfg.image_token_id
+        rnd = jax.random.randint(jax.random.fold_in(k, 1), (batch, text_len - 2),
+                                 0, min(cfg.llm.vocab, 1000))
+        toks[:, n_img + 2:] = np.asarray(rnd)
+        out.append({"tokens": jnp.asarray(toks), "patches": patches, **extra})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def quantize_weights(fam: ModelFamily, cfg, params: Dict,
+                     specs: Dict[str, SiteSpec], q: QuantizeConfig,
+                     calib_batches: Optional[List[dict]] = None) -> Dict:
+    """Stage: weight quantization. LLM via GPTQ (or RTN); visual subsystems via
+    RTN (reference config --visual_w_rtn; visual GPTQ drivers are a planned
+    extension). Operates site-by-site through the path map."""
+    from .core import quant as Q
+
+    params = dict(params)
+
+    # visual / projector subsystems: RTN per site (path-resolved)
+    group_of = {"vis": "vit", "merger": "merger", "res": "res", "proj": "proj"}
+    for name, spec in specs.items():
+        prefix, site = name.split(".", 1)
+        if prefix == "llm" or spec.w_bits is None:
+            continue
+        group_key = group_of[prefix]
+        if group_key not in params:
+            continue
+        path = ((group_key, "blocks", site) if prefix == "vis" and site in VIT_SITES
+                else (group_key, site))
+        node = params
+        for k in path[:-1]:
+            node = node.get(k, {})
+        src = node.get(path[-1])
+        if not isinstance(src, dict) or src.get("w") is None:
+            continue
+        stacked = src["w"].ndim == 3
+        new_site = dict(src)
+        new_site["w"] = Q.rtn_fake_quant_weight(
+            src["w"], spec.w_bits, mse_clip=q.w_clip,
+            reduce_axes=(-2,) if stacked else None).astype(src["w"].dtype)
+        # immutably write back along the path
+        def set_in(tree, path, value):
+            if len(path) == 1:
+                out = dict(tree)
+                out[path[0]] = value
+                return out
+            out = dict(tree)
+            out[path[0]] = set_in(tree[path[0]], path[1:], value)
+            return out
+
+        params = set_in(params, list(path), new_site)
+
+    # LLM: GPTQ (needs decoder-input embeds) or RTN
+    llm_spec_bits = specs.get("llm.q", SiteSpec()).w_bits
+    if llm_spec_bits is not None:
+        if q.llm_w_rtn or calib_batches is None:
+            from .transform.recipes import rtn_quantize_decoder
+
+            params["llm"] = rtn_quantize_decoder(cfg.llm, params["llm"], specs,
+                                                 mse_clip=q.w_clip)
+        else:
+            from .gptq.driver import GPTQConfig, gptq_quantize_decoder
+
+            embeds = [embed_batch(fam, cfg, params, b) for b in calib_batches]
+            gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
+                              group_size=q.w_groupsize, mse_clip=q.w_clip)
+            params["llm"], report = gptq_quantize_decoder(
+                cfg.llm, params["llm"], embeds, specs, gcfg=gcfg)
+            if report["fallbacks"]:
+                log.warning(f"GPTQ RTN-fallbacks: {report['fallbacks']}")
+    return params
+
+
+def embed_batch(fam: ModelFamily, cfg, params: Dict, batch: dict) -> jax.Array:
+    """Decoder-input embeddings for one multimodal batch (embedding + vision +
+    splice) — the input capture the reference does with Catcher hooks
+    (ref: gptq/qwenvl_gptq_plus.py:76-98)."""
+    from .models.qwen2vl import splice_image_embeds
+
+    toks = batch["tokens"]
+    embeds = params["llm"]["embed"]["w"][toks].astype(cfg.llm.dtype)
+    patches = batch.get("patches")
+    if patches is None:
+        return embeds
+    extra = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    if fam.name == "qwen2vl":
+        from .models.vision import merger_forward, vit_forward
+
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches,
+                               grid_hw=extra.get("grid_hw"))
+        merged, _ = merger_forward(cfg.merger, params["merger"], feats)
+        img = merged
+    elif fam.name in ("qwenvl", "minicpmv"):
+        from .models.resampler import resampler_forward
+        from .models.vision import vit_forward
+
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches)
+        img, _ = resampler_forward(cfg.resampler, params["res"], feats)
+    elif fam.name == "internvl":
+        from .models.projectors import mlp1_forward, pixel_shuffle
+        from .models.vision import vit_forward
+
+        gh, gw = extra["grid"]
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches)
+        img, _ = mlp1_forward(cfg.mlp1, params["proj"],
+                              pixel_shuffle(feats, gh, gw))
+    else:  # glm4v
+        from .models.projectors import glu_projector_forward
+        from .models.vision import vit_forward
+
+        gh, gw = extra["grid"]
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches)
+        img, _ = glu_projector_forward(cfg.proj, params["proj"], feats, gh, gw)
+    return splice_image_embeds(embeds, toks, img, cfg.image_token_id)
+
+
+def calibrate_activations(fam: ModelFamily, cfg, params: Dict,
+                          specs: Dict[str, SiteSpec],
+                          calib_batches: List[dict]) -> Dict:
+    """Stage: static activation calibration over real multimodal forwards
+    (the MSQ pass — ref: quant_utils.py:1079-1129 calib_vqa_plus)."""
+    from .calib.calibrate import calibrate
+
+    def fwd(batch, collect_samples=False):
+        kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+        logits, _, st = fam.forward_fn(
+            cfg, params, batch["tokens"], batch.get("patches"),
+            specs=specs, mode="calib", collect_stats=True,
+            collect_samples=collect_samples, **kwargs)
+        return logits, st
+
+    return calibrate(fwd, [(b,) for b in calib_batches], specs)
+
+
+def run_pipeline(model: str, q: QuantizeConfig,
+                 model_dir: Optional[str] = None,
+                 params: Optional[Dict] = None,
+                 cfg=None,
+                 calib_batches: Optional[List[dict]] = None,
+                 artifact_dir: Optional[str] = None,
+                 tiny: bool = False):
+    """The full PTQ pipeline. Returns (cfg, params, state, specs, info)."""
+    fam = get_family(model)
+    cfg = cfg or (fam.tiny_fn() if tiny else fam.config_fn())
+    key = jax.random.key(q.seed)
+
+    if params is None:
+        if model_dir:
+            from .models.loader import load_model
+
+            params = load_model(fam.name, cfg, model_dir, dtype=cfg.llm.dtype)
+            log.info(f"loaded checkpoint from {model_dir}")
+        else:
+            params = fam.init_fn(cfg, key)
+            log.info("using random-initialized weights (no model_dir)")
+
+    specs = build_specs(fam, q)
+
+    info = {}
+    if q.rotate:
+        from .transform.vlm_recipes import prepare_vlm
+
+        params, info = prepare_vlm(
+            fam.name, cfg, params, jax.random.fold_in(key, 1),
+            rotate_visual=q.rotate_visual, mode=q.rotate_mode,
+            online_had_down=q.online_llm_hadamard, split_down=q.llm_split)
+        pad = getattr(info.get("llm"), "down_pad", 0)
+        if pad:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
+        log.info(f"fuse+rotate done: {info}")
+
+    if calib_batches is None:
+        calib_batches = synthetic_calib_batches(
+            fam, cfg, max(1, q.calib_num // 16), jax.random.fold_in(key, 2))
+
+    params = quantize_weights(fam, cfg, params, specs, q, calib_batches)
+    log.info("weight quantization done")
+
+    state = None
+    if q.visual_static or q.llm_static:
+        state = calibrate_activations(fam, cfg, params, specs, calib_batches)
+        log.info(f"activation calibration done ({len(state)} sites)")
+
+    if q.realize_int:
+        from .transform.recipes import realize_decoder_weights
+
+        params = dict(params)
+        params["llm"] = realize_decoder_weights(params["llm"], specs)
+        log.info("realized int weights for the LLM serving path")
+
+    if artifact_dir:
+        from .utils.checkpoint import save_artifact
+
+        save_artifact(artifact_dir, params, state, specs,
+                      meta={"model": model, "config": str(cfg),
+                            "quantize_config": dataclasses.asdict(q),
+                            "rotation": str(info)})
+        log.info(f"artifact saved to {artifact_dir}")
+    return cfg, params, state, specs, info

@@ -1,0 +1,110 @@
+"""Quantization artifact serialization.
+
+The reference has only stage-level pickles (whole-model ``torch.save`` behind
+--dump_gptq/--load_gptq, ref: exam/quant_qwenvl.py:181-196) and NEVER persists
+calibrated activation scales — calibration reruns every invocation
+(SURVEY §5 "checkpoint/resume"). Here the complete quantization artifact —
+transformed/quantized params, static activation scales, rotation metadata,
+specs — is one directory:
+
+    artifact/
+      params.msgpack      # weight pytree (possibly int-realized)
+      state.msgpack       # static activation QuantParams per site
+      meta.json           # specs, rotation info, model config, versions
+
+msgpack via flax.serialization (framework-neutral, no pickle), structure
+restored against a template pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_serializable(tree):
+    """None leaves → sentinel (msgpack can't hold None in flax state dicts)."""
+
+    def conv(x):
+        return np.asarray(x)
+
+    def walk(t):
+        if t is None:
+            return {"__none__": np.zeros((0,), np.int8)}
+        if isinstance(t, dict):
+            return {k: walk(v) for k, v in t.items()}
+        if isinstance(t, tuple) and hasattr(t, "_fields"):  # NamedTuple
+            return {"__namedtuple__": type(t).__name__,
+                    **{k: walk(v) for k, v in t._asdict().items()}}
+        return conv(t)
+
+    return walk(tree)
+
+
+def _from_serializable(t, dtype=None):
+    from ..core.quant import QuantParams
+
+    if isinstance(t, dict):
+        if "__none__" in t:
+            return None
+        if t.get("__namedtuple__") == "QuantParams":
+            return QuantParams(
+                scale=_from_serializable(t["scale"]),
+                zero_point=_from_serializable(t["zero_point"]))
+        return {k: _from_serializable(v, dtype) for k, v in t.items()
+                if k != "__namedtuple__"}
+    arr = jnp.asarray(t)
+    if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+        arr = arr.astype(dtype)
+    return arr
+
+
+def save_artifact(path: str, params: Dict, state: Optional[Dict] = None,
+                  specs: Optional[Dict] = None, meta: Optional[Dict] = None):
+    from flax import serialization
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(_to_serializable(params)))
+    if state is not None:
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(_to_serializable(state)))
+    m = dict(meta or {})
+    if specs is not None:
+        m["specs"] = {k: dataclasses.asdict(v) for k, v in specs.items()}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(m, f, indent=1, default=str)
+
+
+def load_artifact(path: str, dtype=None) -> Tuple[Dict, Optional[Dict], Dict, Dict]:
+    """Returns (params, state, specs, meta)."""
+    from flax import serialization
+
+    from ..models.layers import SiteSpec
+
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = _from_serializable(serialization.msgpack_restore(f.read()), dtype)
+    state = None
+    sp = os.path.join(path, "state.msgpack")
+    if os.path.exists(sp):
+        with open(sp, "rb") as f:
+            state = _from_serializable(serialization.msgpack_restore(f.read()))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    specs = {}
+    for k, v in meta.pop("specs", {}).items():
+        v = dict(v)
+        v["online_had"] = v.get("online_had") or None
+        for fk in ("w_bits", "a_bits", "out_bits"):
+            if v.get(fk) in ("None", None):
+                v[fk] = None
+            elif isinstance(v[fk], str):
+                v[fk] = int(v[fk])
+        specs[k] = SiteSpec(**v)
+    return params, state, specs, meta

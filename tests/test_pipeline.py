@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests: load → fuse/rotate → quantize → calibrate →
+static-quant inference → artifact round-trip. Tiny configs on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.models.registry import get_family
+from mquant_tpu.pipeline import (
+    QuantizeConfig,
+    build_specs,
+    run_pipeline,
+    synthetic_calib_batches,
+)
+
+
+def fwd(fam, cfg, params, batch, specs=None, state=None, mode="fp"):
+    kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    logits, _, _ = fam.forward_fn(cfg, params, batch["tokens"], batch["patches"],
+                                  specs=specs, state=state, mode=mode, **kwargs)
+    return logits
+
+
+class TestPipelineQwen2VL:
+    @pytest.fixture(scope="class")
+    def result(self, tmp_path_factory):
+        art = str(tmp_path_factory.mktemp("artifact"))
+        q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=32,
+                           llm_split=True, realize_int=False, nsamples=16)
+        cfg, params, state, specs, info = run_pipeline(
+            "qwen2vl", q, tiny=True, artifact_dir=art)
+        return cfg, params, state, specs, info, art, q
+
+    def test_runs_and_produces_state(self, result):
+        cfg, params, state, specs, info, art, q = result
+        assert state is not None and len(state) > 10
+        # MSQ: all three subsystems calibrated
+        prefixes = {k.split(".")[0] for k in state}
+        assert {"vis", "merger", "llm"} <= prefixes
+        # llm act scales are layer-stacked
+        assert state["llm.q"]["act"].scale.shape[0] == cfg.llm.n_layers
+
+    def test_static_quant_inference_close_to_fp(self, result):
+        cfg, params, state, specs, info, art, q = result
+        fam = get_family("qwen2vl")
+        batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(9))[0]
+        out = fwd(fam, cfg, params, batch, specs, state, mode="fake")
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_artifact_roundtrip(self, result):
+        cfg, params, state, specs, info, art, q = result
+        from mquant_tpu.utils.checkpoint import load_artifact
+
+        p2, s2, specs2, meta = load_artifact(art)
+        assert jax.tree.structure(p2) == jax.tree.structure(
+            jax.tree.map(lambda x: x, params))
+        assert specs2["llm.down"].online_had == "full"
+        assert specs2["llm.down"].split
+        fam = get_family("qwen2vl")
+        batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(9))[0]
+        a = fwd(fam, cfg, params, batch, specs, state, mode="fake")
+        b = fwd(fam, cfg, p2, batch, specs2, s2, mode="fake")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_gptq_beats_rtn_through_pipeline(self):
+        fam = get_family("qwen2vl")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        batches = synthetic_calib_batches(fam, cfg, 2, jax.random.key(5))
+        ref = fwd(fam, cfg, params, batches[0])
+
+        base = dict(rotate=False, llm_w_bits=3, visual_w_bits=0,
+                    llm_static=False, visual_static=False, calib_num=16)
+        _, p_gptq, _, specs, _ = run_pipeline(
+            "qwen2vl", QuantizeConfig(**base), params=params, cfg=cfg,
+            calib_batches=batches)
+        _, p_rtn, _, _, _ = run_pipeline(
+            "qwen2vl", QuantizeConfig(**base, llm_w_rtn=True), params=params,
+            cfg=cfg, calib_batches=batches)
+        nospec = {k: dataclasses.replace(v, a_bits=None) for k, v in specs.items()}
+        e_g = float(jnp.linalg.norm(fwd(fam, cfg, p_gptq, batches[0], nospec,
+                                        mode="fake") - ref))
+        e_r = float(jnp.linalg.norm(fwd(fam, cfg, p_rtn, batches[0], nospec,
+                                        mode="fake") - ref))
+        assert e_g < e_r, (e_g, e_r)
+
+
+@pytest.mark.parametrize("name", ["qwenvl", "internvl", "minicpmv", "glm4v"])
+def test_pipeline_all_families(name):
+    q = QuantizeConfig(calib_num=16, nsamples=8, llm_w_rtn=True)
+    cfg, params, state, specs, info = run_pipeline(name, q, tiny=True)
+    assert state is not None
+    fam = get_family(name)
+    batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(3))[0]
+    out = fwd(fam, cfg, params, batch, specs, state, mode="fake")
+    assert bool(jnp.all(jnp.isfinite(out)))
