@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Quantize + calibrate + evaluate a VLM — the CLI entry point.
+
+Flag parity with the reference pipeline scripts (``exam/quant_qwenvl.py``
+:265-588 and siblings); one script serves all five model families (the
+per-model wrappers quant_qwenvl.py / quant_qwen2vl.py / quant_internvl.py /
+quant_minicpmv.py / quant_glm4v.py preset ``--model``).
+
+Example (the reference's headline W4A8 config, docs/qwen2vl.md):
+  python exam/quant_vlm.py --model Qwen2-VL-7B --model_dir /ckpt/Qwen2-VL-7B \
+      --rotate --online_llm_hadamard --llm_split \
+      --llm_w_bits 4 --llm_a_bits 8 --visual_w_bits 8 --visual_a_bits 8 \
+      --llm_static --visual_static --act_order --nsamples 128 \
+      --calib_num 128 --dataset_name MME --artifact out/qwen2vl7b_w4a8
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parser_gen(model_default=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default=model_default, required=model_default is None,
+                   help="family/preset: Qwen-VL-Chat | Qwen2-VL-{2B,7B,72B} | "
+                        "InternVL2-8B | MiniCPM-V-2_6 | GLM-4V-9B")
+    p.add_argument("--model_dir", default=None, help="HF checkpoint dir "
+                   "(omitted → random weights, smoke/bench mode)")
+    p.add_argument("--tiny", action="store_true", help="tiny config (CI smoke)")
+    p.add_argument("--seed", type=int, default=0)
+    # rotation (ref: --rotate --rotate_mode --rotate_visual_clip ...)
+    p.add_argument("--rotate", action="store_true")
+    p.add_argument("--rotate_mode", default="hadamard", choices=["hadamard", "random"])
+    p.add_argument("--no_rotate_visual", action="store_true")
+    p.add_argument("--online_llm_hadamard", action="store_true")
+    p.add_argument("--llm_split", action="store_true")
+    p.add_argument("--fp32_had", action="store_true",
+                   help="accepted for flag parity; the online Hadamard always "
+                        "accumulates in fp32 on TPU")
+    # weights
+    p.add_argument("--visual_w_bits", type=int, default=8)
+    p.add_argument("--llm_w_bits", type=int, default=4)
+    p.add_argument("--visual_w_rtn", action="store_true", default=True)
+    p.add_argument("--llm_w_rtn", action="store_true")
+    p.add_argument("--visual_w_clip", "--llm_w_clip", dest="w_clip",
+                   action="store_true")
+    p.add_argument("--w_groupsize", type=int, default=None)
+    p.add_argument("--act_order", action="store_true")
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--nsamples", type=int, default=128)
+    # activations
+    p.add_argument("--visual_a_bits", type=int, default=8)
+    p.add_argument("--llm_a_bits", type=int, default=8)
+    p.add_argument("--visual_static", action="store_true", default=True)
+    p.add_argument("--llm_static", action="store_true", default=True)
+    p.add_argument("--a_asym", action="store_true")
+    p.add_argument("--act_per_tensor", action="store_true", default=True)
+    p.add_argument("--act_observer", default="minmax",
+                   choices=["minmax", "ema", "percentile", "omse", "ptf"])
+    p.add_argument("--calib_num", type=int, default=128)
+    p.add_argument("--skip_names", nargs="*", default=[])
+    # serving / output
+    p.add_argument("--realize_int", action="store_true",
+                   help="store real INT4/INT8 weights for the serving kernels")
+    p.add_argument("--artifact", default=None, help="artifact output dir")
+    p.add_argument("--dataset_name", default=None,
+                   help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
+                        "| DocVQA_VAL | SyntheticVQA | path to TSV)")
+    p.add_argument("--eval_limit", type=int, default=None)
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--log_file", default=None)
+    return p
+
+
+def main(args=None):
+    args = args or parser_gen().parse_args()
+    from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
+    from mquant_tpu.utils.misc import config_logging, seed_everything
+
+    log = config_logging(args.log_file)
+    seed_everything(args.seed)
+
+    q = QuantizeConfig(
+        rotate=args.rotate, rotate_mode=args.rotate_mode,
+        rotate_visual=not args.no_rotate_visual,
+        online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
+        visual_w_bits=args.visual_w_bits, llm_w_bits=args.llm_w_bits,
+        visual_w_rtn=args.visual_w_rtn, llm_w_rtn=args.llm_w_rtn,
+        w_clip=args.w_clip, w_groupsize=args.w_groupsize,
+        act_order=args.act_order, percdamp=args.percdamp,
+        nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
+        llm_a_bits=args.llm_a_bits, visual_static=args.visual_static,
+        llm_static=args.llm_static, a_asym=args.a_asym,
+        act_per_tensor=args.act_per_tensor, act_observer=args.act_observer,
+        calib_num=args.calib_num, skip_names=tuple(args.skip_names),
+        realize_int=args.realize_int, seed=args.seed)
+
+    cfg, params, state, specs, info = run_pipeline(
+        args.model, q, model_dir=args.model_dir, artifact_dir=args.artifact,
+        tiny=args.tiny)
+    log.info(f"pipeline done: {args.model} ({info})")
+
+    if args.dataset_name:
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.evaluation.eval import build_dataset, eval_dataset
+
+        tokenizer = None
+        if args.model_dir:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(
+                    args.model_dir, trust_remote_code=True)
+            except Exception as e:
+                log.warning(f"tokenizer load failed ({e}); using byte tokenizer")
+        runner = VLMRunner(args.model, cfg, params, specs=specs, state=state,
+                           mode="real" if args.realize_int else "fake",
+                           tokenizer=tokenizer)
+        ds = build_dataset(args.dataset_name)
+        eval_dataset(runner.generate, ds, out_dir=args.output_dir,
+                     model_name=args.model, limit=args.eval_limit)
+
+
+if __name__ == "__main__":
+    main()

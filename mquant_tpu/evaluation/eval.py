@@ -1,0 +1,183 @@
+"""Generic evaluation loop + dataset abstraction.
+
+Contract parity with the reference harness (ref: evaluation/eval.py:9-58
+``eval_dataset``: iterate rows → model.generate(message) → dump results file →
+dataset.evaluate → print metric table; dataset API per
+third/VLMEvalKit/vlmeval/dataset/__init__.py:191 ``build_dataset`` and the
+dataset classes' ``build_prompt``/``evaluate``).
+
+Datasets load from VLMEvalKit-format TSV files when available (the reference's
+data cache format) — this environment has no network, so tests use the
+synthetic dataset. Results dump to xlsx when pandas/openpyxl can, else CSV.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .scoring import SCORERS
+
+
+class EvalDataset:
+    """Minimal dataset API: rows with question/images/answers + a scorer."""
+
+    name = "base"
+    scorer = "VQA"
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def build_prompt(self, i: int) -> Dict:
+        """→ {"text": str, "image": np.ndarray | None, ...scoring fields}"""
+        raise NotImplementedError
+
+    def evaluate(self, results: List[dict]) -> Dict[str, float]:
+        return SCORERS[self.scorer](results)
+
+
+class TSVDataset(EvalDataset):
+    """VLMEvalKit-format TSV: columns index/question/answer/image (base64) and
+    optional category/A-D options."""
+
+    def __init__(self, path: str, name: Optional[str] = None,
+                 scorer: Optional[str] = None):
+        import csv
+
+        self.rows = []
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f, delimiter="\t"):
+                self.rows.append(row)
+        self.name = name or os.path.basename(path).rsplit(".", 1)[0]
+        self.scorer = scorer or _infer_scorer(self.name)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def _decode_image(self, row) -> Optional[np.ndarray]:
+        b64 = row.get("image")
+        if not b64:
+            return None
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+    def build_prompt(self, i: int) -> Dict:
+        row = self.rows[i]
+        text = row.get("question", "")
+        opts = {k: row[k] for k in "ABCDEFGH" if row.get(k)}
+        if opts:
+            text += "\n" + "\n".join(f"{k}. {v}" for k, v in opts.items())
+            text += "\nAnswer with the option's letter from the given choices directly."
+        out = {"text": text, "image": self._decode_image(row),
+               "answer": row.get("answer", ""), "index": row.get("index", i)}
+        if opts:
+            out["options"] = opts
+        if row.get("category"):
+            out["category"] = row["category"]
+        if row.get("image_id") or row.get("image_path"):
+            out["image_id"] = row.get("image_id") or row.get("image_path")
+        return out
+
+
+def _infer_scorer(name: str) -> str:
+    n = name.lower()
+    if "mme" in n:
+        return "MME"
+    if "mmbench" in n or "mcq" in n or "mmmu" in n:
+        return "MCQ"
+    if "docvqa" in n:
+        return "ANLS"
+    if "ocr" in n:
+        return "OCRBench"
+    return "VQA"
+
+
+class SyntheticVQADataset(EvalDataset):
+    """Deterministic toy dataset for harness tests (no downloads)."""
+
+    name = "SyntheticVQA"
+    scorer = "VQA"
+
+    def __init__(self, n: int = 8, image_size: int = 16):
+        self.n = n
+        self.size = image_size
+
+    def __len__(self):
+        return self.n
+
+    def build_prompt(self, i: int) -> Dict:
+        rng = np.random.default_rng(i)
+        return {"text": f"What is shown in image {i}?",
+                "image": rng.uniform(size=(self.size, self.size, 3)).astype(np.float32),
+                "answers": [f"object {i % 3}"] * 10,
+                "index": i}
+
+
+def build_dataset(name_or_path: str, data_root: Optional[str] = None) -> EvalDataset:
+    """Name → dataset (contract parity with vlmeval build_dataset). Looks for
+    `<root>/<name>.tsv` (the VLMEvalKit cache layout)."""
+    if name_or_path == "SyntheticVQA":
+        return SyntheticVQADataset()
+    root = data_root or os.environ.get("LMUData", os.path.expanduser("~/LMUData"))
+    path = name_or_path if os.path.exists(name_or_path) else \
+        os.path.join(root, f"{name_or_path}.tsv")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"dataset {name_or_path!r} not found at {path}; place VLMEvalKit-"
+            f"format TSVs under {root} or pass a file path")
+    return TSVDataset(path, name=os.path.basename(name_or_path))
+
+
+def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
+                 out_dir: str = "output", model_name: str = "model",
+                 limit: Optional[int] = None, verbose: bool = False) -> Dict:
+    """Serial eval loop (ref: evaluation/eval.py:9-58). ``generate_fn`` maps one
+    prompt struct → prediction text. Dumps results + prints the metric table.
+
+    Data-parallel fan-out (the VLMEvalKit mp_util equivalent) is achieved by
+    sharding `dataset` rows across hosts and merging result files.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n = min(len(dataset), limit) if limit else len(dataset)
+    results = []
+    t0 = time.time()
+    for i in range(n):
+        prompt = dataset.build_prompt(i)
+        pred = generate_fn(prompt)
+        row = dict(prompt)
+        row.pop("image", None)
+        row["prediction"] = pred
+        results.append(row)
+        if verbose:
+            print(f"[{i+1}/{n}] {pred[:60]!r}")
+    dt = time.time() - t0
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    out_path = os.path.join(out_dir, f"{model_name}_{dataset.name}_{stamp}")
+    try:
+        import pandas as pd
+
+        pd.DataFrame(results).to_excel(out_path + ".xlsx", index=False)
+        out_file = out_path + ".xlsx"
+    except Exception:
+        import csv
+
+        out_file = out_path + ".csv"
+        with open(out_file, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=sorted({k for r in results for k in r}))
+            w.writeheader()
+            w.writerows(results)
+
+    metrics = dataset.evaluate(results)
+    print(f"== {dataset.name} ({n} samples, {dt:.1f}s) → {out_file}")
+    for k, v in metrics.items():
+        print(f"   {k}: {v:.2f}" if isinstance(v, float) else f"   {k}: {v}")
+    return {"metrics": metrics, "results_file": out_file, "n": n,
+            "seconds": dt}

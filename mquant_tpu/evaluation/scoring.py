@@ -1,0 +1,184 @@
+"""Benchmark scoring functions — the metric layer of the eval harness.
+
+Reimplements the scoring rules of the benchmarks the reference evaluates on
+through its vendored VLMEvalKit (ref: docs/*.md run MME / OCRBench /
+TextVQA_VAL / DocVQA_VAL; dataset classes third/VLMEvalKit/vlmeval/dataset/):
+
+  * MME          — binary yes/no; per-category acc and acc+ (both questions of
+                   an image correct), score = 100·(acc + acc+)
+  * MCQ (MMBench-style) — option-letter extraction with fallback matching
+  * VQA (TextVQA-style) — soft accuracy min(#matches/3, 1) over 10 annotators
+  * ANLS (DocVQA) — average normalized Levenshtein similarity, τ = 0.5
+  * OCRBench     — substring containment over answer variants
+
+Pure text functions — fully unit-testable without datasets.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+
+def _norm_text(s: str) -> str:
+    s = s.lower().strip()
+    s = re.sub(rf"[{re.escape(string.punctuation)}]", "", s)
+    return re.sub(r"\s+", " ", s)
+
+
+# ---------------------------------------------------------------------------
+# yes/no (MME)
+# ---------------------------------------------------------------------------
+
+
+def extract_yes_no(pred: str) -> Optional[str]:
+    p = _norm_text(pred)
+    if p.startswith("yes") or " yes" in f" {p}":
+        return "yes"
+    if p.startswith("no") or " no" in f" {p}":
+        return "no"
+    return None
+
+
+def score_mme(rows: List[dict]) -> Dict[str, float]:
+    """rows: {category, image_id, answer (Yes/No), prediction}. Returns per-
+    category and total MME scores (acc% + acc+%)."""
+    by_cat = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        ok = extract_yes_no(r["prediction"]) == r["answer"].strip().lower()
+        by_cat[r.get("category", "all")][r.get("image_id", id(r))].append(ok)
+    out = {}
+    total = 0.0
+    for cat, imgs in by_cat.items():
+        flat = [ok for pair in imgs.values() for ok in pair]
+        acc = sum(flat) / max(len(flat), 1)
+        accp = sum(all(pair) for pair in imgs.values()) / max(len(imgs), 1)
+        out[cat] = 100.0 * (acc + accp)
+        total += out[cat]
+    out["total"] = total
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multiple choice (MMBench / MMMU style)
+# ---------------------------------------------------------------------------
+
+
+def extract_option(pred: str, options: Dict[str, str]) -> Optional[str]:
+    """Extract the chosen option letter from a free-form prediction."""
+    p = pred.strip()
+    m = re.match(r"^[\(\[]?([A-H])[\)\].:,\s]", p + " ")
+    if m and m.group(1) in options:
+        return m.group(1)
+    # exact content match
+    pn = _norm_text(p)
+    for k, v in options.items():
+        if v is not None and _norm_text(str(v)) == pn:
+            return k
+    # containment (longest option content first for specificity)
+    for k, v in sorted(options.items(), key=lambda kv: -len(str(kv[1] or ""))):
+        if v is not None and _norm_text(str(v)) and _norm_text(str(v)) in pn:
+            return k
+    return None
+
+
+def score_mcq(rows: List[dict]) -> Dict[str, float]:
+    """rows: {options: {A:..,B:..}, answer: 'B', prediction}. Plain (non-
+    circular) accuracy; circular consistency when rows carry a shared
+    ``group`` id (all rotations must be right — MMBench protocol)."""
+    ok_rows = []
+    groups = defaultdict(list)
+    for r in rows:
+        ok = extract_option(r["prediction"], r["options"]) == r["answer"]
+        ok_rows.append(ok)
+        if r.get("group") is not None:
+            groups[r["group"]].append(ok)
+    res = {"acc": 100.0 * sum(ok_rows) / max(len(ok_rows), 1)}
+    if groups:
+        res["acc_circular"] = 100.0 * sum(
+            all(v) for v in groups.values()) / len(groups)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# VQA soft accuracy (TextVQA)
+# ---------------------------------------------------------------------------
+
+
+def vqa_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
+    p = _norm_text(pred)
+    matches = sum(_norm_text(a) == p for a in gt_answers)
+    return min(matches / 3.0, 1.0)
+
+
+def score_vqa(rows: List[dict]) -> Dict[str, float]:
+    accs = [vqa_accuracy(r["prediction"], r["answers"]) for r in rows]
+    return {"acc": 100.0 * sum(accs) / max(len(accs), 1)}
+
+
+# ---------------------------------------------------------------------------
+# ANLS (DocVQA)
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def anls(pred: str, gts: Sequence[str], tau: float = 0.5) -> float:
+    p = _norm_text(pred)
+    best = 0.0
+    for g in gts:
+        gn = _norm_text(g)
+        if not gn and not p:
+            best = max(best, 1.0)
+            continue
+        d = _levenshtein(p, gn) / max(len(p), len(gn), 1)
+        s = 1.0 - d
+        best = max(best, s if s >= tau else 0.0)
+    return best
+
+
+def score_anls(rows: List[dict]) -> Dict[str, float]:
+    vals = [anls(r["prediction"], r["answers"]) for r in rows]
+    return {"anls": 100.0 * sum(vals) / max(len(vals), 1)}
+
+
+# ---------------------------------------------------------------------------
+# OCRBench
+# ---------------------------------------------------------------------------
+
+
+def score_ocrbench(rows: List[dict]) -> Dict[str, float]:
+    """Substring containment over answer variants (OCRBench protocol: 10 points
+    per hit, 1000 total over the real 1000-sample set; here normalized %)."""
+    hits = 0
+    for r in rows:
+        p = _norm_text(r["prediction"])
+        answers = r["answers"] if isinstance(r.get("answers"), (list, tuple)) \
+            else [r.get("answer", "")]
+        if any(_norm_text(str(a)) in p for a in answers if str(a)):
+            hits += 1
+    return {"score": 100.0 * hits / max(len(rows), 1)}
+
+
+SCORERS = {
+    "MME": score_mme,
+    "MMBench": score_mcq,
+    "MCQ": score_mcq,
+    "TextVQA_VAL": score_vqa,
+    "VQA": score_vqa,
+    "DocVQA_VAL": score_anls,
+    "ANLS": score_anls,
+    "OCRBench": score_ocrbench,
+}

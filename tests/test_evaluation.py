@@ -1,0 +1,115 @@
+"""Eval harness tests: scoring functions + end-to-end eval loop on a tiny model."""
+
+import numpy as np
+import pytest
+
+from mquant_tpu.evaluation import scoring as S
+
+
+class TestScoring:
+    def test_mme(self):
+        rows = [
+            {"category": "color", "image_id": "a", "answer": "Yes", "prediction": "Yes, it is."},
+            {"category": "color", "image_id": "a", "answer": "No", "prediction": "No"},
+            {"category": "color", "image_id": "b", "answer": "Yes", "prediction": "no"},
+            {"category": "color", "image_id": "b", "answer": "No", "prediction": "No"},
+        ]
+        m = S.score_mme(rows)
+        # acc = 3/4, acc+ = 1/2 → 75 + 50 = 125
+        assert m["color"] == pytest.approx(125.0)
+        assert m["total"] == pytest.approx(125.0)
+
+    def test_mcq_extraction(self):
+        opts = {"A": "a cat", "B": "a dog", "C": "a bird"}
+        assert S.extract_option("B", opts) == "B"
+        assert S.extract_option("(C) a bird", opts) == "C"
+        assert S.extract_option("The answer is a dog.", opts) == "B"
+        assert S.extract_option("elephant", opts) is None
+
+    def test_mcq_circular(self):
+        rows = [
+            {"options": {"A": "x", "B": "y"}, "answer": "A", "prediction": "A", "group": 1},
+            {"options": {"A": "y", "B": "x"}, "answer": "B", "prediction": "A", "group": 1},
+            {"options": {"A": "p", "B": "q"}, "answer": "B", "prediction": "B", "group": 2},
+            {"options": {"A": "q", "B": "p"}, "answer": "A", "prediction": "A", "group": 2},
+        ]
+        m = S.score_mcq(rows)
+        assert m["acc"] == pytest.approx(75.0)
+        assert m["acc_circular"] == pytest.approx(50.0)
+
+    def test_vqa_soft_acc(self):
+        assert S.vqa_accuracy("blue", ["blue"] * 3 + ["red"] * 7) == 1.0
+        assert S.vqa_accuracy("blue", ["blue"] * 1 + ["red"] * 9) == pytest.approx(1 / 3)
+        assert S.vqa_accuracy("Blue!", ["blue"] * 10) == 1.0
+
+    def test_anls(self):
+        assert S.anls("hello", ["hello"]) == 1.0
+        assert S.anls("helo", ["hello"]) == pytest.approx(0.8)
+        assert S.anls("xyz", ["hello"]) == 0.0  # below τ=0.5
+
+    def test_ocrbench(self):
+        rows = [{"prediction": "The text says HELLO WORLD", "answers": ["hello world"]},
+                {"prediction": "nothing", "answers": ["42"]}]
+        assert S.score_ocrbench(rows)["score"] == 50.0
+
+
+class TestEvalLoop:
+    def test_synthetic_end_to_end(self, tmp_path):
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.evaluation.eval import SyntheticVQADataset, eval_dataset
+        from mquant_tpu.models.registry import get_family
+
+        fam = get_family("qwen2vl")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        runner = VLMRunner("qwen2vl", cfg, params, max_new_tokens=4, max_len=256)
+        ds = SyntheticVQADataset(n=3)
+        res = eval_dataset(runner.generate, ds, out_dir=str(tmp_path),
+                           model_name="tiny")
+        assert res["n"] == 3
+        assert "acc" in res["metrics"]
+        import os
+
+        assert os.path.exists(res["results_file"])
+
+    def test_quantized_model_through_eval(self, tmp_path):
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.evaluation.eval import SyntheticVQADataset, eval_dataset
+        from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
+
+        q = QuantizeConfig(calib_num=16, nsamples=8, llm_w_rtn=True)
+        cfg, params, state, specs, _ = run_pipeline("qwen2vl", q, tiny=True)
+        runner = VLMRunner("qwen2vl", cfg, params, specs=specs, state=state,
+                           mode="fake", max_new_tokens=3, max_len=256)
+        ds = SyntheticVQADataset(n=2)
+        res = eval_dataset(runner.generate, ds, out_dir=str(tmp_path))
+        assert res["n"] == 2
+
+    def test_tsv_dataset(self, tmp_path):
+        import base64
+        import io
+
+        from PIL import Image
+
+        from mquant_tpu.evaluation.eval import TSVDataset
+
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        p = tmp_path / "MiniMME.tsv"
+        p.write_text("index\tquestion\tanswer\tcategory\timage\n"
+                     f"0\tIs it black?\tYes\tcolor\t{b64}\n"
+                     f"1\tIs it red?\tNo\tcolor\t{b64}\n")
+        ds = TSVDataset(str(p))
+        assert len(ds) == 2
+        assert ds.scorer == "MME"
+        pr = ds.build_prompt(0)
+        assert pr["image"].shape == (8, 8, 3)
+        m = ds.evaluate([{**ds.build_prompt(i),
+                          "prediction": ["Yes", "No"][i]} for i in range(2)])
+        assert m["total"] == pytest.approx(200.0)
