@@ -65,7 +65,9 @@ def init_w4a8_on_device(cfg, key):
         H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
         def qsite(k, din, dout, bias=False):
-            w_q = jax.random.randint(k, (L, din // 2, dout), -128, 127, jnp.int8)
+            # W4-grid values in int8 storage (the default serving layout —
+            # v5e has no native int4 MXU operand; see realize_decoder_weights)
+            w_q = jax.random.randint(k, (L, din, dout), -7, 8, jnp.int8)
             w_scale = jnp.full((L, dout), 0.01, jnp.float32)
             d = {"w_q": w_q, "w_scale": w_scale}
             d["b"] = jnp.zeros((L, dout), jnp.bfloat16) if bias else None
@@ -111,8 +113,8 @@ def measure(cfg, params, specs, state, mode, label):
     t0 = time.time()
     ttft = measure_ttft(gen, toks, iters=3)
     log(f"[{label}] TTFT {ttft*1e3:.1f} ms (setup+compile {time.time()-t0:.0f}s)")
-    tps = measure_decode_tps(gen, toks, n_tokens=DECODE_TOKENS)
-    log(f"[{label}] decode {tps:.1f} tok/s")
+    tps = measure_decode_tps(gen, toks, n_tokens=DECODE_TOKENS, on_device=True)
+    log(f"[{label}] decode {tps:.1f} tok/s (on-device loop)")
     return ttft, tps
 
 

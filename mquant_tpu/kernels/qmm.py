@@ -103,7 +103,15 @@ def quantized_matmul(
     xq, x_scale = _act_int8(x, spec, site_state)
     # packedness inferred from static shapes: packed int4 stores in/2 rows
     packed = p["w_q"].shape[-2] * 2 == x.shape[-1]
-    if packed and _pallas_enabled() and jax.default_backend() in ("tpu", "axon"):
+    # Measured on v5e: the XLA path (materialized unpack + native s8 MXU dot)
+    # beats the VMEM-unpack Pallas kernel at both prefill and GEMV shapes —
+    # v5e has no native int4 MXU operand, so the VPU nibble decode costs more
+    # than the halved HBM traffic saves. The Pallas kernel stays available for
+    # re-tuning via MQUANT_FORCE_PALLAS_QMM=1.
+    import os
+
+    if (packed and os.environ.get("MQUANT_FORCE_PALLAS_QMM") == "1"
+            and _pallas_enabled() and jax.default_backend() in ("tpu", "axon")):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]
     acc = jax.lax.dot_general(
@@ -168,6 +176,14 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         xs = jnp.broadcast_to(xs, (M, 1))
     ws = p["w_scale"].reshape(1, N).astype(jnp.float32)
 
+    if M <= 32:
+        # decode/GEMV shapes: x is tiny — stream the whole K dimension per N
+        # tile so each weight byte is touched exactly once per call, and let
+        # Mosaic double-buffer the N-tile stream (bandwidth-bound regime)
+        tm = max(8, M)
+        budget = 6 * 2**20  # VMEM budget for the packed weight tile
+        tk = K2
+        tn = max(128, min(tn, budget // max(tk, 1) // 128 * 128))
     tm = min(tm, max(8, M))
     tn = _pick_tile(N, tn)
     tk = _pick_tile(K2, tk)
@@ -203,6 +219,8 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=Mp * Kin + K2 * N + Mp * N * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(x2, x2, p["w_q"], xs, ws)
     if padm:

@@ -88,6 +88,44 @@ class Generator:
             self._decode_fn = step
         return self._decode_fn
 
+    def _decode_n(self, n_tokens: int):
+        """On-device greedy decode of n_tokens in ONE jit (lax.fori_loop over
+        steps, KV cache as loop carry) — no per-token host round trips. This is
+        the TPU-native serving loop; the per-step python loop remains for
+        eos-early-exit interactive use."""
+        key = ("decode_n", n_tokens)
+        if key not in self._prefill_cache:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def decode_n(params, first_tok, cache):
+                B = first_tok.shape[0]
+                toks0 = jnp.zeros((B, n_tokens), jnp.int32)
+
+                def body(i, carry):
+                    tok, cache, out = carry
+                    logits, cache2, _ = decoder_forward(
+                        cfg, params, tok, specs=specs, state=state, mode=mode,
+                        cache=cache)
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+                    return nxt[:, None], cache2, out
+
+                _, cache, out = jax.lax.fori_loop(
+                    0, n_tokens, body, (first_tok, cache, toks0))
+                return out, cache
+
+            self._prefill_cache[key] = decode_n
+        return self._prefill_cache[key]
+
+    def generate_on_device(self, tokens: jax.Array, max_new_tokens: int = 32,
+                           positions=None) -> jax.Array:
+        """Greedy generation with the WHOLE decode loop on device."""
+        last_logits, cache = self.prefill(tokens, positions=positions)
+        first = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
+        out, _ = self._decode_n(max_new_tokens - 1)(self.params, first, cache)
+        return jnp.concatenate([first, out], axis=1)
+
     # -- public API ---------------------------------------------------------
 
     def prefill(self, tokens_or_embeds: jax.Array, positions=None
@@ -158,15 +196,26 @@ def measure_ttft(gen: Generator, tokens: jax.Array, iters: int = 5) -> float:
     return times[len(times) // 2]
 
 
-def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64) -> float:
-    """Decode throughput (tokens/s) after prefill, excluding compile. The loop
-    is data-dependent (each step consumes the previous argmax), so only the
-    final fetch needs forcing."""
+def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64,
+                       on_device: bool = True) -> float:
+    """Decode throughput (tokens/s) after prefill, excluding compile.
+
+    on_device=True measures the production serving loop (all steps fused in one
+    jit); False measures the host-driven per-token loop (interactive mode)."""
     import time
 
     last_logits, cache = gen.prefill(tokens)
-    step = gen._decode()
     tok = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
+    if on_device:
+        dec = gen._decode_n(n_tokens)
+        out, _ = dec(gen.params, tok, cache)  # warmup compile
+        _force(out)
+        t0 = time.perf_counter()
+        out, _ = dec(gen.params, (tok + 1) % 100, cache)
+        _force(out)
+        dt = time.perf_counter() - t0
+        return n_tokens * tokens.shape[0] / dt
+    step = gen._decode()
     logits, cache2 = step(gen.params, tok, cache)  # warmup compile
     _force(logits)
     t0 = time.perf_counter()

@@ -206,10 +206,16 @@ def rtn_quantize_decoder(
     return p
 
 
-def realize_decoder_weights(params: Dict, specs: Dict) -> Dict:
+def realize_decoder_weights(params: Dict, specs: Dict,
+                            pack_int4: bool = False) -> Dict:
     """Convert spec'd sites to real-int storage (w_q/w_scale) for the serving
     path — the capability the reference's fake-quant stack never ships
-    (ref: SURVEY §3.4). Stacked layers are converted with vmap."""
+    (ref: SURVEY §3.4). Stacked layers are converted with vmap.
+
+    ``pack_int4=False`` (default) stores W4-GRID values in int8 — v5e's MXU has
+    no native int4 operand, so int8 storage gives W4 accuracy at full native
+    s8-matmul speed with 2× (not 4×) weight-memory savings; ``pack_int4=True``
+    packs two nibbles per byte for 4× memory at extra unpack cost."""
     from ..kernels.qmm import quantize_weights_real
     from ..models.llm import LLM_SITES
 
@@ -221,7 +227,8 @@ def realize_decoder_weights(params: Dict, specs: Dict) -> Dict:
             continue
         site = dict(lay[s])
         bits = spec.w_bits
-        qd = jax.vmap(lambda w: quantize_weights_real(w, bits))(site["w"])
+        qd = jax.vmap(lambda w: quantize_weights_real(w, bits, pack=pack_int4))(
+            site["w"])
         site.pop("w")
         site.update({"w_q": qd["w_q"], "w_scale": qd["w_scale"]})
         lay[s] = site

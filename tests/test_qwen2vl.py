@@ -139,3 +139,16 @@ class TestGenerate:
         np.testing.assert_allclose(
             np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, T - 1]),
             rtol=2e-3, atol=2e-3)
+
+
+class TestOnDeviceDecode:
+    def test_generate_on_device_matches_host_loop(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        gen = Generator(cfg.llm, params["llm"], max_len=64)
+        host = gen.generate(toks[:, :4], max_new_tokens=6)
+        dev = gen.generate_on_device(toks[:, :4], max_new_tokens=6)
+        import numpy as np
+
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(dev[:, :host.shape[1]]))
