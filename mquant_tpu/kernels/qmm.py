@@ -114,12 +114,24 @@ def quantized_matmul(
             and _pallas_enabled() and jax.default_backend() in ("tpu", "axon")):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]
-    acc = jax.lax.dot_general(
-        xq, w,
-        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * x_scale * p["w_scale"]
+    tokens = 1
+    for d in x.shape[:-1]:
+        tokens *= d
+    if tokens <= 32:
+        # decode/GEMV: XLA's int8 GEMV path streams weights far below HBM peak;
+        # its bf16 GEMV is bandwidth-optimal and the int8→bf16 convert fuses
+        # into the dot's operand read. Both inputs are exact int grids with
+        # ≤8-bit magnitudes, and the MXU accumulates bf16 products in f32, so
+        # this is numerically identical to the s8×s8→s32 path.
+        acc = jnp.dot(xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            xq, w,
+            dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    y = acc * x_scale * p["w_scale"]
     return y.astype(out_dtype)
 
 
