@@ -262,9 +262,12 @@ def attention(
     v: jax.Array,  # (B, S, KVH, hd)
     mask: Optional[jax.Array] = None,  # (B, 1, T, S) additive or bool
     scale: Optional[float] = None,
+    causal: bool = False,  # static: causal self-attention (enables flash)
 ) -> jax.Array:
-    """Grouped-query attention with fp32 softmax. XLA fuses this well on TPU for
-    moderate sequence lengths; long-context uses the splash kernel (kernels/)."""
+    """Grouped-query attention. Long causal prefill (T == S ≥ 512, no extra
+    mask) routes to the Pallas flash-attention kernel on TPU — O(T) memory,
+    no materialized (T, S) logits; otherwise an fp32-softmax einsum that XLA
+    fuses well at moderate lengths."""
     B, T, H, hd = q.shape
     KVH = k.shape[2]
     scale = scale if scale is not None else hd**-0.5
@@ -272,6 +275,19 @@ def attention(
         rep = H // KVH
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+
+    if (causal and mask is None and T == k.shape[1] and T >= 512
+            and hd % 128 == 0 and T % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), causal=True, sm_scale=scale)
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
     logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:
@@ -279,6 +295,10 @@ def attention(
             logits = jnp.where(mask, logits, jnp.float32(-1e30))
         else:
             logits = logits + mask
+    if causal and mask is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, k.shape[1]), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, k.shape[1]), 1)
+        logits = jnp.where((cols <= rows)[None, None], logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 

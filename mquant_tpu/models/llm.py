@@ -176,6 +176,8 @@ def _layer_step(
     cos, sin,
     attn_mask,  # (B, 1, T, S) bool
     tape: Optional[L.Tape],
+    prefill_fresh: bool = False,  # cache starts empty: write it but attend to
+    # the local (T-long) k/v with a causal mask — smaller attention + flash path
 ):
     B, T, Hd = h.shape
     hd, H, KV = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
@@ -192,19 +194,28 @@ def _layer_step(
     v = v.reshape(B, T, KV, hd)
     q, k = _apply_rope(cfg, q, k, cos, sin)
 
+    causal = False
+    if cache_kv is None and attn_mask is None:
+        causal = True  # plain causal self-attention (flash-eligible)
     if cache_kv is not None:
         ck, cv = cache_kv
         z = jnp.zeros((), jnp.int32)
         pos = jnp.asarray(cache_pos, jnp.int32)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (z, pos, z, z))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (z, pos, z, z))
-        k_all, v_all = ck, cv
         new_cache = (ck, cv)
+        if prefill_fresh:
+            k_all, v_all = k, v  # attend locally; padded rows are discarded
+            attn_mask = None
+            causal = True
+        else:
+            k_all, v_all = ck, cv
     else:
         k_all, v_all = k, v
         new_cache = None
 
-    attn = L.attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask)
+    attn = L.attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), attn_mask,
+                       causal=causal)
     attn = attn.reshape(B, T, H * hd)
     h = h + qlinear(attn, lp["o"], "llm.o", site("o"), lstate, mode, tape)
 
@@ -232,6 +243,8 @@ def decoder_forward(
     token_mask: Optional[jax.Array] = None,  # (B, T) valid-token mask for calib
     last_index: Optional[jax.Array] = None,  # serving prefill: compute logits
     # only at this position (skips the B·T·hidden·vocab GEMM for all others)
+    prefill_fresh: bool = False,  # cache is empty (pos 0): write it but attend
+    # to the local T-long k/v causally — T×T attention + flash eligibility
 ):
     """Full decoder forward. Returns (logits, new_cache, stats | None).
 
@@ -251,14 +264,12 @@ def decoder_forward(
         positions = jnp.broadcast_to(positions, (B, T))
     cos, sin = rope_tables(cfg, positions, jnp.float32)
 
-    if attn_mask is None:
-        if cache is not None:
-            S = cache["k"].shape[2]
-            rows = cache["pos"] + jnp.arange(T)[:, None]
-            cols = jnp.arange(S)[None, :]
-            attn_mask = (cols <= rows)[None, None]
-        else:
-            attn_mask = L.causal_mask(T, T)
+    if attn_mask is None and cache is not None and not prefill_fresh:
+        S = cache["k"].shape[2]
+        rows = cache["pos"] + jnp.arange(T)[:, None]
+        cols = jnp.arange(S)[None, :]
+        attn_mask = (cols <= rows)[None, None]
+    # no-cache + no mask → causal handled inside the attention (flash path)
 
     # split quant state: per-layer sites (stacked (L,...) leaves, scanned) vs
     # global sites like lm_head (used outside the scan)
@@ -277,7 +288,7 @@ def decoder_forward(
         h, new_cache = _layer_step(
             cfg, specs, mode, h, lp, lst, cache_kv,
             cache["pos"] if cache is not None else None,
-            cos, sin, attn_mask, tape,
+            cos, sin, attn_mask, tape, prefill_fresh=prefill_fresh,
         )
         ys = {}
         if new_cache is not None:

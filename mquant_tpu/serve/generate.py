@@ -54,15 +54,13 @@ class Generator:
 
             @jax.jit
             def prefill(params, tokens_or_embeds, cache, positions, length):
-                # mask: causal AND within the true (unpadded) prompt length
-                S = cache["k"].shape[2]
-                rows = jnp.arange(T)[:, None]
-                cols = jnp.arange(S)[None, :]
-                mask = (cols <= rows) & (cols < length)
-                mask = mask[None, None]
+                # causality + the true-length limit are both enforced by the
+                # prefill_fresh T×T causal attention (padded rows' outputs are
+                # discarded and their cache rows overwritten during decode)
                 logits, cache2, _ = decoder_forward(
                     cfg, params, tokens_or_embeds, specs=specs, state=state,
-                    mode=mode, cache=cache, positions=positions, attn_mask=mask,
+                    mode=mode, cache=cache, positions=positions,
+                    prefill_fresh=True,  # T×T causal attention + flash path
                     last_index=length - 1)  # TTFT: logits only for the last token
                 # cache position advances by the TRUE length, not the padded T
                 cache2 = dict(cache2)

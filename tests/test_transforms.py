@@ -238,7 +238,7 @@ class TestQuantPipeline:
         specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8) for n in LLM_SITES}
         qfake = RZ.rtn_quantize_decoder(CFG, fused, specs)
         out_fake = fwd(CFG, qfake, toks, specs=specs, mode="fake")
-        qreal = RZ.realize_decoder_weights(fused, specs)
+        qreal = RZ.realize_decoder_weights(fused, specs, pack_int4=True)
         # packed int4: w_q has half the input rows
         assert qreal["layers"]["q"]["w_q"].shape[-2] == CFG.hidden // 2
         out_real = fwd(CFG, qreal, toks, specs=specs, mode="real")
