@@ -118,11 +118,16 @@ def quantized_matmul(
     for d in x.shape[:-1]:
         tokens *= d
     if tokens <= 32:
-        # decode/GEMV: XLA's int8 GEMV path streams weights far below HBM peak;
-        # its bf16 GEMV is bandwidth-optimal and the int8→bf16 convert fuses
-        # into the dot's operand read. Both inputs are exact int grids with
-        # ≤8-bit magnitudes, and the MXU accumulates bf16 products in f32, so
-        # this is numerically identical to the s8×s8→s32 path.
+        # decode/GEMV: XLA's int8 GEMV path streams weights far below HBM peak.
+        # Default: Pallas GEMV that converts the int8 weight tile to bf16 in
+        # VMEM and runs a bf16 MXU dot — weights cross HBM once as int8. Both
+        # inputs are exact ≤8-bit grids and the MXU accumulates in f32, so this
+        # is numerically identical to the s8×s8→s32 path.
+        if (_pallas_enabled() and os.environ.get("MQUANT_GEMV", "pallas") == "pallas"
+                and jax.default_backend() in ("tpu", "axon")
+                and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0):
+            y = _qmm_pallas_gemv(xq, x_scale, w, p["w_scale"], out_dtype)
+            return y
         acc = jnp.dot(xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
     else:
@@ -133,6 +138,64 @@ def quantized_matmul(
         ).astype(jnp.float32)
     y = acc * x_scale * p["w_scale"]
     return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas int8 GEMV: weight tile int8→bf16 in VMEM + bf16 MXU dot
+# ---------------------------------------------------------------------------
+
+
+def _gemv_kernel(x_ref, w_ref, ws_ref, xs_ref, o_ref):
+    wv = w_ref[:].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), wv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * ws_ref[:].astype(jnp.float32)
+                * xs_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _qmm_pallas_gemv(xq, x_scale, w, w_scale, out_dtype,
+                     budget: int = 8 * 2**20, interpret: bool = False):
+    """Skinny-M quantized matmul: full-K weight columns stream through VMEM as
+    int8 (halving HBM traffic vs bf16), one MXU dot per N tile."""
+    lead = xq.shape[:-1]
+    K = xq.shape[-1]
+    N = w.shape[1]
+    x2 = xq.reshape(-1, K)
+    M = x2.shape[0]
+    Mp = max(8, M)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    xs = jnp.broadcast_to(jnp.asarray(x_scale, jnp.float32),
+                          (*lead, 1) if lead else (1,)).reshape(-1, 1)
+    if xs.shape[0] != M:
+        xs = jnp.broadcast_to(xs, (M, 1))
+    xs = jnp.pad(xs, ((0, Mp - M), (0, 0))) if Mp != M else xs
+    tn = _pick_tile(N, max(128, budget // K // 128 * 128))
+    if tn is None:
+        acc = jnp.dot(x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        out = (acc * w_scale.reshape(1, N) * xs).astype(out_dtype)
+        return out[:M].reshape(*lead, N)
+    ws = w_scale.reshape(1, N).astype(jnp.float32)
+    out = pl.pallas_call(
+        _gemv_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        grid=(N // tn,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(flops=2 * Mp * K * N,
+                                      bytes_accessed=K * N, transcendentals=0),
+        interpret=interpret,
+    )(x2, w, ws, xs)
+    return out[:M].reshape(*lead, N)
 
 
 # ---------------------------------------------------------------------------

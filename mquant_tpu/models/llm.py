@@ -198,18 +198,46 @@ def _layer_step(
     if cache_kv is None and attn_mask is None:
         causal = True  # plain causal self-attention (flash-eligible)
     if cache_kv is not None:
-        ck, cv = cache_kv
         z = jnp.zeros((), jnp.int32)
         pos = jnp.asarray(cache_pos, jnp.int32)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (z, pos, z, z))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (z, pos, z, z))
-        new_cache = (ck, cv)
+        quantized = cache_kv["k"].dtype == jnp.int8  # int8 KV cache
+
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (z, pos) + (z,) * (buf.ndim - 2))
+
+        new_cache = dict(cache_kv)
+        if quantized:
+            # per-token-per-head symmetric int8 (halves KV memory + decode
+            # attention bandwidth; the reference's parsed-but-unwired
+            # --k_bits/--v_bits capability, ref: fake_quant/utils.py:221-267)
+            def qkv_quant(val):
+                amax = jnp.max(jnp.abs(val.astype(jnp.float32)), axis=-1)
+                scale = jnp.maximum(amax / 127.0, 1e-8)
+                qv = jnp.clip(jnp.round(val.astype(jnp.float32)
+                                        / scale[..., None]), -127, 127)
+                return qv.astype(jnp.int8), scale
+
+            kq, ks = qkv_quant(k)
+            vq, vs = qkv_quant(v)
+            new_cache["k"] = upd(cache_kv["k"], kq)
+            new_cache["v"] = upd(cache_kv["v"], vq)
+            new_cache["k_scale"] = upd(cache_kv["k_scale"], ks)
+            new_cache["v_scale"] = upd(cache_kv["v_scale"], vs)
+        else:
+            new_cache["k"] = upd(cache_kv["k"], k)
+            new_cache["v"] = upd(cache_kv["v"], v)
         if prefill_fresh:
             k_all, v_all = k, v  # attend locally; padded rows are discarded
             attn_mask = None
             causal = True
+        elif quantized:
+            k_all = (new_cache["k"].astype(jnp.float32)
+                     * new_cache["k_scale"][..., None]).astype(h.dtype)
+            v_all = (new_cache["v"].astype(jnp.float32)
+                     * new_cache["v_scale"][..., None]).astype(h.dtype)
         else:
-            k_all, v_all = ck, cv
+            k_all, v_all = new_cache["k"], new_cache["v"]
     else:
         k_all, v_all = k, v
         new_cache = None
@@ -280,11 +308,10 @@ def decoder_forward(
 
     def body(carry, xs):
         h = carry
-        lp, lst, ck, cv = xs
+        lp, lst, cache_kv = xs
         tape = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
         if tape is not None and token_mask is not None:
             tape.mask = token_mask
-        cache_kv = (ck, cv) if ck is not None else None
         h, new_cache = _layer_step(
             cfg, specs, mode, h, lp, lst, cache_kv,
             cache["pos"] if cache is not None else None,
@@ -292,19 +319,17 @@ def decoder_forward(
         )
         ys = {}
         if new_cache is not None:
-            ys["k"], ys["v"] = new_cache
+            ys["cache"] = new_cache
         if tape is not None:
             ys["stats"] = tape.stats
             if collect_samples:
                 ys["samples"] = tape.samples
         return h, ys
 
-    xs = (
-        params["layers"],
-        lstate,
-        cache["k"] if cache is not None else None,
-        cache["v"] if cache is not None else None,
-    )
+    cache_arrays = None
+    if cache is not None:
+        cache_arrays = {k: v for k, v in cache.items() if k != "pos"}
+    xs = (params["layers"], lstate, cache_arrays)
     h, ys = jax.lax.scan(body, h, xs)
 
     if last_index is not None:
@@ -317,15 +342,28 @@ def decoder_forward(
 
     new_cache = None
     if cache is not None:
-        new_cache = {"k": ys["k"], "v": ys["v"], "pos": cache["pos"] + T}
+        new_cache = dict(ys["cache"])
+        new_cache["pos"] = cache["pos"] + T
     stats = ys.get("stats") if isinstance(ys, dict) else None
     samples = ys.get("samples") if isinstance(ys, dict) else None
     return logits, new_cache, (stats, samples) if collect_stats else None
 
 
-def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None) -> Dict:
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
+               quantized: bool = False) -> Dict:
+    """KV cache. ``quantized=True`` stores int8 values + per-token-per-head
+    scales — half the memory/bandwidth of bf16 (the k/v-cache quantization the
+    reference only parses flags for)."""
     dtype = dtype or cfg.dtype
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),

@@ -34,7 +34,7 @@ class Generator:
 
     def __init__(self, cfg: DecoderConfig, params, specs=None, state=None,
                  mode: str = "fp", max_len: int = 512, batch: int = 1,
-                 embedder=None):
+                 embedder=None, kv_quant: bool = False):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -43,6 +43,7 @@ class Generator:
         self.max_len = max_len
         self.batch = batch
         self.embedder = embedder  # optional fn(params, tokens, extra) -> embeds
+        self.kv_quant = kv_quant  # int8 KV cache
         self._prefill_cache: Dict[int, Any] = {}
         self._decode_fn = None
 
@@ -144,7 +145,7 @@ class Generator:
                 positions = jnp.pad(positions, widen, mode="edge")
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(Tb)[None], (B, Tb))
-        cache = init_cache(self.cfg, B, self.max_len)
+        cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
         logits, cache = self._prefill_fn(Tb)(
             self.params, tokens_or_embeds, cache, positions,
             jnp.asarray(length, jnp.int32))

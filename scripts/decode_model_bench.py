@@ -1,0 +1,43 @@
+"""Full-model decode A/B: bf16 vs w4a8(int8-storage) with the GEMV variants.
+Measures the on-device fused decode loop (the production serving path)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import init_bf16_on_device, init_w4a8_on_device, llm_specs, make_cfg
+from mquant_tpu.serve.generate import Generator, measure_decode_tps, measure_ttft
+from mquant_tpu.transform.hadamard import auto_pad_size
+
+DEPTH = int(os.environ.get("DEPTH", "28"))
+
+
+def main():
+    key = jax.random.key(0)
+    toks = jnp.ones((1, 128), jnp.int32)
+
+    if os.environ.get("SKIP_BF16") != "1":
+        cfg = make_cfg(DEPTH)
+        params = init_bf16_on_device(cfg, key)
+        gen = Generator(cfg, params, mode="fp", max_len=256)
+        tps = measure_decode_tps(gen, toks, n_tokens=32)
+        print(f"bf16 decode: {tps:.1f} tok/s", flush=True)
+        del params, gen
+
+    pad = auto_pad_size(make_cfg(DEPTH).intermediate)
+    cfgq = make_cfg(DEPTH, intermediate_pad=pad)
+    params, state = init_w4a8_on_device(cfgq, key)
+    for variant in ("pallas", "xla"):
+        os.environ["MQUANT_GEMV"] = variant
+        gen = Generator(cfgq, params, specs=llm_specs(), state=state,
+                        mode="real", max_len=256)
+        tps = measure_decode_tps(gen, toks, n_tokens=32)
+        print(f"w4a8 decode ({variant} gemv): {tps:.1f} tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

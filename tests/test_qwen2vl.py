@@ -152,3 +152,35 @@ class TestOnDeviceDecode:
         import numpy as np
 
         np.testing.assert_array_equal(np.asarray(host), np.asarray(dev[:, :host.shape[1]]))
+
+
+class TestKVCacheQuant:
+    def test_int8_cache_close_to_bf16(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        seq = toks[:, :8]
+        g_fp = Generator(cfg.llm, params["llm"], max_len=32)
+        g_q = Generator(cfg.llm, params["llm"], max_len=32, kv_quant=True)
+        last_fp, cache_fp = g_fp.prefill(seq)
+        last_q, cache_q = g_q.prefill(seq)
+        assert cache_q["k"].dtype == jnp.int8
+        np.testing.assert_allclose(np.asarray(last_q), np.asarray(last_fp),
+                                   rtol=2e-3, atol=2e-3)
+        # a decode step reads the quantized cache
+        s_fp, _ = g_fp._decode()(params["llm"], seq[:, :1], cache_fp)
+        s_q, _ = g_q._decode()(params["llm"], seq[:, :1], cache_q)
+        rel = float(jnp.linalg.norm(s_q - s_fp) / (jnp.linalg.norm(s_fp) + 1e-9))
+        assert rel < 0.05, rel
+
+    def test_greedy_tokens_match_with_int8_cache(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        g_fp = Generator(cfg.llm, params["llm"], max_len=64)
+        g_q = Generator(cfg.llm, params["llm"], max_len=64, kv_quant=True)
+        a = g_fp.generate(toks[:, :4], max_new_tokens=5)
+        b = g_q.generate(toks[:, :4], max_new_tokens=5)
+        # int8 KV rarely flips greedy tokens on a tiny random model; require
+        # at least the first tokens to agree
+        assert int(a[0, 0]) == int(b[0, 0])
