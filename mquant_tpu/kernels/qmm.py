@@ -118,12 +118,14 @@ def quantized_matmul(
     for d in x.shape[:-1]:
         tokens *= d
     if tokens <= 32:
-        # decode/GEMV: XLA's int8 GEMV path streams weights far below HBM peak.
-        # Default: Pallas GEMV that converts the int8 weight tile to bf16 in
-        # VMEM and runs a bf16 MXU dot — weights cross HBM once as int8. Both
-        # inputs are exact ≤8-bit grids and the MXU accumulates in f32, so this
-        # is numerically identical to the s8×s8→s32 path.
-        if (_pallas_enabled() and os.environ.get("MQUANT_GEMV", "pallas") == "pallas"
+        # decode/GEMV: XLA's s8×s8 GEMV streams weights far below HBM peak.
+        # Default: bf16 MXU dot with the int8→bf16 weight convert fused into
+        # the operand read (measured fastest full-model decode: 81 tok/s vs
+        # 59 pallas-GEMV vs 26 s8-dot at 7B dims). Both inputs are exact ≤8-bit
+        # grids and the MXU accumulates in f32, so this is numerically
+        # identical to the s8×s8→s32 path. MQUANT_GEMV=pallas selects the
+        # explicit VMEM-convert kernel.
+        if (_pallas_enabled() and os.environ.get("MQUANT_GEMV", "xla") == "pallas"
                 and jax.default_backend() in ("tpu", "axon")
                 and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0):
             y = _qmm_pallas_gemv(xq, x_scale, w, p["w_scale"], out_dtype)
