@@ -64,6 +64,8 @@ def parser_gen(model_default=None):
     # serving / output
     p.add_argument("--realize_int", action="store_true",
                    help="store real INT4/INT8 weights for the serving kernels")
+    p.add_argument("--k_bits", "--v_bits", dest="kv_bits", type=int, default=None,
+                   help="quantize the KV cache (8 → int8 cache)")
     p.add_argument("--artifact", default=None, help="artifact output dir")
     p.add_argument("--dataset_name", default=None,
                    help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
@@ -95,7 +97,7 @@ def main(args=None):
         llm_static=args.llm_static, a_asym=args.a_asym,
         act_per_tensor=args.act_per_tensor, act_observer=args.act_observer,
         calib_num=args.calib_num, skip_names=tuple(args.skip_names),
-        realize_int=args.realize_int, seed=args.seed)
+        realize_int=args.realize_int, kv_bits=args.kv_bits, seed=args.seed)
 
     cfg, params, state, specs, info = run_pipeline(
         args.model, q, model_dir=args.model_dir, artifact_dir=args.artifact,

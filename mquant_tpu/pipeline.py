@@ -78,6 +78,8 @@ class QuantizeConfig:
     skip_names: Tuple[str, ...] = ()
     # serving
     realize_int: bool = False
+    kv_bits: Optional[int] = None  # int8 KV cache (the reference parses
+    # --k_bits/--v_bits without wiring them, ref: utils.py:221-267; here wired)
     seed: int = 0
 
 

@@ -14,16 +14,18 @@ from mquant_tpu.serve.generate import Generator, measure_decode_tps, measure_ttf
 from mquant_tpu.transform.hadamard import auto_pad_size
 
 DEPTH = int(os.environ.get("DEPTH", "28"))
+MAXLEN = int(os.environ.get("MAXLEN", "256"))
+PREFILL = int(os.environ.get("PREF", "128"))
 
 
 def main():
     key = jax.random.key(0)
-    toks = jnp.ones((1, 128), jnp.int32)
+    toks = jnp.ones((1, PREFILL), jnp.int32)
 
     if os.environ.get("SKIP_BF16") != "1":
         cfg = make_cfg(DEPTH)
         params = init_bf16_on_device(cfg, key)
-        gen = Generator(cfg, params, mode="fp", max_len=256)
+        gen = Generator(cfg, params, mode="fp", max_len=MAXLEN)
         tps = measure_decode_tps(gen, toks, n_tokens=32)
         print(f"bf16 decode: {tps:.1f} tok/s", flush=True)
         del params, gen
@@ -34,7 +36,7 @@ def main():
     for variant in ("pallas", "xla"):
         os.environ["MQUANT_GEMV"] = variant
         gen = Generator(cfgq, params, specs=llm_specs(), state=state,
-                        mode="real", max_len=256)
+                        mode="real", max_len=MAXLEN)
         tps = measure_decode_tps(gen, toks, n_tokens=32)
         print(f"w4a8 decode ({variant} gemv): {tps:.1f} tok/s", flush=True)
 
