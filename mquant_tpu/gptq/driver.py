@@ -219,3 +219,131 @@ def _track(report, name, fb):
     report["sites"] += 1
     if fb:
         report["fallbacks"].append(name)
+
+
+# ---------------------------------------------------------------------------
+# vision-tower GPTQ (stage-sequential, like the LLM driver)
+# ---------------------------------------------------------------------------
+
+VIT_STAGES = ("qkv", "o", "fc1", "fc2", "next")
+
+
+def make_vit_stage_fn(cfg, specs: Dict[str, SiteSpec], stage: str,
+                      prefix: str = "vis"):
+    """One jitted ViT-block stage replay (group order [q,k,v]→[o]→[fc1]→[fc2],
+    the reference's visual GPTQ staging, ref: gptq/qwenvl_gptq_plus.py:183-195)."""
+    from ..models.vision import _act, _norm
+
+    specs = _strip_act_quant(specs)
+
+    def site(nm):
+        return specs.get(f"{prefix}.{nm}")
+
+    @jax.jit
+    def f(bp, h, cos, sin):
+        B, T, _ = h.shape
+        hd, H = cfg.head_dim, cfg.n_heads
+        x1 = _norm(cfg, h, bp["ln1"])
+        if stage == "qkv":
+            return x1
+        q = qlinear(x1, bp["q"], f"{prefix}.q", site("q"), None, "fake", None)
+        k = qlinear(x1, bp["k"], f"{prefix}.k", site("k"), None, "fake", None)
+        v = qlinear(x1, bp["v"], f"{prefix}.v", site("v"), None, "fake", None)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, H, hd)
+        v = v.reshape(B, T, H, hd)
+        if cos is not None:
+            q, k = L.apply_rope(q, k, cos, sin)
+        a = L.attention(q, k, v).reshape(B, T, H * hd)
+        if stage == "o":
+            return a
+        a = qlinear(a, bp["o"], f"{prefix}.o", site("o"), None, "fake", None)
+        if cfg.layerscale and "ls1" in bp:
+            a = a * bp["ls1"]["w"].astype(a.dtype)
+        h2 = h + a
+        x2 = _norm(cfg, h2, bp["ln2"])
+        if stage == "fc1":
+            return x2
+        y = qlinear(x2, bp["fc1"], f"{prefix}.fc1", site("fc1"), None, "fake", None)
+        y = _act(cfg, y)
+        if stage == "fc2":
+            return y
+        y = qlinear(y, bp["fc2"], f"{prefix}.fc2", site("fc2"), None, "fake", None)
+        if cfg.layerscale and "ls2" in bp:
+            y = y * bp["ls2"]["w"].astype(y.dtype)
+        return h2 + y
+
+    return f
+
+
+def gptq_quantize_vit(
+    cfg,  # ViTConfig
+    vit_params: Dict,
+    feat_batches: List[jax.Array],  # post-patch-embed(+pos/pre) features (B,T,W)
+    specs: Dict[str, SiteSpec],
+    grids: Optional[List[jax.Array]] = None,  # (B,T,2) for rotary_2d towers
+    gcfg: GPTQConfig = GPTQConfig(),
+    prefix: str = "vis",
+) -> tuple[Dict, Dict]:
+    """GPTQ for the vision tower blocks. ``feat_batches`` are the block-0 inputs
+    (the caller runs patch-embed + pos/pre-norm once). Returns (vit_params,
+    report). The patch-embed linear itself is quantized separately by the
+    pipeline (its input is raw pixels; RTN suffices — capability parity with the
+    conv GPTQ path can reuse gptq_quantize_matrix on patch pixels)."""
+    stage_fns = {s: make_vit_stage_fn(cfg, specs, s, prefix) for s in VIT_STAGES}
+    hess = jax.jit(C.accumulate_hessian)
+
+    pre = []
+    for i, h in enumerate(feat_batches):
+        cos = sin = None
+        if cfg.rotary_2d and grids is not None:
+            from ..models.vision import rot2d_tables
+
+            cos, sin = jax.vmap(lambda g: rot2d_tables(g, cfg.head_dim))(grids[i])
+        pre.append((cos, sin))
+
+    def quantize_site(bp, name, H):
+        spec = specs.get(f"{prefix}.{name}")
+        if spec is None or spec.w_bits is None:
+            return bp, None
+        sp = dict(bp[name])
+        if gcfg.use_rtn:
+            from ..core import quant as Q
+
+            sp["w"] = Q.rtn_fake_quant_weight(
+                sp["w"].astype(jnp.float32), spec.w_bits,
+                mse_clip=gcfg.mse_clip).astype(bp[name]["w"].dtype)
+        else:
+            res = C.gptq_quantize_matrix(
+                sp["w"].astype(jnp.float32), H, bits=spec.w_bits,
+                percdamp=gcfg.percdamp, act_order=gcfg.act_order,
+                group_size=gcfg.group_size, mse_clip=gcfg.mse_clip)
+            sp["w"] = res.w.astype(bp[name]["w"].dtype)
+        bp = dict(bp)
+        bp[name] = sp
+        return bp, False
+
+    report = {"fallbacks": [], "sites": 0}
+    hb = feat_batches
+    new_blocks = []
+    nL = cfg.n_layers
+    for l in range(nL):
+        bp = jax.tree.map(lambda x: x[l], vit_params["blocks"])
+        groups = (("qkv", ("q", "k", "v")), ("o", ("o",)),
+                  ("fc1", ("fc1",)), ("fc2", ("fc2",)))
+        for stage, names in groups:
+            Hs = None
+            for h, (cos, sin) in zip(hb, pre):
+                x = stage_fns[stage](bp, h, cos, sin)
+                Hs = hess(Hs, x) if Hs is not None else C.accumulate_hessian(None, x)
+            for nm in names:
+                bp, fb = quantize_site(bp, nm, Hs)
+                _track(report, f"{prefix}L{l}.{nm}", fb)
+        if l < nL - 1:
+            hb = [stage_fns["next"](bp, h, cos, sin)
+                  for h, (cos, sin) in zip(hb, pre)]
+        new_blocks.append(bp)
+
+    out = dict(vit_params)
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *new_blocks)
+    return out, report

@@ -136,6 +136,27 @@ def rot2d_tables(grid_hw: jax.Array, head_dim: int, theta: float = 10000.0):
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def vit_preamble(cfg: ViTConfig, params: Dict, patches: jax.Array,
+                 specs=None, state=None, mode: str = "fp", tape=None,
+                 prefix: str = "vis") -> jax.Array:
+    """Everything before the transformer blocks: patch-embed linear (+pos,
+    +ln_pre, +fc_sub_mean). Factored out so the GPTQ driver can produce
+    block-0 inputs."""
+    specs = specs or {}
+    T = patches.shape[1]
+    h = qlinear(patches.astype(cfg.dtype), params["patch_embed"],
+                f"{prefix}.patch_embed", specs.get(f"{prefix}.patch_embed"),
+                state, mode, tape)
+    if cfg.n_pos and "pos_embed" in params:
+        h = h + params["pos_embed"]["w"][None, :T].astype(h.dtype)
+    if cfg.pre_norm and "ln_pre" in params:
+        h = _norm(cfg, h, params["ln_pre"])
+        if "fc_sub_mean" in params:  # Qwen-VL explicit centering projection
+            h = qlinear(h, params["fc_sub_mean"], f"{prefix}.fc_sub_mean",
+                        None, None, "fp", None)
+    return h
+
+
 def vit_forward(
     cfg: ViTConfig,
     params: Dict,
@@ -159,15 +180,7 @@ def vit_forward(
     tape0 = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
     if tape0 is not None and token_mask is not None:
         tape0.mask = token_mask
-    h = qlinear(patches.astype(cfg.dtype), params["patch_embed"],
-                f"{prefix}.patch_embed", site("patch_embed"), state, mode, tape0)
-    if cfg.n_pos and "pos_embed" in params:
-        h = h + params["pos_embed"]["w"][None, :T].astype(h.dtype)
-    if cfg.pre_norm and "ln_pre" in params:
-        h = _norm(cfg, h, params["ln_pre"])
-        if "fc_sub_mean" in params:  # Qwen-VL explicit centering projection
-            h = qlinear(h, params["fc_sub_mean"], f"{prefix}.fc_sub_mean",
-                        None, None, "fp", None)
+    h = vit_preamble(cfg, params, patches, specs, state, mode, tape0, prefix)
 
     cos = sin = None
     if cfg.rotary_2d:

@@ -167,12 +167,38 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
 
     params = dict(params)
 
-    # visual / projector subsystems: RTN per site (path-resolved)
+    # vision tower: GPTQ when enabled (stage-sequential over blocks)
+    vit_gptq_done = False
+    vis_w = specs.get("vis.q", SiteSpec()).w_bits
+    if (not q.visual_w_rtn and vis_w is not None and calib_batches
+            and "vit" in params):
+        from .gptq.driver import GPTQConfig, gptq_quantize_vit
+        from .models.vision import vit_preamble
+
+        feats, grids = [], []
+        for b in calib_batches:
+            if b.get("patches") is None:
+                continue
+            feats.append(vit_preamble(cfg.vit, params["vit"], b["patches"]))
+            grids.append(b.get("grid_hw"))
+        if feats:
+            gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
+                              group_size=q.w_groupsize, mse_clip=q.w_clip)
+            params["vit"], vrep = gptq_quantize_vit(
+                cfg.vit, params["vit"], feats, specs,
+                grids=grids if cfg.vit.rotary_2d else None, gcfg=gcfg)
+            vit_gptq_done = True
+            if vrep["fallbacks"]:
+                log.warning(f"visual GPTQ RTN-fallbacks: {vrep['fallbacks']}")
+
+    # other visual / projector sites: RTN (path-resolved)
     group_of = {"vis": "vit", "merger": "merger", "res": "res", "proj": "proj"}
     for name, spec in specs.items():
         prefix, site = name.split(".", 1)
         if prefix == "llm" or spec.w_bits is None:
             continue
+        if vit_gptq_done and prefix == "vis" and site in VIT_SITES:
+            continue  # already GPTQ-quantized
         group_key = group_of[prefix]
         if group_key not in params:
             continue

@@ -98,3 +98,44 @@ class TestGptqDriver:
         qr = RZ.rtn_quantize_decoder(CFG, fused, specs)
         np.testing.assert_allclose(np.asarray(q["layers"]["q"]["w"]),
                                    np.asarray(qr["layers"]["q"]["w"]), atol=1e-6)
+
+
+class TestVitGptq:
+    def test_vit_gptq_beats_rtn(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.gptq.driver import GPTQConfig, gptq_quantize_vit
+        from mquant_tpu.models.vision import ViTConfig, init_vit_params, vit_forward
+        from mquant_tpu.core import quant as Q
+
+        cfg = ViTConfig(width=32, n_layers=2, n_heads=2, mlp_width=64,
+                        patch_dim=48, dtype=jnp.float32)
+        params = init_vit_params(cfg, jax.random.key(0))
+        patches = jax.random.normal(jax.random.key(1), (2, 16, 48), jnp.float32)
+        ref, _ = vit_forward(cfg, params, patches)
+
+        from mquant_tpu.models.vision import vit_preamble, VIT_SITES
+
+        feats = [vit_preamble(cfg, params, patches)]
+        specs = {f"vis.{s}": SiteSpec(w_bits=3, a_bits=8, a_static=True)
+                 for s in VIT_SITES}
+        qv, rep = gptq_quantize_vit(cfg, params, feats, specs)
+        assert rep["sites"] == 2 * 6
+        pg = dict(params)
+        pg["blocks"] = qv["blocks"]
+        nospec = {k: dataclasses.replace(v, a_bits=None) for k, v in specs.items()}
+        out_g, _ = vit_forward(cfg, pg, patches, specs=nospec, mode="fake")
+
+        # RTN comparison
+        pr = dict(params)
+        blocks = dict(pr["blocks"])
+        for s in VIT_SITES:
+            site = dict(blocks[s])
+            site["w"] = Q.rtn_fake_quant_weight(site["w"], 3, reduce_axes=(-2,))
+            blocks[s] = site
+        pr["blocks"] = blocks
+        out_r, _ = vit_forward(cfg, pr, patches, specs=nospec, mode="fake")
+
+        e_g = float(jnp.linalg.norm(out_g - ref))
+        e_r = float(jnp.linalg.norm(out_r - ref))
+        assert e_g < e_r, (e_g, e_r)
