@@ -191,8 +191,9 @@ def measure_ttft(gen: Generator, tokens: jax.Array, iters: int = 5) -> float:
         logits, _ = gen.prefill(toks_i)
         _force(logits)
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    # min, not median: the runtime adds large one-off warmup spikes (first
+    # execution of a program after load can be ~3× slow); noise is additive
+    return min(times)
 
 
 def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64,
@@ -209,11 +210,13 @@ def measure_decode_tps(gen: Generator, tokens: jax.Array, n_tokens: int = 64,
         dec = gen._decode_n(n_tokens)
         out, _ = dec(gen.params, tok, cache)  # warmup compile
         _force(out)
-        t0 = time.perf_counter()
-        out, _ = dec(gen.params, (tok + 1) % 100, cache)
-        _force(out)
-        dt = time.perf_counter() - t0
-        return n_tokens * tokens.shape[0] / dt
+        best = float("inf")
+        for i in range(3):  # best-of-3: one-off runtime warmup spikes are ~3×
+            t0 = time.perf_counter()
+            out, _ = dec(gen.params, (tok + 1 + i) % 100, cache)
+            _force(out)
+            best = min(best, time.perf_counter() - t0)
+        return n_tokens * tokens.shape[0] / best
     step = gen._decode()
     logits, cache2 = step(gen.params, tok, cache)  # warmup compile
     _force(logits)
