@@ -24,9 +24,11 @@ def test_capture_and_summary():
 
     def fwd(b, collect_samples=False):
         kwargs = {k: v for k, v in b.items() if k not in ("tokens", "patches")}
-        return fam.forward_fn(cfg, params, b["tokens"], b["patches"],
-                              specs=specs, mode="calib", collect_stats=True,
-                              collect_samples=collect_samples, **kwargs)
+        logits, _, st = fam.forward_fn(cfg, params, b["tokens"], b["patches"],
+                                       specs=specs, mode="calib",
+                                       collect_stats=True,
+                                       collect_samples=collect_samples, **kwargs)
+        return logits, st
 
     samples = D.capture_activations(fwd, batch)
     assert "llm.q" in samples and samples["llm.q"].ndim == 3
