@@ -1,0 +1,56 @@
+"""Chat prompt construction per model family.
+
+Capability parity with the reference's context builders: Qwen-VL's ChatML
+``make_context`` (ref: model/qwen_generation_utils.py:119) with ``<img>`` tags
+(ref: model/tokenization_qwen.py from_list_format), Qwen2-VL's vision
+start/end + image_pad ChatML, InternVL's <image> convention, MiniCPM-V's
+interleaved messages (ref: exam/minicpmv.py:60-125 generate_with_interleaved),
+GLM-4V's boi/eoi span. Token ids come from an injectable tokenizer; the
+image-slot count is supplied by the caller (depends on resolution).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+
+def build_chat_prompt(family: str, question: str, n_image_tokens: int,
+                      system: Optional[str] = None) -> dict:
+    """→ {"text_before", "text_after", "image_slot"} pieces; the runner encodes
+    text pieces and splices ``n_image_tokens`` image-pad tokens between them."""
+    system = system or "You are a helpful assistant."
+    if family == "qwen2vl":
+        before = (f"<|im_start|>system\n{system}<|im_end|>\n"
+                  f"<|im_start|>user\n<|vision_start|>")
+        after = f"<|vision_end|>{question}<|im_end|>\n<|im_start|>assistant\n"
+    elif family == "qwenvl":
+        # ChatML with Picture tags (ref: make_context + from_list_format)
+        before = (f"<|im_start|>system\n{system}<|im_end|>\n"
+                  f"<|im_start|>user\nPicture 1: <img>")
+        after = f"</img>\n{question}<|im_end|>\n<|im_start|>assistant\n"
+    elif family == "internvl":
+        before = f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n<img>"
+        after = f"</img>\n{question}<|im_end|>\n<|im_start|>assistant\n"
+    elif family == "minicpmv":
+        before = f"<|im_start|>user\n<image>"
+        after = f"</image>\n{question}<|im_end|>\n<|im_start|>assistant\n"
+    elif family == "glm4v":
+        before = "[gMASK]<sop><|user|>\n"
+        after = f"\n{question}<|assistant|>\n"
+    else:
+        before, after = "", question
+    return {"text_before": before, "text_after": after,
+            "n_image_tokens": n_image_tokens}
+
+
+def build_interleaved(family: str, segments: List, n_image_tokens: int) -> List[dict]:
+    """Interleaved text/image message building (the reference's MiniCPM-V
+    ``generate_with_interleaved``): segments is a list of strings and the
+    literal marker "<image>"; returns [{"kind": "text"|"image", ...}] pieces."""
+    out = []
+    for seg in segments:
+        if seg == "<image>":
+            out.append({"kind": "image", "n_tokens": n_image_tokens})
+        else:
+            out.append({"kind": "text", "text": seg})
+    return out
