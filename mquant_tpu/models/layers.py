@@ -276,7 +276,7 @@ def attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    if (causal and mask is None and T == k.shape[1] and T >= 512
+    if (causal and mask is None and T == k.shape[1] and T >= 2048
             and hd % 128 == 0 and T % 128 == 0
             and jax.default_backend() in ("tpu", "axon")):
         from jax.experimental.pallas.ops.tpu.flash_attention import (

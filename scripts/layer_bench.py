@@ -85,12 +85,12 @@ hs = [jax.random.normal(jax.random.fold_in(key, 100 + i), (B, T, cfg.hidden),
                         jnp.bfloat16) for i in range(4)]
 
 
-def run(label, lp, specs, mode, st=None):
+def run(label, lp, specs, mode, st=None, flash=False):
     @jax.jit
     def f(lp, h):
         def body(i, h):
             out, _ = _layer_step(cfg, specs or {}, mode, h, lp, st, None, None,
-                                 cos, sin, mask, None)
+                                 cos, sin, None if flash else mask, None)
             return out.astype(h.dtype)
 
         return jax.lax.fori_loop(0, CHAIN, body, h)
@@ -108,14 +108,19 @@ def run(label, lp, specs, mode, st=None):
           flush=True)
 
 
+import dataclasses as _dc
+
+
+def specs_noact(had=True):
+    s = specs_of(had)
+    return {k: _dc.replace(v, a_bits=None) for k, v in s.items()}
+
+
 if __name__ == "__main__":
     lp_bf = mk_layer_bf16()
-    run("bf16 (I=19968)", lp_bf, None, "fp")
+    run("bf16 einsum-attn", lp_bf, None, "fp")
+    run("bf16 flash-attn", lp_bf, None, "fp", flash=True)
     lq8 = quantify(lp_bf, 8)
-    run("w8a8 XLA nohad", lq8, specs_of(had=False), "real", state)
-    run("w8a8 XLA +had", lq8, specs_of(had=True), "real", state)
-    lq = quantify(lp_bf, 4)
-    run("w4a8 pallas +had", lq, specs_of(), "real", state)
-    os.environ["MQUANT_DISABLE_PALLAS"] = "1"
-    run("w4a8 XLA +had", lq, specs_of(), "real", state)
-    os.environ.pop("MQUANT_DISABLE_PALLAS")
+    run("w8a8 flash nohad", lq8, specs_of(had=False), "real", state, flash=True)
+    run("w8a8 flash +had", lq8, specs_of(had=True), "real", state, flash=True)
+
