@@ -34,7 +34,7 @@ class Generator:
 
     def __init__(self, cfg: DecoderConfig, params, specs=None, state=None,
                  mode: str = "fp", max_len: int = 512, batch: int = 1,
-                 embedder=None, kv_quant: bool = False):
+                 kv_quant: bool = False):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -42,7 +42,6 @@ class Generator:
         self.mode = mode
         self.max_len = max_len
         self.batch = batch
-        self.embedder = embedder  # optional fn(params, tokens, extra) -> embeds
         self.kv_quant = kv_quant  # int8 KV cache
         self._prefill_cache: Dict[int, Any] = {}
         self._decode_fn = None

@@ -135,22 +135,3 @@ def fold_layerscale_into_linear(linear: dict, ls_gamma: np.ndarray) -> dict:
     if linear.get("b") is not None:
         new["b"] = _f64(linear["b"]) * g
     return new
-
-
-# ---------------------------------------------------------------------------
-# functional norm forwards (used by the model zoo)
-# ---------------------------------------------------------------------------
-
-
-def fuse_report(params_before: Dict, params_after: Dict) -> str:
-    before = sum(np.asarray(v).size for v in _leaves(params_before))
-    after = sum(np.asarray(v).size for v in _leaves(params_after))
-    return f"fused params: {before} → {after} elements"
-
-
-def _leaves(d):
-    for v in d.values():
-        if isinstance(v, dict):
-            yield from _leaves(v)
-        elif v is not None:
-            yield v
