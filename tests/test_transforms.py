@@ -244,3 +244,46 @@ class TestQuantPipeline:
         out_real = fwd(CFG, qreal, toks, specs=specs, mode="real")
         rel = float(jnp.linalg.norm(out_real - out_fake) / jnp.linalg.norm(out_fake))
         assert rel < 0.05, rel
+
+
+class TestSiteCapabilities:
+    def test_out_quantizer(self, rng):
+        """Output quantization (ref ActQuantWrapper output quantizer path)."""
+        import jax
+        from mquant_tpu.models.layers import SiteSpec, Tape, qlinear
+        from mquant_tpu.core.quant import QuantParams
+
+        w = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        spec = SiteSpec(a_bits=8, a_static=True, out_bits=8)
+        # calib records both input and #out stats
+        tape = Tape(specs={"s": spec})
+        qlinear(x, {"w": w, "b": None}, "s", spec, None, "calib", tape)
+        assert "s" in tape.stats and "s#out" in tape.stats
+        # with finalized out-state, output is fake-quantized
+        state = {"s": {"act": QuantParams(scale=jnp.float32(0.05)),
+                       "out": QuantParams(scale=jnp.float32(0.1))}}
+        y = qlinear(x, {"w": w, "b": None}, "s", spec, state, "fake")
+        grid = np.asarray(y) / 0.1
+        np.testing.assert_allclose(grid, np.round(grid), atol=1e-4)
+
+    def test_online_had_head_mode(self, rng):
+        """Per-head online Hadamard (the reference's online_partial_had,
+        ref quant_utils.py:349-365): folding the per-head transform into the
+        weight's input side must preserve the function."""
+        from mquant_tpu.models.layers import SiteSpec, qlinear
+        from mquant_tpu.transform.hadamard import transform_matrix
+
+        hd, heads, out = 16, 4, 8
+        n = hd * heads
+        w = rng.normal(size=(n, out))
+        x = jnp.asarray(rng.normal(size=(4, n)), jnp.float32)
+        ref = np.asarray(x) @ w
+        Hh = transform_matrix(hd)
+        # runtime applies x_head @ Hhᵀ per head → fold Hh into w per head block
+        w_fold = (w.reshape(heads, hd, out).transpose(0, 2, 1) @ Hh.T
+                  ).transpose(0, 2, 1).reshape(n, out)
+        spec = SiteSpec(online_had="head", head_dim=hd)
+        y = qlinear(x, {"w": jnp.asarray(w_fold, jnp.float32), "b": None},
+                    "s", spec, None, "fake")
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
