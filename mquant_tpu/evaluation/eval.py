@@ -137,18 +137,22 @@ def build_dataset(name_or_path: str, data_root: Optional[str] = None) -> EvalDat
 
 def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
                  out_dir: str = "output", model_name: str = "model",
-                 limit: Optional[int] = None, verbose: bool = False) -> Dict:
+                 limit: Optional[int] = None, verbose: bool = False,
+                 shard: Optional[tuple] = None) -> Dict:
     """Serial eval loop (ref: evaluation/eval.py:9-58). ``generate_fn`` maps one
     prompt struct → prediction text. Dumps results + prints the metric table.
 
-    Data-parallel fan-out (the VLMEvalKit mp_util equivalent) is achieved by
-    sharding `dataset` rows across hosts and merging result files.
+    ``shard=(i, n)`` evaluates every n-th row starting at i — the data-parallel
+    fan-out of VLMEvalKit's mp_util (ref: third/VLMEvalKit/vlmeval/utils/
+    mp_util.py): run n processes/hosts with distinct shards and merge the
+    result files with :func:`merge_results`.
     """
     os.makedirs(out_dir, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
+    rows_iter = range(n) if shard is None else range(shard[0], n, shard[1])
     results = []
     t0 = time.time()
-    for i in range(n):
+    for i in rows_iter:
         prompt = dataset.build_prompt(i)
         pred = generate_fn(prompt)
         row = dict(prompt)
@@ -175,9 +179,34 @@ def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
             w.writeheader()
             w.writerows(results)
 
-    metrics = dataset.evaluate(results)
+    metrics = dataset.evaluate(results) if shard is None else {"sharded": 1.0}
     print(f"== {dataset.name} ({n} samples, {dt:.1f}s) → {out_file}")
     for k, v in metrics.items():
         print(f"   {k}: {v:.2f}" if isinstance(v, float) else f"   {k}: {v}")
     return {"metrics": metrics, "results_file": out_file, "n": n,
             "seconds": dt}
+
+
+def merge_results(dataset: EvalDataset, result_files) -> Dict[str, float]:
+    """Merge sharded eval result files (csv/xlsx) and score them."""
+    rows = []
+    for f in result_files:
+        if f.endswith(".xlsx"):
+            import pandas as pd
+
+            rows += pd.read_excel(f).to_dict("records")
+        else:
+            import csv
+
+            with open(f, newline="") as fh:
+                rows += list(csv.DictReader(fh))
+    for r in rows:  # csv stringifies lists
+        if isinstance(r.get("answers"), str) and r["answers"].startswith("["):
+            import ast
+
+            r["answers"] = ast.literal_eval(r["answers"])
+        if isinstance(r.get("options"), str) and r["options"].startswith("{"):
+            import ast
+
+            r["options"] = ast.literal_eval(r["options"])
+    return dataset.evaluate(rows)

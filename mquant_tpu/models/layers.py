@@ -276,7 +276,10 @@ def attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    if (causal and mask is None and T == k.shape[1] and T >= 2048
+    import os
+
+    flash_min_t = int(os.environ.get("MQUANT_FLASH_MIN_T", "2048"))
+    if (causal and mask is None and T == k.shape[1] and T >= flash_min_t
             and hd % 128 == 0 and T % 128 == 0
             and jax.default_backend() in ("tpu", "axon")):
         from jax.experimental.pallas.ops.tpu.flash_attention import (

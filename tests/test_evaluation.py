@@ -113,3 +113,23 @@ class TestEvalLoop:
         m = ds.evaluate([{**ds.build_prompt(i),
                           "prediction": ["Yes", "No"][i]} for i in range(2)])
         assert m["total"] == pytest.approx(200.0)
+
+
+class TestShardedEval:
+    def test_shard_and_merge(self, tmp_path):
+        from mquant_tpu.evaluation.eval import (SyntheticVQADataset,
+                                                eval_dataset, merge_results)
+
+        ds = SyntheticVQADataset(n=6)
+
+        def gen(prompt):
+            return prompt["answers"][0]  # oracle
+
+        files = []
+        for i in range(2):
+            r = eval_dataset(gen, ds, out_dir=str(tmp_path), model_name=f"s{i}",
+                             shard=(i, 2))
+            assert r["n"] == 6  # n reports the dataset bound
+            files.append(r["results_file"])
+        m = merge_results(ds, files)
+        assert m["acc"] == 100.0
