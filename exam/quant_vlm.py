@@ -43,6 +43,8 @@ def parser_gen(model_default=None):
     p.add_argument("--visual_w_bits", type=int, default=8)
     p.add_argument("--llm_w_bits", type=int, default=4)
     p.add_argument("--visual_w_rtn", action="store_true", default=True)
+    p.add_argument("--visual_w_gptq", action="store_true",
+                   help="GPTQ for the vision tower blocks (default: RTN)")
     p.add_argument("--llm_w_rtn", action="store_true")
     p.add_argument("--visual_w_clip", "--llm_w_clip", dest="w_clip",
                    action="store_true")
@@ -89,7 +91,8 @@ def main(args=None):
         rotate_visual=not args.no_rotate_visual,
         online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
         visual_w_bits=args.visual_w_bits, llm_w_bits=args.llm_w_bits,
-        visual_w_rtn=args.visual_w_rtn, llm_w_rtn=args.llm_w_rtn,
+        visual_w_rtn=args.visual_w_rtn and not args.visual_w_gptq,
+        llm_w_rtn=args.llm_w_rtn,
         w_clip=args.w_clip, w_groupsize=args.w_groupsize,
         act_order=args.act_order, percdamp=args.percdamp,
         nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
