@@ -270,40 +270,50 @@ def attention(
     fuses well at moderate lengths."""
     B, T, H, hd = q.shape
     KVH = k.shape[2]
+    S = k.shape[1]
     scale = scale if scale is not None else hd**-0.5
-    if H != KVH:
-        rep = H // KVH
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
 
     import os
 
     flash_min_t = int(os.environ.get("MQUANT_FLASH_MIN_T", "2048"))
-    if (causal and mask is None and T == k.shape[1] and T >= flash_min_t
+    if (causal and mask is None and T == S and T >= flash_min_t
             and hd % 128 == 0 and T % 128 == 0
             and jax.default_backend() in ("tpu", "axon")):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
         )
 
+        if H != KVH:  # the kernel needs equal head counts
+            rep = H // KVH
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), causal=True, sm_scale=scale)
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
-    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    # grouped-query einsum: contract against the KV heads directly instead of
+    # materializing repeated k/v (saves (G−1)/G of the kv read/expand traffic —
+    # the dominant decode-attention cost at GQA ratios like 28/4)
+    G = H // KVH
+    qg = q.reshape(B, T, KVH, G, hd)
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:
+        m = mask[:, :, None] if mask.ndim == 4 else mask  # (B,1,1,T,S)
         if mask.dtype == jnp.bool_:
-            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            logits = jnp.where(m, logits, jnp.float32(-1e30))
         else:
-            logits = logits + mask
+            logits = logits + m
     if causal and mask is None:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (T, k.shape[1]), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (T, k.shape[1]), 1)
-        logits = jnp.where((cols <= rows)[None, None], logits, jnp.float32(-1e30))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        logits = jnp.where((cols <= rows)[None, None, None], logits,
+                           jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhts,bshd->bthd", probs, v)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v)
+    return out.reshape(B, T, H, hd)
 
 
 def causal_mask(T: int, S: int, offset: int = 0) -> jax.Array:

@@ -1,5 +1,6 @@
 """Chat templating + resolution bucketing tests."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -76,3 +77,41 @@ class TestMaskedVitForward:
         out, _ = vit_forward(cfg, params, xp, token_mask=mask)
         np.testing.assert_allclose(np.asarray(out[:, :8]), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestGroupedAttention:
+    def test_grouped_matches_repeat(self, rng):
+        """The grouped-query einsum must equal the naive repeat formulation."""
+        import jax.numpy as jnp
+
+        from mquant_tpu.models import layers as L
+
+        B, T, S, H, KVH, hd = 2, 5, 9, 8, 2, 16
+        q = jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, S, KVH, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, KVH, hd)), jnp.float32)
+        mask = jnp.asarray(rng.integers(0, 2, size=(B, 1, T, S)), bool)
+        mask = mask.at[..., 0].set(True)  # every row attends somewhere
+        out = L.attention(q, k, v, mask)
+
+        kr = jnp.repeat(k, H // KVH, axis=2)
+        vr = jnp.repeat(v, H // KVH, axis=2)
+        logits = jnp.einsum("bthd,bshd->bhts", q, kr) * hd**-0.5
+        logits = jnp.where(mask, logits, -1e30)
+        ref = jnp.einsum("bhts,bshd->bthd",
+                         jax.nn.softmax(logits, axis=-1), vr)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_causal_flag_matches_mask(self, rng):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models import layers as L
+
+        B, T, H, hd = 1, 6, 4, 8
+        q = jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+        a = L.attention(q, k, v, causal=True)
+        b = L.attention(q, k, v, L.causal_mask(T, T))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
