@@ -70,14 +70,19 @@ def online_hadamard(x: jax.Array) -> jax.Array:
     n = x.shape[-1]
     A_np, B_np, K = _factors(n)
     m = n // K
-    dt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    # bf16 inputs run bf16 MXU matmuls with f32 accumulation — the transform
+    # feeds an int8 quantizer, so bf16 operand precision is immaterial, and the
+    # matmuls run at full MXU rate instead of the f32 (1/4-rate) path.
+    dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32, jnp.float64) else jnp.float32
     A = jnp.asarray(A_np, dt)
     B = jnp.asarray(B_np, dt)
     xr = x.astype(dt).reshape(*x.shape[:-1], K, m)
     # over the minor axis: both factor matrices are applied as y_i = Σ_j M[i,j] x_j;
     # B (pow2 Sylvester) is symmetric so xr @ B == B-transform over m.
-    t = jnp.einsum("...km,mj->...kj", xr, B)
-    out = jnp.einsum("kl,...lm->...km", A, t)
+    t = jnp.einsum("...km,mj->...kj", xr, B,
+                   preferred_element_type=jnp.float32).astype(dt)
+    out = jnp.einsum("kl,...lm->...km", A, t,
+                     preferred_element_type=jnp.float32)
     return out.reshape(x.shape).astype(x.dtype)
 
 
