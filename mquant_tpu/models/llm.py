@@ -290,6 +290,13 @@ def decoder_forward(
         offset = cache["pos"] if cache is not None else 0
         positions = jnp.arange(T)[None, :] + offset  # (B=1 broadcast, T)
         positions = jnp.broadcast_to(positions, (B, T))
+        if cache is not None and "rope_delta" in cache:
+            # M-RoPE decode: generated tokens continue at max(prefill
+            # positions)+1, not at the token count — with an image in the
+            # prompt the two differ by hundreds (HF get_rope_index/rope_deltas
+            # parity). The attention mask below still uses cache["pos"] (the
+            # true token count); only the RoPE angle shifts.
+            positions = positions + cache["rope_delta"][:, None]
     cos, sin = rope_tables(cfg, positions, jnp.float32)
 
     if attn_mask is None and cache is not None and not prefill_fresh:
@@ -327,8 +334,9 @@ def decoder_forward(
         return h, ys
 
     cache_arrays = None
+    _CACHE_SCALARS = ("pos", "rope_delta")  # no leading (L,) axis → not scanned
     if cache is not None:
-        cache_arrays = {k: v for k, v in cache.items() if k != "pos"}
+        cache_arrays = {k: v for k, v in cache.items() if k not in _CACHE_SCALARS}
     xs = (params["layers"], lstate, cache_arrays)
     h, ys = jax.lax.scan(body, h, xs)
 
@@ -344,6 +352,8 @@ def decoder_forward(
     if cache is not None:
         new_cache = dict(ys["cache"])
         new_cache["pos"] = cache["pos"] + T
+        if "rope_delta" in cache:
+            new_cache["rope_delta"] = cache["rope_delta"]
     stats = ys.get("stats") if isinstance(ys, dict) else None
     samples = ys.get("samples") if isinstance(ys, dict) else None
     return logits, new_cache, (stats, samples) if collect_stats else None

@@ -53,7 +53,8 @@ class Generator:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
 
             @jax.jit
-            def prefill(params, tokens_or_embeds, cache, positions, length):
+            def prefill(params, tokens_or_embeds, cache, positions, length,
+                        rope_delta):
                 # causality + the true-length limit are both enforced by the
                 # prefill_fresh T×T causal attention (padded rows' outputs are
                 # discarded and their cache rows overwritten during decode)
@@ -65,6 +66,9 @@ class Generator:
                 # cache position advances by the TRUE length, not the padded T
                 cache2 = dict(cache2)
                 cache2["pos"] = cache["pos"] + length
+                # M-RoPE: decode tokens continue at max(position)+1, which for
+                # image prompts is ≪ token count (HF rope_deltas parity)
+                cache2["rope_delta"] = rope_delta
                 return logits, cache2
 
             self._prefill_cache[T] = prefill
@@ -76,8 +80,10 @@ class Generator:
 
             @jax.jit
             def step(params, tok, cache, pos_override=None):
-                positions = (pos_override if pos_override is not None
-                             else jnp.broadcast_to(cache["pos"], (tok.shape[0], 1)))
+                base = jnp.broadcast_to(cache["pos"], (tok.shape[0], 1))
+                if "rope_delta" in cache:  # M-RoPE continuation (see prefill)
+                    base = base + cache["rope_delta"][:, None]
+                positions = pos_override if pos_override is not None else base
                 logits, cache2, _ = decoder_forward(
                     cfg, params, tok, specs=specs, state=state, mode=mode,
                     cache=cache, positions=positions)
@@ -131,6 +137,17 @@ class Generator:
         """Run (padded) prefill; returns (last-token logits, cache)."""
         B, T = tokens_or_embeds.shape[:2]
         length = T
+        # rope_delta from the UNPADDED positions: max over the true region
+        # (edge-padded positions repeat the last value so a later max would be
+        # fine too, but default arange positions cover the padded bucket)
+        if positions is not None:
+            axes = (0, -1) if positions.ndim == 3 else (-1,)
+            pmax = jnp.max(positions, axis=axes)
+            rope_delta = (pmax.astype(jnp.int32) + 1
+                          - jnp.asarray(length, jnp.int32))
+            rope_delta = jnp.broadcast_to(rope_delta.reshape(-1), (B,))
+        else:
+            rope_delta = jnp.zeros((B,), jnp.int32)
         Tb = bucket_len(T)
         pad = Tb - T
         if pad:
@@ -147,7 +164,7 @@ class Generator:
         cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
         logits, cache = self._prefill_fn(Tb)(
             self.params, tokens_or_embeds, cache, positions,
-            jnp.asarray(length, jnp.int32))
+            jnp.asarray(length, jnp.int32), rope_delta)
         return logits[:, 0], cache
 
     def generate(self, tokens: jax.Array, max_new_tokens: int = 32,

@@ -184,3 +184,62 @@ class TestKVCacheQuant:
         # int8 KV rarely flips greedy tokens on a tiny random model; require
         # at least the first tokens to agree
         assert int(a[0, 0]) == int(b[0, 0])
+
+
+class TestMRopeDecodeDelta:
+    """Generated tokens must continue RoPE at max(prefill position)+1, not at
+    the token count (HF get_rope_index/rope_deltas parity): with an image in
+    the prompt the M-RoPE position max is far below the sequence length."""
+
+    def test_decode_positions_continue_from_max_plus_one(self, tiny):
+        from mquant_tpu.models.llm import decoder_forward
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        T = toks.shape[1]
+        pos = mrope_positions(np.asarray(toks), cfg.image_token_id,
+                              grid_thw=(1, 4, 4))
+        pmax = int(pos.max())
+        assert pmax + 1 < T  # the bug is only observable when they differ
+
+        gen = Generator(cfg.llm, params["llm"], max_len=32)
+        embeds = params["llm"]["embed"]["w"][toks].astype(cfg.llm.dtype)
+        last, cache = gen.prefill(embeds, positions=jnp.asarray(pos))
+        nxt = jnp.argmax(last, axis=-1)[:, None].astype(jnp.int32)
+        step_logits, cache = gen._decode()(params["llm"], nxt, cache)
+
+        # reference: full uncached forward over T+1 tokens where the appended
+        # token's position is pmax+1 on all three planes
+        ext = np.concatenate([pos, np.full((3, 1, 1), pmax + 1)], axis=2)
+        seq = jnp.concatenate([toks, nxt.astype(toks.dtype)], axis=1)
+        full_logits, _, _ = decoder_forward(
+            cfg.llm, params["llm"], params["llm"]["embed"]["w"][seq].astype(cfg.llm.dtype),
+            positions=jnp.asarray(ext))
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, -1]),
+            rtol=2e-3, atol=2e-3)
+
+    def test_wrong_tokcount_positions_would_differ(self, tiny):
+        """Sanity: the old behavior (position = token count) gives different
+        logits, i.e. the test above actually discriminates."""
+        from mquant_tpu.models.llm import decoder_forward
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        T = toks.shape[1]
+        pos = mrope_positions(np.asarray(toks), cfg.image_token_id,
+                              grid_thw=(1, 4, 4))
+        pmax = int(pos.max())
+        gen = Generator(cfg.llm, params["llm"], max_len=32)
+        embeds = params["llm"]["embed"]["w"][toks].astype(cfg.llm.dtype)
+        last, cache = gen.prefill(embeds, positions=jnp.asarray(pos))
+        nxt = jnp.argmax(last, axis=-1)[:, None].astype(jnp.int32)
+        step_logits, _ = gen._decode()(params["llm"], nxt, cache)
+
+        wrong = np.concatenate([pos, np.full((3, 1, 1), T)], axis=2)
+        seq = jnp.concatenate([toks, nxt.astype(toks.dtype)], axis=1)
+        wrong_logits, _, _ = decoder_forward(
+            cfg.llm, params["llm"], params["llm"]["embed"]["w"][seq].astype(cfg.llm.dtype),
+            positions=jnp.asarray(wrong))
+        assert not np.allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(wrong_logits[:, -1]), atol=1e-4)
