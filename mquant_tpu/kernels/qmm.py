@@ -48,6 +48,15 @@ def _act_int8(x: jax.Array, spec, site_state) -> tuple[jax.Array, jax.Array]:
     """Quantize activation to int8; returns (q: int8, scale broadcastable)."""
     if spec.a_static and site_state is not None and site_state.get("act") is not None:
         qp = site_state["act"]
+        s = jnp.asarray(qp.scale)
+        if s.ndim >= 1 and s.shape and s.shape[-1] == x.shape[-1] and x.shape[-1] > 1:
+            # a per-channel scale over the CONTRACTED axis cannot be applied in
+            # the GEMM dequant epilogue (y = acc·x_scale·w_scale multiplies the
+            # output axis) — it must be folded into the weights instead.
+            raise NotImplementedError(
+                "per-channel static activation scales are not supported by the "
+                "real-int GEMM path; use per-tensor static scales or fold the "
+                "channel scales into the weight matrix")
         q = Q.quantize(x, qp, INT8)
         return q, qp.scale
     qp = Q.dynamic_qparams(x, INT8, axis=-1 if spec.a_per_token else None)
@@ -101,8 +110,24 @@ def quantized_matmul(
     """y = dequant(int8(x) @ int_w) with fused scales. Bias NOT added here."""
     out_dtype = out_dtype or x.dtype
     xq, x_scale = _act_int8(x, spec, site_state)
+    return quantized_matmul_pre(xq, x_scale, p, out_dtype)
+
+
+def quantized_matmul_pre(
+    xq: jax.Array,
+    x_scale: jax.Array,
+    p: Dict[str, Any],
+    out_dtype,
+) -> jax.Array:
+    """GEMM + dequant for an ALREADY int8-quantized activation.
+
+    Split out so sites sharing one input (q/k/v on the ln1 output, gate/up on
+    the ln2 output) quantize it ONCE — with static (or dynamic per-token)
+    scales the per-site quantizers see the identical tensor and produce the
+    identical int8 activation, so sharing is mathematically exact and saves
+    two full activation passes per site group."""
     # packedness inferred from static shapes: packed int4 stores in/2 rows
-    packed = p["w_q"].shape[-2] * 2 == x.shape[-1]
+    packed = p["w_q"].shape[-2] * 2 == xq.shape[-1]
     # Measured on v5e: the XLA path (materialized unpack + native s8 MXU dot)
     # beats the VMEM-unpack Pallas kernel at both prefill and GEMV shapes —
     # v5e has no native int4 MXU operand, so the VPU nibble decode costs more
@@ -115,7 +140,7 @@ def quantized_matmul(
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]
     tokens = 1
-    for d in x.shape[:-1]:
+    for d in xq.shape[:-1]:
         tokens *= d
     if tokens <= 32:
         # decode/GEMV: XLA's s8×s8 GEMV streams weights far below HBM peak.

@@ -201,6 +201,53 @@ def qlinear(
     return y
 
 
+def qlinear_group(
+    x: jax.Array,
+    ps: list,
+    names: list,
+    specs: Dict[str, Optional[SiteSpec]],
+    state: Optional[Dict[str, Any]] = None,
+    mode: str = "fp",
+    tape: Optional[Tape] = None,
+) -> list:
+    """Several linear sites sharing ONE input tensor (q/k/v on the ln1 output,
+    gate/up on the ln2 output).
+
+    On the real-int path the input is quantized ONCE for the whole group: the
+    per-site static scales were calibrated on the identical tensor (same
+    minmax ⇒ same scale), and dynamic per-token scales are a pure function of
+    x — so sharing is mathematically exact and saves len(group)-1 full
+    activation quantize passes per layer. Falls back to independent qlinear
+    calls whenever the fused conditions don't hold."""
+    sp = [specs.get(n) for n in names]
+    s0 = sp[0]
+    fusable = (
+        mode == "real"
+        and s0 is not None
+        and all(s == s0 for s in sp)
+        and s0.a_bits == 8
+        and s0.online_had is None
+        and not s0.split
+        and s0.out_bits is None
+        and all("w_q" in p and "w_col0" not in p for p in ps)
+    )
+    if not fusable:
+        return [qlinear(x, p, n, specs.get(n), state, mode, tape)
+                for p, n in zip(ps, names)]
+
+    from ..kernels.qmm import _act_int8, quantized_matmul_pre
+
+    site_state = None if state is None else state.get(names[0])
+    xq, x_scale = _act_int8(x, s0, site_state)
+    outs = []
+    for p, n in zip(ps, names):
+        y = quantized_matmul_pre(xq, x_scale, p, x.dtype)
+        if p.get("b") is not None:
+            y = y + p["b"].astype(y.dtype)
+        outs.append(y)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # norms / activations / rope
 # ---------------------------------------------------------------------------

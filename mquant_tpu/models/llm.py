@@ -186,9 +186,9 @@ def _layer_step(
         return specs.get("llm." + nm)
 
     x = L.rms_norm(h, lp["ln1"]["w"], cfg.norm_eps)
-    q = qlinear(x, lp["q"], "llm.q", site("q"), lstate, mode, tape)
-    k = qlinear(x, lp["k"], "llm.k", site("k"), lstate, mode, tape)
-    v = qlinear(x, lp["v"], "llm.v", site("v"), lstate, mode, tape)
+    q, k, v = L.qlinear_group(x, [lp["q"], lp["k"], lp["v"]],
+                              ["llm.q", "llm.k", "llm.v"], specs, lstate,
+                              mode, tape)
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, KV, hd)
     v = v.reshape(B, T, KV, hd)
@@ -248,8 +248,8 @@ def _layer_step(
     h = h + qlinear(attn, lp["o"], "llm.o", site("o"), lstate, mode, tape)
 
     x = L.rms_norm(h, lp["ln2"]["w"], cfg.norm_eps)
-    g = qlinear(x, lp["gate"], "llm.gate", site("gate"), lstate, mode, tape)
-    u = qlinear(x, lp["up"], "llm.up", site("up"), lstate, mode, tape)
+    g, u = L.qlinear_group(x, [lp["gate"], lp["up"]], ["llm.gate", "llm.up"],
+                           specs, lstate, mode, tape)
     a = L.swiglu(g, u)
     d = qlinear(a, lp["down"], "llm.down", site("down"), lstate, mode, tape)
     h = h + d

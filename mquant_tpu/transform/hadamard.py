@@ -29,8 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # Same factor table as the reference (ref: fake_quant/hadamard_utils.py:6), plus 40
-# which its get_hadK also accepts (ref: hadamard_utils.py:61-64).
-SUPPORTED_K = [172, 156, 140, 108, 60, 52, 40, 36, 28, 20, 12, 1]
+# which its get_hadK also accepts (ref: hadamard_utils.py:61-64), plus orders the
+# reference's literal table lacks but our generator constructs via Paley II:
+#   148 = 2(73+1),  73 prime ≡ 1 (mod 4) → Qwen2-VL-7B 18944 = 148·128 EXACT
+#   924 = 2(461+1), 461 prime ≡ 1 (mod 4) → Qwen2-VL-72B 29568 = 924·32 EXACT
+# (no MLP padding needed for those models: −5.4% gate/up/down FLOPs vs the
+# reference's auto_pad to 19968, ref: fake_quant/hadamard_utils.py:9-23).
+SUPPORTED_K = [924, 172, 156, 148, 140, 108, 60, 52, 40, 36, 28, 20, 12, 1]
 
 # Orders with no classical construction here → seeded random orthogonal block.
 _RANDOM_ORTHO_K = {156, 172}
@@ -123,19 +128,24 @@ def _gf_elements(p: int, m: int):
 
 
 def _factor_prime_power(q: int):
-    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
-              71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137, 139,
-              149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199):
-        if q % p == 0:
-            m = 0
-            n = q
-            while n % p == 0:
-                n //= p
-                m += 1
-            if n == 1:
-                return p, m
-            return None
-    return None
+    """(p, m) if q = p^m for prime p, else None. Trial division to √q."""
+    if q < 2:
+        return None
+    p = None
+    d = 2
+    n = q
+    while d * d <= n:
+        if n % d == 0:
+            p = d
+            break
+        d += 1
+    if p is None:
+        return q, 1  # q itself is prime
+    m = 0
+    while n % p == 0:
+        n //= p
+        m += 1
+    return (p, m) if n == 1 else None
 
 
 def _paley_qr_char(q: int) -> np.ndarray:
