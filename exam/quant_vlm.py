@@ -36,6 +36,8 @@ def parser_gen(model_default=None):
     p.add_argument("--no_rotate_visual", action="store_true")
     p.add_argument("--online_llm_hadamard", action="store_true")
     p.add_argument("--llm_split", action="store_true")
+    p.add_argument("--online_visual_hadamard", action="store_true")
+    p.add_argument("--visual_split", action="store_true")
     p.add_argument("--fp32_had", action="store_true",
                    help="accepted for flag parity; the online Hadamard always "
                         "accumulates in fp32 on TPU")
@@ -90,6 +92,8 @@ def main(args=None):
         rotate=args.rotate, rotate_mode=args.rotate_mode,
         rotate_visual=not args.no_rotate_visual,
         online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
+        online_visual_hadamard=args.online_visual_hadamard,
+        visual_split=args.visual_split,
         visual_w_bits=args.visual_w_bits, llm_w_bits=args.llm_w_bits,
         visual_w_rtn=args.visual_w_rtn and not args.visual_w_gptq,
         llm_w_rtn=args.llm_w_rtn,

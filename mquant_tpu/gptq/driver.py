@@ -266,9 +266,17 @@ def make_vit_stage_fn(cfg, specs: Dict[str, SiteSpec], stage: str,
             return x2
         y = qlinear(x2, bp["fc1"], f"{prefix}.fc1", site("fc1"), None, "fake", None)
         y = _act(cfg, y)
+        fspec = site("fc2")
         if stage == "fc2":
+            # Hessian must see fc2's serving-time input: post-online-Hadamard
+            # (ref: exam/quant_qwenvl.py:106-178 configures the visual wrappers
+            # before GPTQ runs)
+            if fspec is not None and fspec.online_had is not None:
+                from ..kernels.fwht import online_hadamard
+
+                y = online_hadamard(y)
             return y
-        y = qlinear(y, bp["fc2"], f"{prefix}.fc2", site("fc2"), None, "fake", None)
+        y = qlinear(y, bp["fc2"], f"{prefix}.fc2", fspec, None, "fake", None)
         if cfg.layerscale and "ls2" in bp:
             y = y * bp["ls2"]["w"].astype(y.dtype)
         return h2 + y
@@ -307,6 +315,7 @@ def gptq_quantize_vit(
         if spec is None or spec.w_bits is None:
             return bp, None
         sp = dict(bp[name])
+        fb = False
         if gcfg.use_rtn:
             from ..core import quant as Q
 
@@ -319,9 +328,10 @@ def gptq_quantize_vit(
                 percdamp=gcfg.percdamp, act_order=gcfg.act_order,
                 group_size=gcfg.group_size, mse_clip=gcfg.mse_clip)
             sp["w"] = res.w.astype(bp[name]["w"].dtype)
+            fb = bool(res.used_fallback)
         bp = dict(bp)
         bp[name] = sp
-        return bp, False
+        return bp, fb
 
     report = {"fallbacks": [], "sites": 0}
     hb = feat_batches
@@ -329,12 +339,20 @@ def gptq_quantize_vit(
     nL = cfg.n_layers
     for l in range(nL):
         bp = jax.tree.map(lambda x: x[l], vit_params["blocks"])
+        fc2_spec = specs.get(f"{prefix}.fc2")
+        fc2_split = (fc2_spec is not None and fc2_spec.split
+                     and "w_col0" in bp["fc2"])
         groups = (("qkv", ("q", "k", "v")), ("o", ("o",)),
                   ("fc1", ("fc1",)), ("fc2", ("fc2",)))
         for stage, names in groups:
             Hs = None
             for h, (cos, sin) in zip(hb, pre):
                 x = stage_fns[stage](bp, h, cos, sin)
+                if stage == "fc2" and fc2_split:
+                    # RMS split: column 0 stays fp; Hessian over rows 1:
+                    # (ref: visual GPTQ targets c_proj.L2,
+                    # qwenvl_gptq_plus.py:183-195)
+                    x = x[..., 1:]
                 Hs = hess(Hs, x) if Hs is not None else C.accumulate_hessian(None, x)
             for nm in names:
                 bp, fb = quantize_site(bp, nm, Hs)

@@ -56,6 +56,8 @@ class QuantizeConfig:
     rotate_visual: bool = True
     online_llm_hadamard: bool = True
     llm_split: bool = True
+    online_visual_hadamard: bool = False  # ref: exam/quant_qwenvl.py --online_visual_hadamard
+    visual_split: bool = False  # ref: --visual_split (fc2/c_proj RMS split)
     # weight quantization
     visual_w_bits: int = 8
     llm_w_bits: int = 4
@@ -106,6 +108,10 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
     if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
         specs["llm.down"] = dataclasses.replace(
             specs["llm.down"], online_had="full", split=q.llm_split)
+    if ("vis.fc2" in specs and q.rotate and q.rotate_visual
+            and q.online_visual_hadamard):
+        specs["vis.fc2"] = dataclasses.replace(
+            specs["vis.fc2"], online_had="full", split=q.visual_split)
     return specs
 
 
@@ -340,7 +346,9 @@ def run_pipeline(model: str, q: QuantizeConfig,
         params, info = prepare_vlm(
             fam.name, cfg, params, jax.random.fold_in(key, 1),
             rotate_visual=q.rotate_visual, mode=q.rotate_mode,
-            online_had_down=q.online_llm_hadamard, split_down=q.llm_split)
+            online_had_down=q.online_llm_hadamard, split_down=q.llm_split,
+            online_had_visual=q.online_visual_hadamard,
+            split_visual=q.visual_split)
         pad = getattr(info.get("llm"), "down_pad", 0)
         if pad:
             cfg = dataclasses.replace(

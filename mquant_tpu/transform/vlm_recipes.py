@@ -100,11 +100,17 @@ def fold_ln_post_into(vit_params: Dict, consumers: list[dict]) -> tuple[Dict, li
 
 
 def rotate_vit(cfg: ViTConfig, params: Dict, key: jax.Array, mode: str = "hadamard",
-               rotate_ov: bool = True, Q: Optional[np.ndarray] = None
-               ) -> tuple[Dict, np.ndarray]:
-    """Rotate the ViT residual stream (post-fusion). Returns (params, Q_v) — the
-    caller must also input-rotate the stream's consumer (projector/resampler)
-    with the same Q_v."""
+               rotate_ov: bool = True, Q: Optional[np.ndarray] = None,
+               online_had_fc2: bool = False,
+               ) -> tuple[Dict, np.ndarray, int]:
+    """Rotate the ViT residual stream (post-fusion). Returns (params, Q_v,
+    fc2_pad) — the caller must also input-rotate the stream's consumer
+    (projector/resampler) with the same Q_v.
+
+    ``online_had_fc2`` pads the MLP hidden dim to a Hadamard-constructible size
+    and folds the exact Hadamard into fc2's input — the reference's visual
+    online-Hadamard path (ref: fake_quant/minicpmv_rotation.py:130-160 visual
+    fc2 pad; exam/quant_qwenvl.py:106-178 ``--online_visual_hadamard``)."""
     p = _to_np64(params)
     blocks = p["blocks"]
     if Q is None:
@@ -130,7 +136,36 @@ def rotate_vit(cfg: ViTConfig, params: Dict, key: jax.Array, mode: str = "hadama
         Qh = H.transform_matrix(cfg.head_dim)
         blocks["v"], blocks["o"] = R.rotate_ov_per_head(
             blocks["v"], blocks["o"], cfg.head_dim, Qh)
-    return _cast_like(p, params), Q
+
+    fc2_pad = 0
+    if online_had_fc2:
+        inter = blocks["fc2"]["w"].shape[-2]
+        target = H.auto_pad_size(inter)
+        if target != inter:
+            # padded fc1-out channels carry zero weight AND zero bias, so the
+            # activation of a padded channel is act(0) = 0 (gelu/quick_gelu) and
+            # fc2's padded input rows are zero — exact
+            blocks["fc1"] = R.pad_linear_output(blocks["fc1"], target)
+            blocks["fc2"] = R.pad_linear_input(blocks["fc2"], target)
+            fc2_pad = target
+        Hm = H.transform_matrix(target)
+        blocks["fc2"] = R.fold_exact_hadamard_input(blocks["fc2"], Hm)
+    return _cast_like(p, params), Q, fc2_pad
+
+
+def split_vit_fc2(params: Dict) -> Dict:
+    """RMS first-column split of every ViT block's fc2 (the reference's
+    ``--visual_split``, ref: exam/quant_qwenvl.py:106-178: GPTQ/quant target
+    c_proj.L2, column 0 stays fp). Pure slicing — exact in any dtype."""
+    p = dict(params)
+    blocks = dict(p["blocks"])
+    fc2 = dict(blocks["fc2"])
+    w = fc2["w"]
+    fc2["w_col0"] = w[..., :1, :]
+    fc2["w"] = w[..., 1:, :]
+    blocks["fc2"] = fc2
+    p["blocks"] = blocks
+    return p
 
 
 def rotate_consumer_blockdiag(linear: dict, Q: np.ndarray, repeats: int) -> dict:
@@ -230,6 +265,8 @@ def prepare_vlm(
     mode: str = "hadamard",
     online_had_down: bool = True,
     split_down: bool = False,
+    online_had_visual: bool = False,
+    split_visual: bool = False,
 ) -> tuple[Dict, Dict]:
     """Full offline equivalent-transform pipeline for one VLM family:
     fuse (LN→RMSN everywhere) → rotate (vision stream Q_v, cross-attn Q_q/Q_kv/
@@ -271,8 +308,15 @@ def prepare_vlm(
     # ---- rotate: vision stream ----
     Q_v = None
     if rotate_visual and family_name != "glm4v":
-        p["vit"], Q_v = rotate_vit(cfg.vit, p["vit"], k_v, mode)
+        p["vit"], Q_v, fc2_pad = rotate_vit(cfg.vit, p["vit"], k_v, mode,
+                                            online_had_fc2=online_had_visual)
         info["vit_rotated"] = True
+        if online_had_visual:
+            info["vis_online_had"] = True
+            info["vis_fc2_pad"] = fc2_pad
+        if split_visual:
+            p["vit"] = split_vit_fc2(p["vit"])
+            info["vis_split"] = True
         if family_name == "qwen2vl":
             p["merger"] = dict(p["merger"])
             p["merger"]["mlp0"] = rotate_consumer_blockdiag(

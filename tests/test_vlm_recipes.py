@@ -111,3 +111,48 @@ def test_fuse_only_invariance(name):
         out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, **extra)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["qwen2vl", "qwenvl"])
+def test_visual_online_hadamard_pad_split_invariance(name):
+    """Visual-tower online Hadamard + fc2 pad + RMS split must be exact
+    (ref: minicpmv_rotation.py:130-160 visual fc2 pad,
+    exam/quant_qwenvl.py:106-178 --online_visual_hadamard/--visual_split)."""
+    from mquant_tpu.models.vision import init_vit_params
+
+    fam = get_family(name)
+    cfg, params, toks, patches, extra = build(fam)
+    # force an MLP width that REQUIRES padding (44 → auto_pad 48 = 12·4)
+    vitcfg = dataclasses.replace(cfg.vit, mlp_width=44)
+    cfg = dataclasses.replace(cfg, vit=vitcfg)
+    params = dict(params)
+    newvit = init_vit_params(vitcfg, jax.random.key(5), dtype=jnp.float32)
+    for extra_key in ("fc_sub_mean",):  # loader-added keys init_vit lacks
+        if extra_key in params["vit"]:
+            newvit[extra_key] = params["vit"][extra_key]
+    params["vit"] = newvit
+
+    if name == "qwen2vl":
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, extra["grid_hw"])
+    else:
+        ref, _, _ = fam.forward_fn(cfg, params, toks, patches, **extra)
+
+    prepared, info = VR.prepare_vlm(
+        name, cfg, params, jax.random.key(7), online_had_down=True,
+        split_down=True, online_had_visual=True, split_visual=True)
+    fc2 = prepared["vit"]["blocks"]["fc2"]
+    assert info["vis_fc2_pad"] == 48
+    assert fc2.get("w_col0") is not None
+    assert fc2["w"].shape[-2] == 48 - 1  # padded then split
+    assert prepared["vit"]["blocks"]["fc1"]["w"].shape[-1] == 48
+
+    specs = {"llm.down": SiteSpec(online_had="full", split=True),
+             "vis.fc2": SiteSpec(online_had="full", split=True)}
+    if name == "qwen2vl":
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches,
+                                   extra["grid_hw"], specs=specs, mode="fake")
+    else:
+        out, _, _ = fam.forward_fn(cfg, prepared, toks, patches, specs=specs,
+                                   mode="fake", **extra)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
