@@ -166,44 +166,89 @@ def synthetic_calib_batches(fam: ModelFamily, cfg, n_batches: int, key: jax.Arra
 def quantize_weights(fam: ModelFamily, cfg, params: Dict,
                      specs: Dict[str, SiteSpec], q: QuantizeConfig,
                      calib_batches: Optional[List[dict]] = None) -> Dict:
-    """Stage: weight quantization. LLM via GPTQ (or RTN); visual subsystems via
-    RTN (reference config --visual_w_rtn; visual GPTQ drivers are a planned
-    extension). Operates site-by-site through the path map."""
+    """Stage: weight quantization. LLM via GPTQ (or RTN); visual subsystems —
+    patch-embed, ViT blocks AND every cross-modal module (merger / resampler /
+    mlp1 / GLU projector) — via stage-sequential GPTQ when ``--visual_w_gptq``
+    (ref drivers: gptq/{qwenvl,qwen2vl,internvl,minicpmv}_gptq_plus.py), RTN
+    otherwise. Operates site-by-site through the path map."""
     from .core import quant as Q
 
     params = dict(params)
+    gptq_done_sites: set = set()
 
-    # vision tower: GPTQ when enabled (stage-sequential over blocks)
-    vit_gptq_done = False
+    # vision tower + cross-modal modules: GPTQ when enabled
     vis_w = specs.get("vis.q", SiteSpec()).w_bits
     if (not q.visual_w_rtn and vis_w is not None and calib_batches
             and "vit" in params):
+        from .gptq import modules as GM
         from .gptq.driver import GPTQConfig, gptq_quantize_vit
-        from .models.vision import vit_preamble
+        from .models.vision import vit_preamble, vit_forward
 
+        gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
+                          group_size=q.w_groupsize, mse_clip=q.w_clip)
+        vrep = {"fallbacks": [], "sites": 0}
+        batches = [b for b in calib_batches if b.get("patches") is not None]
+
+        # 1. patch embed (the reference's conv GPTQ,
+        #    ref: qwenvl_gptq_plus.py:65-138)
+        if specs.get("vis.patch_embed") is not None:
+            patch_b = [b["patches"].astype(cfg.vit.dtype) for b in batches]
+            params, vrep = GM.gptq_quantize_patch_embed(
+                cfg, params, patch_b, specs, gcfg, vrep)
+            gptq_done_sites.add("vis.patch_embed")
+
+        # 2. ViT blocks (with the quantized patch embed in place)
         feats, grids = [], []
-        for b in calib_batches:
-            if b.get("patches") is None:
-                continue
+        for b in batches:
             feats.append(vit_preamble(cfg.vit, params["vit"], b["patches"]))
             grids.append(b.get("grid_hw"))
         if feats:
-            gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
-                              group_size=q.w_groupsize, mse_clip=q.w_clip)
-            params["vit"], vrep = gptq_quantize_vit(
+            params["vit"], vrep2 = gptq_quantize_vit(
                 cfg.vit, params["vit"], feats, specs,
                 grids=grids if cfg.vit.rotary_2d else None, gcfg=gcfg)
-            vit_gptq_done = True
-            if vrep["fallbacks"]:
-                log.warning(f"visual GPTQ RTN-fallbacks: {vrep['fallbacks']}")
+            vrep["fallbacks"] += vrep2["fallbacks"]
+            vrep["sites"] += vrep2["sites"]
+            gptq_done_sites |= {f"vis.{s}" for s in VIT_SITES}
 
-    # other visual / projector sites: RTN (path-resolved)
+        # 3. cross-modal module, fed by the fully-quantized tower
+        #    (ref stage orders: merger qwen2vl_gptq_plus.py:287-380, attn_pool
+        #    qwenvl_gptq_plus.py:344-443, mlp1 internvl_gptq_plus.py:279-366,
+        #    resampler minicpmv_gptq_plus.py:322-331)
+        def tower_feats(b):
+            out, _ = vit_forward(cfg.vit, params["vit"], b["patches"],
+                                 grid_hw=b.get("grid_hw"))
+            return out
+
+        if fam.name == "qwen2vl" and "merger" in params:
+            params, vrep = GM.gptq_quantize_merger(
+                cfg, params, [tower_feats(b) for b in batches], specs, gcfg, vrep)
+            gptq_done_sites |= {"merger.mlp0", "merger.mlp2"}
+        elif fam.name in ("qwenvl", "minicpmv") and "res" in params:
+            params, vrep = GM.gptq_quantize_resampler(
+                cfg, params, [tower_feats(b) for b in batches], specs, gcfg, vrep)
+            gptq_done_sites |= {f"res.{s}" for s in SUBSYSTEM_SITES["res"]}
+        elif fam.name == "internvl" and "proj" in params:
+            from .models.projectors import pixel_shuffle
+
+            shuffled = [pixel_shuffle(tower_feats(b), *b["grid"]) for b in batches]
+            params, vrep = GM.gptq_quantize_mlp1(cfg, params, shuffled, specs,
+                                                 gcfg, vrep)
+            gptq_done_sites |= {"proj.fc1", "proj.fc2"}
+        elif fam.name == "glm4v" and "proj" in params:
+            fb = [(tower_feats(b), *b["grid"]) for b in batches]
+            params, vrep = GM.gptq_quantize_glu(cfg, params, fb, specs, gcfg, vrep)
+            gptq_done_sites |= {f"proj.{s}" for s in SUBSYSTEM_SITES["proj"]}
+
+        if vrep["fallbacks"]:
+            log.warning(f"visual GPTQ RTN-fallbacks: {vrep['fallbacks']}")
+
+    # remaining visual / projector sites: RTN (path-resolved)
     group_of = {"vis": "vit", "merger": "merger", "res": "res", "proj": "proj"}
     for name, spec in specs.items():
         prefix, site = name.split(".", 1)
         if prefix == "llm" or spec.w_bits is None:
             continue
-        if vit_gptq_done and prefix == "vis" and site in VIT_SITES:
+        if name in gptq_done_sites:
             continue  # already GPTQ-quantized
         group_key = group_of[prefix]
         if group_key not in params:

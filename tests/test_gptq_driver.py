@@ -139,3 +139,88 @@ class TestVitGptq:
         e_g = float(jnp.linalg.norm(out_g - ref))
         e_r = float(jnp.linalg.norm(out_r - ref))
         assert e_g < e_r, (e_g, e_r)
+
+
+class TestCrossModalGptq:
+    """GPTQ for the cross-modal modules (ref: merger qwen2vl_gptq_plus.py:287-380,
+    resampler minicpmv_gptq_plus.py:322-331, mlp1 internvl_gptq_plus.py:279-366,
+    patch-embed conv qwenvl_gptq_plus.py:65-138)."""
+
+    def _err(self, f, ref):
+        import jax.numpy as jnp
+
+        return float(jnp.linalg.norm(f - ref))
+
+    def test_merger_gptq_beats_rtn(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.core import quant as Q
+        from mquant_tpu.gptq.modules import gptq_quantize_merger
+        from mquant_tpu.models.qwen2vl import Qwen2VLConfig, init_qwen2vl_params
+        from mquant_tpu.models.vision import merger_forward
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        feats = [jax.random.normal(jax.random.key(i), (1, 16, cfg.vit.width),
+                                   jnp.float32) for i in range(3)]
+        ref, _ = merger_forward(cfg.merger, params["merger"], feats[0])
+
+        specs = {"merger.mlp0": SiteSpec(w_bits=3, a_bits=8, a_static=True),
+                 "merger.mlp2": SiteSpec(w_bits=3, a_bits=8, a_static=True)}
+        qp, rep = gptq_quantize_merger(cfg, dict(params), feats, specs)
+        assert rep["sites"] == 2
+        nospec = {k: dataclasses.replace(v, a_bits=None) for k, v in specs.items()}
+        out_g, _ = merger_forward(cfg.merger, qp["merger"], feats[0],
+                                  specs=nospec, mode="fake")
+
+        pr = dict(params["merger"])
+        for s in ("mlp0", "mlp2"):
+            site = dict(pr[s])
+            site["w"] = Q.rtn_fake_quant_weight(site["w"], 3)
+            pr[s] = site
+        out_r, _ = merger_forward(cfg.merger, pr, feats[0], specs=nospec,
+                                  mode="fake")
+        assert self._err(out_g, ref) < self._err(out_r, ref)
+
+    def test_resampler_gptq_all_stages(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.gptq.modules import gptq_quantize_resampler
+        from mquant_tpu.models.registry import get_family
+        from mquant_tpu.models.resampler import resampler_forward
+
+        fam = get_family("minicpmv")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        feats = [jax.random.normal(jax.random.key(i), (1, 16, cfg.resampler.kv_dim),
+                                   jnp.float32) for i in range(2)]
+        sites = ("kv_proj", "q", "k", "v", "out", "proj_fc")
+        specs = {f"res.{s}": SiteSpec(w_bits=4, a_bits=8, a_static=True)
+                 for s in sites}
+        qp, rep = gptq_quantize_resampler(cfg, dict(params), feats, specs)
+        present = [s for s in sites if s in params["res"]
+                   and isinstance(params["res"][s], dict)
+                   and params["res"][s].get("w") is not None]
+        assert rep["sites"] == len(present)
+        out, _ = resampler_forward(cfg.resampler, qp["res"], feats[0])
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_patch_embed_gptq(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.gptq.modules import gptq_quantize_patch_embed
+        from mquant_tpu.models.qwen2vl import Qwen2VLConfig, init_qwen2vl_params
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        patches = [jax.random.normal(jax.random.key(i), (1, 16, cfg.vit.patch_dim),
+                                     jnp.float32) for i in range(2)]
+        specs = {"vis.patch_embed": SiteSpec(w_bits=4, a_bits=8, a_static=True)}
+        w0 = np.asarray(params["vit"]["patch_embed"]["w"])
+        qp, rep = gptq_quantize_patch_embed(cfg, dict(params), patches, specs)
+        assert rep["sites"] == 1
+        w1 = np.asarray(qp["vit"]["patch_embed"]["w"])
+        assert not np.allclose(w0, w1)  # quantized
+        # values lie on a 4-bit per-channel grid: few distinct values per column
+        col = w1[:, 0]
+        assert len(np.unique(np.round(col / (np.abs(col).max() / 7), 6))) <= 16
