@@ -35,11 +35,25 @@ class ByteTokenizer:
 
 
 class VLMRunner:
-    """Drives a (possibly quantized) VLM end-to-end for evaluation."""
+    """Drives a (possibly quantized) VLM end-to-end for evaluation.
+
+    Generation goes through the REAL inference pieces:
+      * the family's chat template (system prompt + vision start/end tokens,
+        ref: model/qwen_generation_utils.py:119 make_context,
+        vlmeval/vlm/qwen_vl.py:148-205),
+      * adaptive-resolution BUCKETS instead of a fixed-square resize (choose
+        the closest-aspect bucket; optional pad-to-max with a validity mask
+        through the vision tower and the calibration observers),
+      * the on-device fused decode loop (host loop only for eos trimming).
+    """
 
     def __init__(self, family_name: str, cfg, params, specs=None, state=None,
                  mode: str = "fp", tokenizer=None, max_len: int = 512,
-                 image_size: Optional[int] = None, max_new_tokens: int = 24):
+                 image_size: Optional[int] = None, max_new_tokens: int = 24,
+                 bucket_spec=None, use_chat_template: bool = True,
+                 pad_to_max: bool = False, on_device_decode: bool = True):
+        from ..models.buckets import BucketSpec
+
         self.fam: ModelFamily = get_family(family_name)
         self.cfg = cfg
         self.params = params
@@ -48,45 +62,79 @@ class VLMRunner:
         self.mode = mode
         self.tok = tokenizer or ByteTokenizer()
         self.max_new_tokens = max_new_tokens
-        self.image_size = image_size or cfg.patch * 4
+        self.use_chat_template = use_chat_template
+        self.pad_to_max = pad_to_max
+        self.on_device_decode = on_device_decode
+        base = image_size or cfg.patch * 4
+        merge = cfg.patch * 2  # grids must stay even for 2×2 mergers
+        self.buckets = bucket_spec or BucketSpec(patch=cfg.patch, buckets=(
+            (base, base), (base, 2 * base), (2 * base, base),
+            (2 * base, 2 * base)))
+        assert all(bh % merge == 0 and bw % merge == 0
+                   for bh, bw in self.buckets.buckets)
         self.gen = Generator(cfg.llm, params["llm"], specs=self.specs,
                              state=state, mode=mode, max_len=max_len)
 
     # -- multimodal input construction ------------------------------------
 
     def _encode_image(self, image: Optional[np.ndarray]):
-        """image (H,W,3 in [0,1]) → (patches, extra, n_img_tokens)."""
+        """image (H,W,3 in [0,1] or uint8) → (patches, extra, n_img_tokens).
+        Bucket choice by aspect ratio; optional pad-to-max with token mask."""
         if image is None:
             return None, {}, 0
+        from ..models.buckets import max_bucket_tokens, prepare_image
         from ..models.vision import patchify_2d, patchify_qwen2vl
 
-        s = self.image_size
-        import jax.image
-
-        img = jnp.asarray(image, jnp.float32)[None]
-        img = jax.image.resize(img, (1, s, s, 3), "bilinear")
-        img = (img - 0.5) / 0.5
+        max_toks = max_bucket_tokens(self.buckets) if self.pad_to_max else None
+        img, (gh, gw), mask = prepare_image(np.asarray(image), self.buckets,
+                                            max_tokens=max_toks)
+        img = jnp.asarray(img, jnp.float32)[None]
         patch = self.cfg.patch
-        gh = gw = s // patch
+        extra: Dict = {}
         if self.fam.name == "qwen2vl":
             patches, grid = patchify_qwen2vl(img, patch=patch)
-            return patches, {"grid_hw": grid}, patches.shape[1] // 4
-        patches, _ = patchify_2d(img, patch)
-        if self.fam.name in ("qwenvl", "minicpmv"):
-            return patches, {}, self.cfg.resampler.n_queries
-        if self.fam.name == "internvl":
-            return patches, {"grid": (gh, gw)}, (gh // 2) * (gw // 2)
-        return patches, {"grid": (gh, gw)}, 2 + (gh // 2) * (gw // 2)  # glm4v
+        else:
+            patches, grid = patchify_2d(img, patch)
+            extra["grid"] = (gh, gw)
+        if mask is not None:
+            pad = max_toks - patches.shape[1]
+            if pad:
+                patches = jnp.pad(patches, ((0, 0), (0, pad), (0, 0)))
+                grid = jnp.pad(grid, ((0, 0), (0, pad), (0, 0)), mode="edge")
+            extra["vis_token_mask"] = jnp.asarray(mask)[None]
+        if self.fam.name == "qwen2vl":
+            extra["grid_hw"] = grid
+            n_valid = gh * gw
+            n_img = n_valid // 4
+            extra["mrope_grid"] = (1, gh, gw)
+        elif self.fam.name in ("qwenvl", "minicpmv"):
+            n_img = self.cfg.resampler.n_queries
+        elif self.fam.name == "internvl":
+            n_img = (gh // 2) * (gw // 2)
+        else:  # glm4v
+            n_img = 2 + (gh // 2) * (gw // 2)
+        return patches, extra, n_img
 
     def build_inputs(self, prompt: Dict):
-        text_ids = self.tok.encode(prompt["text"])
+        """Chat-templated token stream: text_before ⊕ image-pad ⊕ text_after
+        (the family's real context format, not raw question text)."""
         patches, extra, n_img = self._encode_image(prompt.get("image"))
-        toks = ([self.cfg.image_token_id] * n_img) + list(text_ids)
-        toks = np.asarray(toks, np.int64)[None]
-        toks = np.clip(toks, 0, self.cfg.llm.vocab - 1)
-        if n_img:
-            toks[0, :n_img] = self.cfg.image_token_id
-        return jnp.asarray(toks), patches, extra, n_img
+        if self.use_chat_template:
+            from ..serve.chat import build_chat_prompt
+
+            pieces = build_chat_prompt(self.fam.name, prompt["text"], n_img,
+                                       system=prompt.get("system"))
+            before = self.tok.encode(pieces["text_before"])
+            after = self.tok.encode(pieces["text_after"])
+            toks = list(before) + [self.cfg.image_token_id] * n_img + list(after)
+        else:
+            toks = ([self.cfg.image_token_id] * n_img
+                    + list(self.tok.encode(prompt["text"])))
+        arr = np.asarray(toks, np.int64)[None]
+        img_mask = arr == self.cfg.image_token_id
+        arr = np.clip(arr, 0, self.cfg.llm.vocab - 1)
+        arr[img_mask] = self.cfg.image_token_id  # survive the clip
+        return jnp.asarray(arr), patches, extra, n_img
 
     # -- generation ---------------------------------------------------------
 
@@ -96,6 +144,7 @@ class VLMRunner:
         toks, patches, extra, n_img = self.build_inputs(prompt)
 
         # image features through the (quantized) vision path → spliced embeds
+        mrope_grid = extra.pop("mrope_grid", None)
         batch = {"tokens": toks, "patches": patches, **extra}
         embeds = _embed_with_quant(self.fam, self.cfg, self.params, batch,
                                    self.specs, self.state, self.mode)
@@ -104,9 +153,23 @@ class VLMRunner:
         if self.fam.name == "qwen2vl" and n_img:
             from ..models.qwen2vl import mrope_positions
 
-            g = int(np.sqrt(n_img * 4))
             positions = jnp.asarray(mrope_positions(
-                np.asarray(toks), self.cfg.image_token_id, grid_thw=(1, g, g)))
+                np.asarray(toks), self.cfg.image_token_id,
+                grid_thw=mrope_grid))
+
+        eos = getattr(self.tok, "eos_id", -1)
+        if self.on_device_decode:
+            last, cache = self.gen.prefill(embeds, positions=positions)
+            first = jnp.argmax(last, axis=-1)[:, None].astype(jnp.int32)
+            rest, _ = self.gen._decode_n(max_new - 1)(
+                self.params["llm"], first, cache)
+            seq = [int(first[0, 0])] + [int(t) for t in np.asarray(rest[0])]
+            out = []
+            for t in seq:
+                if t == eos:
+                    break
+                out.append(t)
+            return self.tok.decode(out)
 
         last, cache = self.gen.prefill(embeds, positions=positions)
         step = self.gen._decode()
@@ -116,14 +179,18 @@ class VLMRunner:
             logits, cache = step(self.params["llm"], tok, cache)
             tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
             t = int(tok[0, 0])
-            if t == getattr(self.tok, "eos_id", -1):
+            if t == eos:
                 break
             out.append(t)
         return self.tok.decode(out)
 
 
 def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
-    """Vision+splice with the quantized vision path active."""
+    """Vision+splice with the quantized vision path active. When the patch
+    sequence is padded to a common bucket length, ``vis_token_mask`` flows
+    into the tower's attention; downstream projectors either consume the mask
+    (resampler key_padding_mask) or the valid prefix (padding sits at the
+    end)."""
     from ..models.qwen2vl import splice_image_embeds
 
     toks = batch["tokens"]
@@ -132,25 +199,32 @@ def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
     if patches is None:
         return embeds
     extra = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    vmask = extra.get("vis_token_mask")
     kw = dict(specs=specs, state=state, mode=mode)
     if fam.name == "qwen2vl":
         from ..models.vision import merger_forward, vit_forward
 
         feats, _ = vit_forward(cfg.vit, params["vit"], patches,
-                               grid_hw=extra.get("grid_hw"), **kw)
-        img, _ = merger_forward(cfg.merger, params["merger"], feats, **kw)
+                               grid_hw=extra.get("grid_hw"),
+                               token_mask=vmask, **kw)
+        img, _ = merger_forward(cfg.merger, params["merger"], feats,
+                                token_mask=vmask, **kw)
     elif fam.name in ("qwenvl", "minicpmv"):
         from ..models.resampler import resampler_forward
         from ..models.vision import vit_forward
 
-        feats, _ = vit_forward(cfg.vit, params["vit"], patches, **kw)
-        img, _ = resampler_forward(cfg.resampler, params["res"], feats, **kw)
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches,
+                               token_mask=vmask, **kw)
+        img, _ = resampler_forward(cfg.resampler, params["res"], feats,
+                                   key_mask=vmask, **kw)
     elif fam.name == "internvl":
         from ..models.projectors import mlp1_forward, pixel_shuffle
         from ..models.vision import vit_forward
 
         gh, gw = extra["grid"]
-        feats, _ = vit_forward(cfg.vit, params["vit"], patches, **kw)
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches,
+                               token_mask=vmask, **kw)
+        feats = feats[:, : gh * gw]  # drop bucket padding (at the end)
         img, _ = mlp1_forward(cfg.mlp1, params["proj"],
                               pixel_shuffle(feats, gh, gw), **kw)
     else:
@@ -158,6 +232,8 @@ def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
         from ..models.vision import vit_forward
 
         gh, gw = extra["grid"]
-        feats, _ = vit_forward(cfg.vit, params["vit"], patches, **kw)
+        feats, _ = vit_forward(cfg.vit, params["vit"], patches,
+                               token_mask=vmask, **kw)
+        feats = feats[:, : gh * gw]
         img, _ = glu_projector_forward(cfg.proj, params["proj"], feats, gh, gw, **kw)
     return splice_image_embeds(embeds, toks, img, cfg.image_token_id)

@@ -19,6 +19,17 @@ def build_chat_prompt(family: str, question: str, n_image_tokens: int,
     """→ {"text_before", "text_after", "image_slot"} pieces; the runner encodes
     text pieces and splices ``n_image_tokens`` image-pad tokens between them."""
     system = system or "You are a helpful assistant."
+    if n_image_tokens == 0:
+        # text-only context: same chat scaffold, no image markers
+        if family == "glm4v":
+            return {"text_before": "[gMASK]<sop><|user|>\n",
+                    "text_after": f"{question}<|assistant|>\n",
+                    "n_image_tokens": 0}
+        before = (f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n"
+                  if family != "minicpmv" else "<|im_start|>user\n")
+        return {"text_before": before,
+                "text_after": f"{question}<|im_end|>\n<|im_start|>assistant\n",
+                "n_image_tokens": 0}
     if family == "qwen2vl":
         before = (f"<|im_start|>system\n{system}<|im_end|>\n"
                   f"<|im_start|>user\n<|vision_start|>")

@@ -133,3 +133,83 @@ class TestShardedEval:
             files.append(r["results_file"])
         m = merge_results(ds, files)
         assert m["acc"] == 100.0
+
+
+class TestRunnerChatAndBuckets:
+    """The eval path must go through the REAL inference pieces: family chat
+    templates (ref: model/qwen_generation_utils.py:119 make_context) and
+    adaptive-resolution buckets with masked calibration (not fixed-square
+    resize)."""
+
+    def _runner(self, **kw):
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.qwen2vl import Qwen2VLConfig, init_qwen2vl_params
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        return cfg, VLMRunner("qwen2vl", cfg, params, max_new_tokens=3,
+                              max_len=256, **kw)
+
+    def test_prompt_contains_template_tokens(self):
+        import numpy as np
+
+        cfg, r = self._runner()
+        img = np.random.default_rng(0).random((24, 24, 3)).astype(np.float32)
+        toks, patches, extra, n_img = r.build_inputs(
+            {"text": "what?", "image": img})
+        text = r.tok.decode([t for t in np.asarray(toks[0])
+                             if t != cfg.image_token_id])
+        assert "<|im_start|>system" in text
+        assert "<|vision_start|>" in text and "<|vision_end|>" in text
+        assert "<|im_start|>assistant" in text
+        assert int((np.asarray(toks[0]) == cfg.image_token_id).sum()) == n_img
+        # image tokens sit between vision_start and vision_end
+        ids = np.asarray(toks[0])
+        img_pos = np.where(ids == cfg.image_token_id)[0]
+        assert img_pos.max() - img_pos.min() + 1 == n_img  # contiguous
+
+    def test_text_only_template(self):
+        cfg, r = self._runner()
+        toks, patches, extra, n_img = r.build_inputs({"text": "hello"})
+        assert patches is None and n_img == 0
+        text = r.tok.decode(list(__import__("numpy").asarray(toks[0])))
+        assert "<|im_start|>system" in text and "<|vision_start|>" not in text
+
+    def test_nonsquare_image_picks_nonsquare_bucket(self):
+        import numpy as np
+
+        cfg, r = self._runner()
+        img = np.random.default_rng(0).random((24, 48, 3)).astype(np.float32)
+        toks, patches, extra, n_img = r.build_inputs(
+            {"text": "q", "image": img})
+        gh, gw = np.asarray(extra["mrope_grid"])[1:]
+        assert (gh, gw) == (4, 8)  # bucket (16, 32), patch 4 — NOT square
+        assert n_img == (4 * 8) // 4
+        out = r.generate({"text": "q", "image": img})
+        assert isinstance(out, str)
+
+    def test_pad_to_max_mask_flows_and_generates(self):
+        import numpy as np
+
+        cfg, r = self._runner(pad_to_max=True)
+        img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        toks, patches, extra, n_img = r.build_inputs(
+            {"text": "q", "image": img})
+        mask = np.asarray(extra["vis_token_mask"][0])
+        assert patches.shape[1] == mask.shape[0]  # padded to max bucket
+        assert mask.sum() == 16  # 4x4 grid valid
+        assert mask[16:].sum() == 0  # padding masked out
+        out = r.generate({"text": "q", "image": img})
+        assert isinstance(out, str)
+
+    def test_on_device_matches_host_decode(self):
+        import numpy as np
+
+        cfg, r_dev = self._runner()
+        _, r_host = self._runner(on_device_decode=False)
+        img = np.random.default_rng(3).random((20, 20, 3)).astype(np.float32)
+        a = r_dev.generate({"text": "abc", "image": img})
+        b = r_host.generate({"text": "abc", "image": img})
+        assert a == b
