@@ -158,6 +158,8 @@ class VLMRunner:
                 grid_thw=mrope_grid))
 
         eos = getattr(self.tok, "eos_id", -1)
+        # cache must hold the (bucket-padded) prompt plus every decoded token
+        self.gen.ensure_capacity(toks.shape[1] + max_new)
         if self.on_device_decode:
             last, cache = self.gen.prefill(embeds, positions=positions)
             first = jnp.argmax(last, axis=-1)[:, None].astype(jnp.int32)

@@ -73,16 +73,23 @@ def _hinv_cholesky(H: jax.Array, percdamp: float) -> jax.Array:
     return U
 
 
-def _quantize_rows_block(Wb, Ub, scale, qmin, qmax):
+def _quantize_rows_block(Wb, Ub, scale, zero, qmin, qmax):
     """Quantize one B-row block sequentially with in-block error propagation.
-    Wb (B, out); Ub (B, B) upper-tri slice; scale (out,) or (B, out)."""
+    Wb (B, out); Ub (B, B) upper-tri slice; scale/zero (out,) or (B, out).
+    ``zero`` is the asymmetric zero-point in integer units (None → symmetric):
+    q = (clip(round(w/s) + z, qmin, qmax) - z) * s, matching the reference's
+    asym_quant_dequant (ref: fake_quant/quant_utils.py:15-35)."""
     B = Wb.shape[0]
 
     def body(i, carry):
         Wb, Eb = carry
         w = jax.lax.dynamic_slice_in_dim(Wb, i, 1, 0)[0]  # (out,)
         s = scale if scale.ndim == 1 else jax.lax.dynamic_slice_in_dim(scale, i, 1, 0)[0]
-        q = jnp.clip(jnp.round(w / s), qmin, qmax) * s
+        if zero is None:
+            q = jnp.clip(jnp.round(w / s), qmin, qmax) * s
+        else:
+            z = zero if zero.ndim == 1 else jax.lax.dynamic_slice_in_dim(zero, i, 1, 0)[0]
+            q = (jnp.clip(jnp.round(w / s) + z, qmin, qmax) - z) * s
         d = jax.lax.dynamic_slice(Ub, (i, i), (1, 1))[0, 0]
         e = (w - q) / d
         # propagate to later rows in the block: Wb[j] -= Ub[i, j] * e  (j > i)
@@ -128,39 +135,58 @@ def gptq_quantize_matrix(
         qp = Q.weight_qparams(Win, fmt, per_channel=True, symmetric=sym,
                               mse_clip=mse_clip)
         scales = jnp.broadcast_to(qp.scale.reshape(1, out), (1, out))
+        zeros = (None if qp.zero_point is None
+                 else jnp.broadcast_to(qp.zero_point.reshape(1, out), (1, out)))
     else:
         g = n // group_size
         Wg = Win.reshape(g, group_size, out)
         qp = Q.weight_qparams(Wg, fmt, symmetric=sym, mse_clip=mse_clip,
                               reduce_axes=(-2,))
         scales = qp.scale.reshape(g, out)
+        zeros = None if qp.zero_point is None else qp.zero_point.reshape(g, out)
 
     pad = (-n) % BLOCK
     Wp = jnp.pad(Win, ((0, pad), (0, 0)))
     Up = jnp.pad(U, ((0, pad), (0, pad)))
     Up = Up + jnp.diag(jnp.pad(jnp.zeros((n,), jnp.float32), (0, pad),
                                constant_values=1.0))
-    nb = Wp.shape[0] // BLOCK
+    n_pad = Wp.shape[0]
+    nb = n_pad // BLOCK
 
-    def scale_for_block(b):
+    def params_for_block(row0, table):
+        """Per-row (BLOCK, out) gather from a (g, out) group table, or the
+        single (out,) row when ungrouped. Traced row0 — works under fori_loop."""
+        if table is None:
+            return None
         if group_size is None:
-            return scales[0]
-        # rows b*BLOCK..: group index per row
-        row0 = b * BLOCK
+            return table[0]
         gidx = (row0 + jnp.arange(BLOCK)) // group_size
-        gidx = jnp.clip(gidx, 0, scales.shape[0] - 1)
-        return scales[gidx]  # (BLOCK, out)
+        gidx = jnp.clip(gidx, 0, table.shape[0] - 1)
+        return table[gidx]  # (BLOCK, out)
 
-    W_work = Wp
-    for b in range(nb):  # static unroll over ~in/128 blocks
-        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+    # lax.fori_loop over blocks (NOT a Python unroll): compile time is O(1) in
+    # the input dimension, so a 7B down_proj (148 blocks) compiles as fast as a
+    # test-sized matrix. The cross-block propagation multiplies against ALL
+    # rows each step ((n_pad, BLOCK) @ (BLOCK, out) on the MXU) and masks out
+    # rows already finalized — 2× the FLOPs of a shrinking-slice unroll, but
+    # MXU-fast and constant-shape.
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32)[:, None]  # (n_pad, 1)
+
+    def block_body(b, W_work):
+        row0 = b * BLOCK
+        Wb = jax.lax.dynamic_slice(W_work, (row0, 0), (BLOCK, out))
+        Ub = jax.lax.dynamic_slice(Up, (row0, row0), (BLOCK, BLOCK))
         Wb, Eb = _quantize_rows_block(
-            W_work[sl], Up[sl, sl], scale_for_block(b), fmt.qmin, fmt.qmax)
-        W_work = W_work.at[sl].set(Wb)
-        # cross-block propagation: remaining rows -= U[b, rest]ᵀ @ Eb (MXU)
-        rest = slice((b + 1) * BLOCK, Wp.shape[0])
-        if (b + 1) * BLOCK < Wp.shape[0]:
-            W_work = W_work.at[rest].add(-Up[sl, rest].T @ Eb)
+            Wb, Ub, params_for_block(row0, scales), params_for_block(row0, zeros),
+            fmt.qmin, fmt.qmax)
+        W_work = jax.lax.dynamic_update_slice(W_work, Wb, (row0, 0))
+        # cross-block propagation: rows after this block -= U[blk, :]ᵀ @ Eb
+        Urows = jax.lax.dynamic_slice(Up, (row0, 0), (BLOCK, n_pad))
+        upd = Urows.T @ Eb  # (n_pad, out) MXU
+        keep = (row_ids >= row0 + BLOCK).astype(W_work.dtype)
+        return W_work - keep * upd
+
+    W_work = jax.lax.fori_loop(0, nb, block_body, Wp)
 
     Wq = W_work[:n]
     if act_order:

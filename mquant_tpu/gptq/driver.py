@@ -105,6 +105,7 @@ class GPTQConfig:
     group_size: Optional[int] = None
     mse_clip: bool = False
     use_rtn: bool = False  # --llm_w_rtn fallback path
+    sym: bool = True  # False = asymmetric (zero-point) grid, ref --w_asym
 
 
 def gptq_quantize_decoder(
@@ -140,14 +141,15 @@ def gptq_quantize_decoder(
             from ..core import quant as Q
 
             site_p["w"] = Q.rtn_fake_quant_weight(
-                w, spec.w_bits, mse_clip=gcfg.mse_clip).astype(lp[name]["w"].dtype)
+                w, spec.w_bits, symmetric=gcfg.sym,
+                mse_clip=gcfg.mse_clip).astype(lp[name]["w"].dtype)
             lp = dict(lp)
             lp[name] = site_p
             return lp, False
         res = C.gptq_quantize_matrix(
             w, H, bits=spec.w_bits, percdamp=gcfg.percdamp,
             act_order=gcfg.act_order, group_size=gcfg.group_size,
-            mse_clip=gcfg.mse_clip)
+            mse_clip=gcfg.mse_clip, sym=gcfg.sym)
         site_p["w"] = res.w.astype(lp[name]["w"].dtype)
         lp = dict(lp)
         lp[name] = site_p
@@ -320,13 +322,14 @@ def gptq_quantize_vit(
             from ..core import quant as Q
 
             sp["w"] = Q.rtn_fake_quant_weight(
-                sp["w"].astype(jnp.float32), spec.w_bits,
+                sp["w"].astype(jnp.float32), spec.w_bits, symmetric=gcfg.sym,
                 mse_clip=gcfg.mse_clip).astype(bp[name]["w"].dtype)
         else:
             res = C.gptq_quantize_matrix(
                 sp["w"].astype(jnp.float32), H, bits=spec.w_bits,
                 percdamp=gcfg.percdamp, act_order=gcfg.act_order,
-                group_size=gcfg.group_size, mse_clip=gcfg.mse_clip)
+                group_size=gcfg.group_size, mse_clip=gcfg.mse_clip,
+                sym=gcfg.sym)
             sp["w"] = res.w.astype(bp[name]["w"].dtype)
             fb = bool(res.used_fallback)
         bp = dict(bp)

@@ -108,7 +108,8 @@ def gptq_quantize_module(
             res = C.gptq_quantize_matrix(
                 site_p["w"].astype(jnp.float32), Hs[s], bits=spec.w_bits,
                 percdamp=gcfg.percdamp, act_order=gcfg.act_order,
-                group_size=gcfg.group_size, mse_clip=gcfg.mse_clip)
+                group_size=gcfg.group_size, mse_clip=gcfg.mse_clip,
+                sym=gcfg.sym)
             site_p["w"] = res.w.astype(_get_path(params, path_of[s])["w"].dtype)
             params = _set_path(params, path_of[s], site_p)
             report["sites"] += 1

@@ -146,10 +146,16 @@ def quantized_matmul_pre(
         # decode/GEMV: XLA's s8×s8 GEMV streams weights far below HBM peak.
         # Default: bf16 MXU dot with the int8→bf16 weight convert fused into
         # the operand read (measured fastest full-model decode: 81 tok/s vs
-        # 59 pallas-GEMV vs 26 s8-dot at 7B dims). Both inputs are exact ≤8-bit
-        # grids and the MXU accumulates in f32, so this is numerically
-        # identical to the s8×s8→s32 path. MQUANT_GEMV=pallas selects the
-        # explicit VMEM-convert kernel.
+        # 59 pallas-GEMV vs 26 s8-dot at 7B dims). Both operands are exact
+        # ≤8-bit grids and the MXU accumulates in f32, so products are exact;
+        # accumulation is bit-identical to s8×s8→s32 only while running
+        # partial sums stay below 2^24 (f32 mantissa). Worst-case bound
+        # K·127·127 crosses 2^24 at K≈1040, so for large-K layers (down_proj
+        # K≈19k) correlated extremes could round low-order bits — in practice
+        # orders of magnitude below the int8 quantization noise floor, but NOT
+        # a formal exactness guarantee. MQUANT_GEMV=pallas selects the
+        # explicit VMEM-convert kernel; use the tokens>32 s8→s32 path when
+        # integer-exact accumulation is required.
         if (_pallas_enabled() and os.environ.get("MQUANT_GEMV", "xla") == "pallas"
                 and jax.default_backend() in ("tpu", "axon")
                 and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0):

@@ -51,6 +51,8 @@ class DecoderConfig:
     rope_partial: float = 1.0  # fraction of head_dim receiving RoPE (GLM-4: 0.5)
     rope_interleaved: bool = False  # GLM pairwise-interleaved rotary
     mrope_sections: Tuple[int, ...] = ()  # Qwen2-VL M-RoPE (t, h, w) sections
+    use_dynamic_ntk: bool = False  # Qwen-VL long-context NTK theta scaling
+    ntk_seq_length: int = 2048  # training seq_length the NTK ratio is taken over
     intermediate_pad: int = 0  # Hadamard-friendly padded intermediate (0 = none)
     dtype: Any = jnp.bfloat16
 
@@ -102,17 +104,39 @@ def init_decoder_params(cfg: DecoderConfig, key: jax.Array, dtype=None) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype):
+def ntk_alpha_for(cfg: DecoderConfig, seq_len: int) -> float:
+    """Dynamic-NTK alpha for a prompt of ``seq_len`` tokens — the Qwen-VL
+    long-context rule (ref: model/modeling_qwen_opt.py:696-707):
+    alpha = max(2^ceil(log2(seq_len/seq_length) + 1) - 1, 1). Computed from the
+    STATIC prefill length so it is a compile-time constant; decode reuses the
+    prefill's alpha (the reference caches ``_ntk_alpha_cached`` the same way)."""
+    import math
+
+    if not cfg.use_dynamic_ntk:
+        return 1.0
+    context_value = math.log(max(seq_len, 1) / cfg.ntk_seq_length, 2) + 1
+    alpha = 2 ** math.ceil(context_value) - 1
+    return float(max(alpha, 1))
+
+
+def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype,
+                ntk_alpha: float = 1.0):
     """cos/sin for positions.
 
     positions: (B, T) for standard RoPE, or (3, B, T) for Qwen2-VL M-RoPE where
     the three planes are (temporal, height, width) position ids and head_dim
     channels are split into ``mrope_sections`` consuming one plane each
     (capability parity with HF Qwen2-VL's multimodal rotary).
+
+    ``ntk_alpha`` scales the base theta by alpha^(rd/(rd-2)) — the dynamic-NTK
+    long-context extension (ref: modeling_qwen_opt.py:1201-1213).
     """
     rd = int(cfg.head_dim * cfg.rope_partial)
+    theta = cfg.rope_theta
+    if ntk_alpha != 1.0:
+        theta = theta * ntk_alpha ** (rd / (rd - 2))
     if cfg.mrope_sections and positions.ndim == 3:
-        cos3, sin3 = L.rotary_embedding(positions, rd, cfg.rope_theta, dtype)  # (3,B,T,rd)
+        cos3, sin3 = L.rotary_embedding(positions, rd, theta, dtype)  # (3,B,T,rd)
         # sections are in half-dim units; the table is [freqs, freqs] concat
         half = rd // 2
         secs = list(cfg.mrope_sections)
@@ -127,7 +151,7 @@ def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype):
         return cos, sin
     if positions.ndim == 3:
         positions = positions[0]
-    return L.rotary_embedding(positions, rd, cfg.rope_theta, dtype)
+    return L.rotary_embedding(positions, rd, theta, dtype)
 
 
 def _apply_rope(cfg: DecoderConfig, q, k, cos, sin):
@@ -273,6 +297,8 @@ def decoder_forward(
     # only at this position (skips the B·T·hidden·vocab GEMM for all others)
     prefill_fresh: bool = False,  # cache is empty (pos 0): write it but attend
     # to the local T-long k/v causally — T×T attention + flash eligibility
+    ntk_alpha: Optional[float] = None,  # dynamic-NTK alpha; None = derive from
+    # the static prefill length (decode callers pass the prefill's alpha)
 ):
     """Full decoder forward. Returns (logits, new_cache, stats | None).
 
@@ -297,7 +323,13 @@ def decoder_forward(
             # parity). The attention mask below still uses cache["pos"] (the
             # true token count); only the RoPE angle shifts.
             positions = positions + cache["rope_delta"][:, None]
-    cos, sin = rope_tables(cfg, positions, jnp.float32)
+    if ntk_alpha is None:
+        # prefill (no cache or fresh cache) derives alpha from its own static
+        # length; a bare decode step without an explicit alpha uses 1.0 (the
+        # reference's initial cached value)
+        ntk_alpha = (ntk_alpha_for(cfg, T)
+                     if (cache is None or prefill_fresh) else 1.0)
+    cos, sin = rope_tables(cfg, positions, jnp.float32, ntk_alpha=ntk_alpha)
 
     if attn_mask is None and cache is not None and not prefill_fresh:
         S = cache["k"].shape[2]

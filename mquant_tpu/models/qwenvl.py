@@ -59,7 +59,10 @@ class QwenVLConfig:
             name="Qwen-VL-Chat",
             llm=DecoderConfig(vocab=151936, hidden=4096, n_layers=32, n_heads=32,
                               n_kv_heads=32, intermediate=11008,
-                              rope_theta=10000.0),
+                              rope_theta=10000.0,
+                              # Qwen-VL HF config: use_dynamic_ntk + seq_length
+                              # 2048 (ref: modeling_qwen_opt.py:696-707)
+                              use_dynamic_ntk=True, ntk_seq_length=2048),
             vit=ViTConfig(width=1664, n_layers=48, n_heads=16, mlp_width=8192,
                           patch_dim=14 * 14 * 3, n_pos=1024, pre_norm=True,
                           post_norm=True, act="gelu", norm_eps=1e-6),

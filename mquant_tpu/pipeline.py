@@ -64,6 +64,7 @@ class QuantizeConfig:
     visual_w_rtn: bool = True  # visual GPTQ → RTN (reference --visual_w_rtn)
     llm_w_rtn: bool = False
     w_clip: bool = False  # MSE clip grid search
+    w_asym: bool = False  # asymmetric (zero-point) weight grid, ref --w_asym
     w_groupsize: Optional[int] = None
     act_order: bool = False
     percdamp: float = 0.01
@@ -185,7 +186,8 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
         from .models.vision import vit_preamble, vit_forward
 
         gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
-                          group_size=q.w_groupsize, mse_clip=q.w_clip)
+                          group_size=q.w_groupsize, mse_clip=q.w_clip,
+                          sym=not q.w_asym)
         vrep = {"fallbacks": [], "sites": 0}
         batches = [b for b in calib_batches if b.get("patches") is not None]
 
@@ -264,7 +266,7 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
         stacked = src["w"].ndim == 3
         new_site = dict(src)
         new_site["w"] = Q.rtn_fake_quant_weight(
-            src["w"], spec.w_bits, mse_clip=q.w_clip,
+            src["w"], spec.w_bits, mse_clip=q.w_clip, symmetric=not q.w_asym,
             reduce_axes=(-2,) if stacked else None).astype(src["w"].dtype)
         # immutably write back along the path
         def set_in(tree, path, value):
@@ -285,13 +287,15 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
             from .transform.recipes import rtn_quantize_decoder
 
             params["llm"] = rtn_quantize_decoder(cfg.llm, params["llm"], specs,
-                                                 mse_clip=q.w_clip)
+                                                 mse_clip=q.w_clip,
+                                                 symmetric=not q.w_asym)
         else:
             from .gptq.driver import GPTQConfig, gptq_quantize_decoder
 
             embeds = [embed_batch(fam, cfg, params, b) for b in calib_batches]
             gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
-                              group_size=q.w_groupsize, mse_clip=q.w_clip)
+                              group_size=q.w_groupsize, mse_clip=q.w_clip,
+                              sym=not q.w_asym)
             params["llm"], report = gptq_quantize_decoder(
                 cfg.llm, params["llm"], embeds, specs, gcfg=gcfg)
             if report["fallbacks"]:

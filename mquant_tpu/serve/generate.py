@@ -43,13 +43,14 @@ class Generator:
         self.max_len = max_len
         self.batch = batch
         self.kv_quant = kv_quant  # int8 KV cache
-        self._prefill_cache: Dict[int, Any] = {}
-        self._decode_fn = None
+        self._prefill_cache: Dict[Any, Any] = {}
+        self._ntk_alpha = 1.0  # set by prefill(); decode reuses it (ref parity)
 
     # -- jitted building blocks --------------------------------------------
 
-    def _prefill_fn(self, T: int):
-        if T not in self._prefill_cache:
+    def _prefill_fn(self, T: int, ntk_alpha: float = 1.0):
+        key = (T, ntk_alpha)
+        if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
 
             @jax.jit
@@ -62,6 +63,7 @@ class Generator:
                     cfg, params, tokens_or_embeds, specs=specs, state=state,
                     mode=mode, cache=cache, positions=positions,
                     prefill_fresh=True,  # T×T causal attention + flash path
+                    ntk_alpha=ntk_alpha,  # dynamic-NTK from the TRUE length
                     last_index=length - 1)  # TTFT: logits only for the last token
                 # cache position advances by the TRUE length, not the padded T
                 cache2 = dict(cache2)
@@ -71,12 +73,14 @@ class Generator:
                 cache2["rope_delta"] = rope_delta
                 return logits, cache2
 
-            self._prefill_cache[T] = prefill
-        return self._prefill_cache[T]
+            self._prefill_cache[key] = prefill
+        return self._prefill_cache[key]
 
     def _decode(self):
-        if self._decode_fn is None:
+        key = ("decode1", self._ntk_alpha)
+        if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            alpha = self._ntk_alpha  # decode continues with the prefill's alpha
 
             @jax.jit
             def step(params, tok, cache, pos_override=None):
@@ -86,20 +90,21 @@ class Generator:
                 positions = pos_override if pos_override is not None else base
                 logits, cache2, _ = decoder_forward(
                     cfg, params, tok, specs=specs, state=state, mode=mode,
-                    cache=cache, positions=positions)
+                    cache=cache, positions=positions, ntk_alpha=alpha)
                 return logits, cache2
 
-            self._decode_fn = step
-        return self._decode_fn
+            self._prefill_cache[key] = step
+        return self._prefill_cache[key]
 
     def _decode_n(self, n_tokens: int):
         """On-device greedy decode of n_tokens in ONE jit (lax.fori_loop over
         steps, KV cache as loop carry) — no per-token host round trips. This is
         the TPU-native serving loop; the per-step python loop remains for
         eos-early-exit interactive use."""
-        key = ("decode_n", n_tokens)
+        key = ("decode_n", n_tokens, self._ntk_alpha)
         if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            alpha = self._ntk_alpha
 
             @jax.jit
             def decode_n(params, first_tok, cache):
@@ -110,7 +115,7 @@ class Generator:
                     tok, cache, out = carry
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state, mode=mode,
-                        cache=cache)
+                        cache=cache, ntk_alpha=alpha)
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                     out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
                     return nxt[:, None], cache2, out
@@ -125,12 +130,21 @@ class Generator:
     def generate_on_device(self, tokens: jax.Array, max_new_tokens: int = 32,
                            positions=None) -> jax.Array:
         """Greedy generation with the WHOLE decode loop on device."""
+        self.ensure_capacity(tokens.shape[1] + max_new_tokens)
         last_logits, cache = self.prefill(tokens, positions=positions)
         first = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
         out, _ = self._decode_n(max_new_tokens - 1)(self.params, first, cache)
         return jnp.concatenate([first, out], axis=1)
 
     # -- public API ---------------------------------------------------------
+
+    def ensure_capacity(self, n: int):
+        """Grow the KV cache to hold at least ``n`` positions. jit closures
+        retrace automatically on the new cache shapes; callers that know the
+        prompt+decode budget (e.g. VLMRunner) call this up front so a long
+        chat-templated prompt never overflows a small default cache."""
+        if n > self.max_len:
+            self.max_len = bucket_len(n)
 
     def prefill(self, tokens_or_embeds: jax.Array, positions=None
                 ) -> Tuple[jax.Array, Dict]:
@@ -149,6 +163,7 @@ class Generator:
         else:
             rope_delta = jnp.zeros((B,), jnp.int32)
         Tb = bucket_len(T)
+        self.ensure_capacity(Tb)  # prefill writes Tb cache rows
         pad = Tb - T
         if pad:
             if tokens_or_embeds.ndim == 2:
@@ -162,7 +177,13 @@ class Generator:
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(Tb)[None], (B, Tb))
         cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
-        logits, cache = self._prefill_fn(Tb)(
+        from ..models.llm import ntk_alpha_for
+
+        # dynamic-NTK alpha from the TRUE prompt length (ref computes it from
+        # kv_seq_len at prefill, modeling_qwen_opt.py:696-707); cached on self
+        # so subsequent decode steps continue with the same theta
+        self._ntk_alpha = ntk_alpha_for(self.cfg, T)
+        logits, cache = self._prefill_fn(Tb, self._ntk_alpha)(
             self.params, tokens_or_embeds, cache, positions,
             jnp.asarray(length, jnp.int32), rope_delta)
         return logits[:, 0], cache
@@ -170,6 +191,7 @@ class Generator:
     def generate(self, tokens: jax.Array, max_new_tokens: int = 32,
                  eos_id: Optional[int] = None, positions=None):
         """Greedy decode. Returns (B, <=max_new_tokens) int32 array."""
+        self.ensure_capacity(tokens.shape[1] + max_new_tokens)
         last_logits, cache = self.prefill(tokens, positions=positions)
         step = self._decode()
         tok = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)

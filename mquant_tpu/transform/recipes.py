@@ -175,6 +175,7 @@ def rtn_quantize_decoder(
     params: Dict,
     specs: Dict,
     mse_clip: bool = False,
+    symmetric: bool = True,
 ) -> Dict:
     """Offline RTN weight fake-quantization of every spec'd decoder site.
 
@@ -194,14 +195,15 @@ def rtn_quantize_decoder(
             continue
         site = dict(lay[s])
         site["w"] = Q.rtn_fake_quant_weight(
-            site["w"], spec.w_bits, mse_clip=mse_clip, reduce_axes=(-2,))
+            site["w"], spec.w_bits, mse_clip=mse_clip, symmetric=symmetric,
+            reduce_axes=(-2,))
         lay[s] = site
     p["layers"] = lay
     head_spec = specs.get("llm.lm_head")
     if head_spec is not None and head_spec.w_bits is not None and "lm_head" in p:
         head = dict(p["lm_head"])
         head["w"] = Q.rtn_fake_quant_weight(
-            head["w"], head_spec.w_bits, mse_clip=mse_clip)
+            head["w"], head_spec.w_bits, mse_clip=mse_clip, symmetric=symmetric)
         p["lm_head"] = head
     return p
 

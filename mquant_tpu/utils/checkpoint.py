@@ -47,6 +47,14 @@ def _to_serializable(tree):
     return walk(tree)
 
 
+# Quantization metadata that must stay full-precision on load: casting
+# per-channel dequant scales (or the fp-kept RMS-split column ``w_col0``) to
+# bf16's 8-bit mantissa would degrade the real-int path's dequant accuracy and
+# defeat the point of keeping col0 in fp.
+_NO_CAST_KEYS = frozenset({"w_scale", "scale", "zero_point", "w_col0",
+                           "k_scale", "v_scale"})
+
+
 def _from_serializable(t, dtype=None):
     from ..core.quant import QuantParams
 
@@ -57,8 +65,8 @@ def _from_serializable(t, dtype=None):
             return QuantParams(
                 scale=_from_serializable(t["scale"]),
                 zero_point=_from_serializable(t["zero_point"]))
-        return {k: _from_serializable(v, dtype) for k, v in t.items()
-                if k != "__namedtuple__"}
+        return {k: _from_serializable(v, None if k in _NO_CAST_KEYS else dtype)
+                for k, v in t.items() if k != "__namedtuple__"}
     arr = jnp.asarray(t)
     if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
         arr = arr.astype(dtype)

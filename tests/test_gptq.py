@@ -111,3 +111,46 @@ class TestGptqCore:
         h = G.accumulate_hessian(G.accumulate_hessian(None, x1), x2)
         both = G.accumulate_hessian(None, jnp.concatenate([x1, x2]))
         np.testing.assert_allclose(np.asarray(h), np.asarray(both), rtol=1e-4, atol=1e-5)
+
+
+class TestAsymGptq:
+    """Asymmetric (zero-point) GPTQ — ref: fake_quant/quant_utils.py:446-509
+    (WeightQuantizer sym=False) used by GPTQ via gptq_utils.py:249-286."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(7)
+
+    def test_asym_beats_sym_on_shifted_weights(self, rng):
+        n, out = 96, 32
+        x = jnp.asarray(rng.normal(size=(256, n)), jnp.float32)
+        W = jnp.asarray(rng.normal(size=(n, out)) * 0.1 + 0.5, jnp.float32)
+        H = hessian_from(x)
+        e_sym = jnp.mean((G.gptq_quantize_matrix(W, H, bits=4, sym=True).w - W) ** 2)
+        e_asym = jnp.mean((G.gptq_quantize_matrix(W, H, bits=4, sym=False).w - W) ** 2)
+        assert float(e_asym) < float(e_sym) * 0.5
+
+    def test_asym_grouped(self, rng):
+        n, out = 128, 32
+        x = jnp.asarray(rng.normal(size=(256, n)), jnp.float32)
+        W = jnp.asarray(rng.normal(size=(n, out)) * 0.1 + 0.3, jnp.float32)
+        H = hessian_from(x)
+        res = G.gptq_quantize_matrix(W, H, bits=4, sym=False, group_size=32)
+        assert bool(jnp.all(jnp.isfinite(res.w)))
+        e_g = float(jnp.mean((res.w - W) ** 2))
+        e_sym = float(jnp.mean(
+            (G.gptq_quantize_matrix(W, H, bits=4, group_size=32).w - W) ** 2))
+        assert e_g < e_sym
+
+    def test_asym_values_on_grid(self, rng):
+        # every output value must sit on the asym grid (q - z) * s, q in [0, 15]
+        n, out = 64, 8
+        x = jnp.asarray(rng.normal(size=(256, n)), jnp.float32)
+        W = jnp.asarray(rng.normal(size=(n, out)) + 1.0, jnp.float32)
+        res = G.gptq_quantize_matrix(W, hessian_from(x), bits=4, sym=False)
+        # recover integer codes from scale: (w/s + z) must be near-integers in range
+        s = np.asarray(res.scale[0])  # (out,)
+        w = np.asarray(res.w)
+        codes = w / s[None, :]
+        assert np.allclose(codes, np.round(codes), atol=1e-3)
+        assert np.all(np.round(codes) >= -15.1) and np.all(np.round(codes) <= 15.1)

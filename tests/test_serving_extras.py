@@ -115,3 +115,71 @@ class TestGroupedAttention:
         a = L.attention(q, k, v, causal=True)
         b = L.attention(q, k, v, L.causal_mask(T, T))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+class TestDynamicNTK:
+    """Dynamic-NTK long-context RoPE — parity with the reference formula
+    (ref: model/modeling_qwen_opt.py:696-707 + RotaryEmbedding:1201-1213)."""
+
+    def _cfg(self, **kw):
+        from mquant_tpu.models.llm import DecoderConfig
+
+        return DecoderConfig(vocab=64, hidden=32, n_layers=1, n_heads=2,
+                             n_kv_heads=2, intermediate=48, rope_theta=10000.0,
+                             use_dynamic_ntk=True, ntk_seq_length=2048,
+                             dtype=np.float32, **kw)
+
+    def test_alpha_matches_reference_formula(self):
+        import math
+
+        from mquant_tpu.models.llm import ntk_alpha_for
+
+        cfg = self._cfg()
+        for T in (128, 2048, 2049, 3000, 4096, 8192, 16384):
+            cv = math.log(T / 2048, 2) + 1
+            ref = max(2 ** math.ceil(cv) - 1, 1)
+            assert ntk_alpha_for(cfg, T) == float(ref), T
+        # disabled flag → always 1
+        import dataclasses as dc
+
+        off = dc.replace(cfg, use_dynamic_ntk=False)
+        assert ntk_alpha_for(off, 8192) == 1.0
+
+    def test_rope_tables_scale_theta(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import rope_tables
+
+        cfg = self._cfg()
+        pos = jnp.arange(8)[None, :]
+        alpha = 3.0
+        cos, sin = rope_tables(cfg, pos, jnp.float32, ntk_alpha=alpha)
+        # reference: inv_freq from base' = base * alpha ** (d/(d-2))
+        d = cfg.head_dim
+        base = 10000.0 * alpha ** (d / (d - 2))
+        inv = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float32) / d))
+        freqs = np.arange(8, dtype=np.float32)[:, None] * inv[None]
+        emb = np.concatenate([freqs, freqs], axis=-1)
+        np.testing.assert_allclose(np.asarray(cos[0]), np.cos(emb), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sin[0]), np.sin(emb), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_generator_long_prompt_sets_alpha_and_decodes(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = dc.replace(self._cfg(), ntk_seq_length=16)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        gen = Generator(cfg, params, max_len=96, batch=1)
+        toks = jnp.ones((1, 40), jnp.int32)  # 40 > 16 → alpha = 2^ceil(log2(2.5)+1)-1 = 7
+        out = gen.generate(toks, max_new_tokens=4)
+        assert gen._ntk_alpha == 7.0
+        assert out.shape[1] == 4
+        # short prompt resets alpha to 1
+        gen.generate(jnp.ones((1, 8), jnp.int32), max_new_tokens=2)
+        assert gen._ntk_alpha == 1.0
