@@ -116,46 +116,62 @@ class VLMRunner:
         return patches, extra, n_img
 
     def build_inputs(self, prompt: Dict):
-        """Chat-templated token stream: text_before ⊕ image-pad ⊕ text_after
-        (the family's real context format, not raw question text)."""
-        patches, extra, n_img = self._encode_image(prompt.get("image"))
+        """Chat-templated token stream: text pieces interleaved with per-image
+        pad spans (the family's real context format, not raw question text).
+        ``prompt["image"]`` may be one array or a LIST of arrays (multi-image /
+        interleaved prompts, ref: modeling_qwen_opt.py:598-616,
+        exam/minicpmv.py:60-125)."""
+        raw = prompt.get("image")
+        images = ([] if raw is None
+                  else list(raw) if isinstance(raw, (list, tuple)) else [raw])
+        encoded = [self._encode_image(im) for im in images]
+        n_imgs = [n for _, _, n in encoded]
         if self.use_chat_template:
-            from ..serve.chat import build_chat_prompt
+            from ..serve.chat import build_multi_image_prompt
 
-            pieces = build_chat_prompt(self.fam.name, prompt["text"], n_img,
-                                       system=prompt.get("system"))
-            before = self.tok.encode(pieces["text_before"])
-            after = self.tok.encode(pieces["text_after"])
-            toks = list(before) + [self.cfg.image_token_id] * n_img + list(after)
+            pieces = build_multi_image_prompt(
+                self.fam.name, prompt["text"], n_imgs,
+                system=prompt.get("system"))
+            toks: list = []
+            img_i = 0
+            for p in pieces:
+                if p["kind"] == "text":
+                    toks += list(self.tok.encode(p["text"]))
+                else:
+                    toks += [self.cfg.image_token_id] * p["n_tokens"]
+                    img_i += 1
         else:
-            toks = ([self.cfg.image_token_id] * n_img
-                    + list(self.tok.encode(prompt["text"])))
+            toks = sum(([self.cfg.image_token_id] * n for n in n_imgs),
+                       []) + list(self.tok.encode(prompt["text"]))
         arr = np.asarray(toks, np.int64)[None]
         img_mask = arr == self.cfg.image_token_id
         arr = np.clip(arr, 0, self.cfg.llm.vocab - 1)
         arr[img_mask] = self.cfg.image_token_id  # survive the clip
-        return jnp.asarray(arr), patches, extra, n_img
+        return jnp.asarray(arr), encoded
 
     # -- generation ---------------------------------------------------------
 
     def generate(self, prompt: Dict, max_new_tokens: Optional[int] = None) -> str:
         """prompt: {"text": str, "image": np.ndarray | None} → decoded text."""
         max_new = max_new_tokens or self.max_new_tokens
-        toks, patches, extra, n_img = self.build_inputs(prompt)
+        toks, encoded = self.build_inputs(prompt)
 
-        # image features through the (quantized) vision path → spliced embeds
-        mrope_grid = extra.pop("mrope_grid", None)
-        batch = {"tokens": toks, "patches": patches, **extra}
-        embeds = _embed_with_quant(self.fam, self.cfg, self.params, batch,
-                                   self.specs, self.state, self.mode)
+        # image features through the (quantized) vision path, per image (each
+        # image attends only within itself — separate tower calls are the
+        # block-diagonal attention HF runs via cu_seqlens), then one splice
+        mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
+        embeds = _embed_with_quant(
+            self.fam, self.cfg, self.params,
+            {"tokens": toks, "images": [(p, e) for p, e, _ in encoded]},
+            self.specs, self.state, self.mode)
 
         positions = None
-        if self.fam.name == "qwen2vl" and n_img:
+        if self.fam.name == "qwen2vl" and encoded:
             from ..models.qwen2vl import mrope_positions
 
             positions = jnp.asarray(mrope_positions(
                 np.asarray(toks), self.cfg.image_token_id,
-                grid_thw=mrope_grid))
+                grid_thw=[g for g in mrope_grids if g is not None]))
 
         eos = getattr(self.tok, "eos_id", -1)
         # cache must hold the (bucket-padded) prompt plus every decoded token
@@ -192,15 +208,35 @@ def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
     sequence is padded to a common bucket length, ``vis_token_mask`` flows
     into the tower's attention; downstream projectors either consume the mask
     (resampler key_padding_mask) or the valid prefix (padding sits at the
-    end)."""
+    end).
+
+    ``batch["images"]`` — a list of (patches, extra) pairs — runs the tower
+    once per image and concatenates the merged features in order; the i-th
+    image-token span in the stream then receives the i-th image's rows via the
+    in-order splice (multi-image parity with ref modeling_qwen_opt.py:598-616).
+    """
     from ..models.qwen2vl import splice_image_embeds
 
     toks = batch["tokens"]
     embeds = params["llm"]["embed"]["w"][toks].astype(cfg.llm.dtype)
-    patches = batch.get("patches")
-    if patches is None:
+    images = batch.get("images")
+    if images is None:  # legacy single-image batch layout
+        patches = batch.get("patches")
+        if patches is None:
+            return embeds
+        images = [(patches, {k: v for k, v in batch.items()
+                             if k not in ("tokens", "patches")})]
+    images = [(p, e) for p, e in images if p is not None]
+    if not images:
         return embeds
-    extra = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    feats = [_image_features(fam, cfg, params, p, e, specs, state, mode)
+             for p, e in images]
+    img = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+    return splice_image_embeds(embeds, toks, img, cfg.image_token_id)
+
+
+def _image_features(fam, cfg, params, patches, extra, specs, state, mode):
+    """One image's merged/projected features (B, N_i, hidden)."""
     vmask = extra.get("vis_token_mask")
     kw = dict(specs=specs, state=state, mode=mode)
     if fam.name == "qwen2vl":
@@ -238,4 +274,4 @@ def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
                                token_mask=vmask, **kw)
         feats = feats[:, : gh * gw]
         img, _ = glu_projector_forward(cfg.proj, params["proj"], feats, gh, gw, **kw)
-    return splice_image_embeds(embeds, toks, img, cfg.image_token_id)
+    return img

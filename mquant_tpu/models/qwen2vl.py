@@ -129,22 +129,30 @@ def splice_image_embeds(
 
 
 def mrope_positions(tokens: np.ndarray, image_token_id: int,
-                    grid_thw: Optional[tuple] = None,
-                    merge: int = 2) -> np.ndarray:
+                    grid_thw=None, merge: int = 2) -> np.ndarray:
     """Host-side M-RoPE position ids (3, B, T) — (temporal, height, width).
 
     Text tokens advance all three planes together; an image span of a
     (t, h, w) patch grid gets temporal=const, height/width = merged grid coords;
     the text after an image resumes from max(position)+1 (capability parity with
-    HF Qwen2-VL ``get_rope_index``)."""
+    HF Qwen2-VL ``get_rope_index``).
+
+    ``grid_thw``: one (t, h, w) tuple, or a LIST of tuples for multi-image
+    prompts — the i-th contiguous image-token span consumes the i-th grid
+    (HF get_rope_index walks image spans the same way)."""
     B, T = tokens.shape
     pos = np.zeros((3, B, T), np.int64)
+    grids = None
+    if grid_thw is not None:
+        grids = list(grid_thw) if isinstance(grid_thw, list) else [grid_thw]
     for b in range(B):
         p = 0
         t_iter = 0
+        img_i = 0
         while t_iter < T:
-            if tokens[b, t_iter] == image_token_id and grid_thw is not None:
-                t, h, w = grid_thw
+            if tokens[b, t_iter] == image_token_id and grids is not None:
+                t, h, w = grids[min(img_i, len(grids) - 1)]
+                img_i += 1
                 hh, ww = h // merge, w // merge
                 n = t * hh * ww
                 ti = np.repeat(np.arange(t), hh * ww)

@@ -65,3 +65,62 @@ def build_interleaved(family: str, segments: List, n_image_tokens: int) -> List[
         else:
             out.append({"kind": "text", "text": seg})
     return out
+
+
+def build_multi_image_prompt(family: str, question: str,
+                             n_tokens_per_image: List[int],
+                             system: Optional[str] = None) -> List[dict]:
+    """Multi-image chat context → ordered pieces
+    [{"kind": "text", "text": ...} | {"kind": "image", "n_tokens": ...}].
+
+    Image markup parity per family: Qwen-VL numbers pictures
+    ("Picture k: <img>…</img>\\n", ref: model/tokenization_qwen.py
+    from_list_format + modeling_qwen_opt.py:598-616 multi-span handling),
+    Qwen2-VL repeats <|vision_start|>…<|vision_end|>, InternVL numbers
+    "Image-k: <img>…</img>\\n", MiniCPM-V repeats <image>…</image>, GLM-4V
+    repeats its boi/eoi span."""
+    system = system or "You are a helpful assistant."
+    k = len(n_tokens_per_image)
+    if k == 0:
+        p = build_chat_prompt(family, question, 0, system=system)
+        return [{"kind": "text", "text": p["text_before"] + p["text_after"]}]
+    if k == 1:
+        p = build_chat_prompt(family, question, n_tokens_per_image[0],
+                              system=system)
+        return [{"kind": "text", "text": p["text_before"]},
+                {"kind": "image", "n_tokens": p["n_image_tokens"]},
+                {"kind": "text", "text": p["text_after"]}]
+
+    if family == "glm4v":
+        head, tail = "[gMASK]<sop><|user|>\n", f"\n{question}<|assistant|>\n"
+        open_tag, close_tag, numbered = "", "", None
+    elif family == "qwen2vl":
+        head = (f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n")
+        tail = f"{question}<|im_end|>\n<|im_start|>assistant\n"
+        open_tag, close_tag, numbered = "<|vision_start|>", "<|vision_end|>", None
+    elif family == "qwenvl":
+        head = f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n"
+        tail = f"{question}<|im_end|>\n<|im_start|>assistant\n"
+        open_tag, close_tag, numbered = "<img>", "</img>\n", "Picture {k}: "
+    elif family == "internvl":
+        head = f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n"
+        tail = f"{question}<|im_end|>\n<|im_start|>assistant\n"
+        open_tag, close_tag, numbered = "<img>", "</img>\n", "Image-{k}: "
+    elif family == "minicpmv":
+        head, tail = "<|im_start|>user\n", (f"\n{question}<|im_end|>\n"
+                                            f"<|im_start|>assistant\n")
+        open_tag, close_tag, numbered = "<image>", "</image>", None
+    else:
+        head, tail, open_tag, close_tag, numbered = "", question, "", "", None
+
+    pieces: List[dict] = []
+    text = head
+    for i, n in enumerate(n_tokens_per_image):
+        if numbered:
+            text += numbered.format(k=i + 1)
+        text += open_tag
+        pieces.append({"kind": "text", "text": text})
+        pieces.append({"kind": "image", "n_tokens": n})
+        text = close_tag
+    pieces.append({"kind": "text", "text": text + tail})
+    return pieces

@@ -157,8 +157,8 @@ class TestRunnerChatAndBuckets:
 
         cfg, r = self._runner()
         img = np.random.default_rng(0).random((24, 24, 3)).astype(np.float32)
-        toks, patches, extra, n_img = r.build_inputs(
-            {"text": "what?", "image": img})
+        toks, encoded = r.build_inputs({"text": "what?", "image": img})
+        patches, extra, n_img = encoded[0]
         text = r.tok.decode([t for t in np.asarray(toks[0])
                              if t != cfg.image_token_id])
         assert "<|im_start|>system" in text
@@ -172,8 +172,8 @@ class TestRunnerChatAndBuckets:
 
     def test_text_only_template(self):
         cfg, r = self._runner()
-        toks, patches, extra, n_img = r.build_inputs({"text": "hello"})
-        assert patches is None and n_img == 0
+        toks, encoded = r.build_inputs({"text": "hello"})
+        assert encoded == []
         text = r.tok.decode(list(__import__("numpy").asarray(toks[0])))
         assert "<|im_start|>system" in text and "<|vision_start|>" not in text
 
@@ -182,8 +182,8 @@ class TestRunnerChatAndBuckets:
 
         cfg, r = self._runner()
         img = np.random.default_rng(0).random((24, 48, 3)).astype(np.float32)
-        toks, patches, extra, n_img = r.build_inputs(
-            {"text": "q", "image": img})
+        toks, encoded = r.build_inputs({"text": "q", "image": img})
+        patches, extra, n_img = encoded[0]
         gh, gw = np.asarray(extra["mrope_grid"])[1:]
         assert (gh, gw) == (4, 8)  # bucket (16, 32), patch 4 — NOT square
         assert n_img == (4 * 8) // 4
@@ -195,8 +195,8 @@ class TestRunnerChatAndBuckets:
 
         cfg, r = self._runner(pad_to_max=True)
         img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
-        toks, patches, extra, n_img = r.build_inputs(
-            {"text": "q", "image": img})
+        toks, encoded = r.build_inputs({"text": "q", "image": img})
+        patches, extra, n_img = encoded[0]
         mask = np.asarray(extra["vis_token_mask"][0])
         assert patches.shape[1] == mask.shape[0]  # padded to max bucket
         assert mask.sum() == 16  # 4x4 grid valid
@@ -213,3 +213,86 @@ class TestRunnerChatAndBuckets:
         a = r_dev.generate({"text": "abc", "image": img})
         b = r_host.generate({"text": "abc", "image": img})
         assert a == b
+
+
+class TestMultiImage:
+    """Multi-image / interleaved-image prompts (ref: modeling_qwen_opt.py:
+    598-616 multi-span image handling, exam/minicpmv.py:60-125)."""
+
+    def _runner(self, family="qwen2vl", **kw):
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+
+        if family == "qwen2vl":
+            from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                                   init_qwen2vl_params)
+
+            cfg = Qwen2VLConfig.tiny()
+            params = init_qwen2vl_params(cfg, jax.random.key(0))
+        else:
+            from mquant_tpu.models.qwenvl import (QwenVLConfig,
+                                                  init_qwenvl_params)
+
+            cfg = QwenVLConfig.tiny()
+            params = init_qwenvl_params(cfg, jax.random.key(0))
+        return cfg, VLMRunner(family, cfg, params, max_new_tokens=3,
+                              max_len=512, **kw)
+
+    def test_two_images_different_sizes_one_prompt(self):
+        import numpy as np
+
+        cfg, r = self._runner()
+        rng = np.random.default_rng(0)
+        img_a = rng.random((24, 24, 3)).astype(np.float32)   # square bucket
+        img_b = rng.random((24, 48, 3)).astype(np.float32)   # wide bucket
+        toks, encoded = r.build_inputs(
+            {"text": "compare", "image": [img_a, img_b]})
+        assert len(encoded) == 2
+        n_a, n_b = encoded[0][2], encoded[1][2]
+        assert n_a != n_b  # different buckets → different token counts
+        ids = np.asarray(toks[0])
+        assert int((ids == cfg.image_token_id).sum()) == n_a + n_b
+        # two separate contiguous spans
+        pos = np.where(ids == cfg.image_token_id)[0]
+        gaps = np.where(np.diff(pos) > 1)[0]
+        assert len(gaps) == 1
+        out = r.generate({"text": "compare", "image": [img_a, img_b]})
+        assert isinstance(out, str)
+
+    def test_multi_image_mrope_positions(self):
+        import numpy as np
+
+        from mquant_tpu.models.qwen2vl import mrope_positions
+
+        # stream: 2 text, img1 (1,4,4)->4 merged tokens, 1 text, img2 (1,2,4)->2, 1 text
+        IMG = 9
+        toks = np.asarray([[1, 2, IMG, IMG, IMG, IMG, 3, IMG, IMG, 4]])
+        pos = mrope_positions(toks, IMG, grid_thw=[(1, 4, 4), (1, 2, 4)])
+        t, h, w = pos[:, 0, :], pos[1, 0, :], pos[2, 0, :]
+        # text prefix advances all planes: positions 0,1
+        assert list(pos[0, 0, :2]) == [0, 1]
+        # first image span: temporal const at 2; h/w are grid coords + 2
+        assert list(pos[0, 0, 2:6]) == [2, 2, 2, 2]
+        assert list(pos[1, 0, 2:6]) == [2, 2, 3, 3]
+        assert list(pos[2, 0, 2:6]) == [2, 3, 2, 3]
+        # text after first image resumes at max+1 = 4
+        assert pos[0, 0, 6] == pos[1, 0, 6] == pos[2, 0, 6] == 4
+        # second image at base 5 with its own (1,2)-shaped merged grid
+        assert list(pos[1, 0, 7:9]) == [5, 5]
+        assert list(pos[2, 0, 7:9]) == [5, 6]
+        assert pos[0, 0, 9] == 7  # trailing text: max(5,6)+1 = 7
+
+    def test_qwenvl_two_images_numbered_pictures(self):
+        import numpy as np
+
+        cfg, r = self._runner(family="qwenvl")
+        rng = np.random.default_rng(1)
+        imgs = [rng.random((16, 16, 3)).astype(np.float32),
+                rng.random((16, 16, 3)).astype(np.float32)]
+        toks, encoded = r.build_inputs({"text": "diff?", "image": imgs})
+        text = r.tok.decode([t for t in np.asarray(toks[0])
+                             if t != cfg.image_token_id])
+        assert "Picture 1: " in text and "Picture 2: " in text
+        out = r.generate({"text": "diff?", "image": imgs})
+        assert isinstance(out, str)
