@@ -11,8 +11,10 @@ guard, and RTN fallback on Cholesky failure. Differences by design:
     column walk over torch's (out, in)).
   * the sequential inner loop is a ``lax.fori_loop`` over rows *within* a
     128-row block with masked rank-1 updates (VPU), and the cross-block error
-    propagation is one (in-b, B) × (B, out) matmul on the MXU — the whole thing
-    is ONE jitted function, vmappable over stacked layers.
+    propagation is one (in, B) × (B, out) matmul on the MXU; the row walk is
+    ONE jitted function (compile O(1) in the input dim), vmappable over
+    stacked layers; the Hessian factorization is a blocked Cholesky +
+    triangular inverse built from the same fixed-shape loop primitives.
   * Cholesky failure cannot raise under jit; it surfaces as NaNs, which the NaN
     guard converts into an RTN fallback via ``jnp.where`` (same observable
     behavior as ref:239-245 + 296-303).
@@ -51,10 +53,130 @@ def accumulate_hessian(h: Optional[jax.Array], x: jax.Array) -> jax.Array:
     return hh if h is None else h + hh
 
 
+PANEL = 256  # factorization panel (multiple of the 8×128 f32 tile)
+
+
+def _chol_small(D: jax.Array) -> jax.Array:
+    """Unblocked lower Cholesky of a P×P SPD block: fori_loop of rank-1
+    downdates (VPU). No ``jnp.linalg.cholesky`` — XLA:TPU's expansion of even
+    a small dense Cholesky inside an outer loop measured ~20× slower than
+    this masked rank-1 form."""
+    P = D.shape[-1]
+    ids = jnp.arange(P, dtype=jnp.int32)
+
+    def body(j, carry):
+        A, L = carry
+        # clamp the pivot: f32 accumulation over thousands of rank-1 downdates
+        # can drift a near-singular (damped, rank-deficient-Hessian) pivot
+        # slightly negative; the floor keeps the factor finite (the NaN→RTN
+        # guard downstream still catches genuinely broken factorizations)
+        d = jnp.sqrt(jnp.maximum(
+            jax.lax.dynamic_slice(A, (j, j), (1, 1))[0, 0], 1e-12))
+        col = jax.lax.dynamic_slice_in_dim(A, j, 1, 1)[:, 0] / d  # (P,)
+        col = jnp.where(ids >= j, col, 0.0)
+        L = jax.lax.dynamic_update_slice_in_dim(L, col[:, None], j, 1)
+        below = jnp.where(ids > j, col, 0.0)
+        A = A - below[:, None] * below[None, :]
+        return A, L
+
+    _, L = jax.lax.fori_loop(0, P, body, (D, jnp.zeros_like(D)))
+    return L
+
+
+def _tri_inv_small(L: jax.Array) -> jax.Array:
+    """Inverse of a P×P lower-triangular block by row-wise forward
+    substitution (fori_loop; same rationale as ``_chol_small``)."""
+    P = L.shape[-1]
+    ids = jnp.arange(P, dtype=jnp.int32)
+
+    def body(i, X):
+        li = jax.lax.dynamic_slice_in_dim(L, i, 1, 0)[0]  # (P,)
+        s = jnp.dot(jnp.where(ids < i, li, 0.0)[None, :], X,
+                    precision=jax.lax.Precision.HIGHEST)[0]  # (P,) matvec
+        e = (ids == i).astype(L.dtype)
+        d = jax.lax.dynamic_slice(L, (i, i), (1, 1))[0, 0]
+        return jax.lax.dynamic_update_slice_in_dim(
+            X, ((e - s) / d)[None, :], i, 0)
+
+    return jax.lax.fori_loop(0, P, body, jnp.zeros_like(L))
+
+
+def _blocked_cholesky(A: jax.Array, P: int = PANEL):
+    """Lower Cholesky of an SPD matrix, right-looking blocked form. Returns
+    (L, Dinv) where Dinv stacks the inverted P×P diagonal blocks (reused by
+    ``_blocked_tri_inv_lower``).
+
+    XLA:TPU's native lowering of big dense ``cholesky``/``triangular_solve``
+    recursively expands into temporaries that exceeded HBM at down_proj size
+    (18944²: >100 GB requested) and cost ~85 s of compile even at 3584². This
+    fori_loop version has O(1) compile in n and O(n²) memory: per panel one
+    unblocked P×P Cholesky + inverse (Θ(P) tiny sequential steps), a (n, P)
+    panel product, and a masked rank-P downdate on the MXU."""
+    n = A.shape[-1]  # must be a multiple of P (caller pads)
+    nb = n // P
+    row_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def body(b, carry):
+        A, L, Dinv = carry
+        r0 = b * P
+        D = jax.lax.dynamic_slice(A, (r0, r0), (P, P))
+        Ld = _chol_small(D)
+        Ldinv = _tri_inv_small(Ld)
+        Dinv = jax.lax.dynamic_update_slice(Dinv, Ldinv[None], (b, 0, 0))
+        C = jax.lax.dynamic_slice(A, (0, r0), (n, P))
+        # full f32 precision: the factorization feeds sqrt/division chains
+        # where the default bf16-pass matmul loses enough bits to flip
+        # near-zero pivots negative at down_proj size
+        X = jnp.dot(C, Ldinv.T, precision=jax.lax.Precision.HIGHEST)
+        X = X * (row_ids >= r0 + P).astype(A.dtype)
+        panel = X + jax.lax.dynamic_update_slice(
+            jnp.zeros((n, P), A.dtype), Ld, (r0, 0))
+        L = jax.lax.dynamic_update_slice(L, panel, (0, r0))
+        A = A - jnp.dot(X, X.T, precision=jax.lax.Precision.HIGHEST)
+        return A, L, Dinv
+
+    _, L, Dinv = jax.lax.fori_loop(
+        0, nb, body,
+        (A, jnp.zeros_like(A), jnp.zeros((nb, P, P), A.dtype)))
+    return L, Dinv
+
+
+def _blocked_tri_inv_lower(L: jax.Array, Dinv: jax.Array,
+                           P: int = PANEL) -> jax.Array:
+    """Inverse of a lower-triangular matrix by blocked forward substitution
+    (same O(1)-compile / O(n²)-memory rationale as ``_blocked_cholesky``).
+    ``Dinv``: pre-inverted P×P diagonal blocks from the factorization."""
+    n = L.shape[-1]
+    nb = n // P
+    col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    prow = jnp.arange(P, dtype=jnp.int32)
+
+    def body(b, Y):
+        r0 = b * P
+        Drow = jax.lax.dynamic_slice(L, (r0, 0), (P, n))
+        Ldinv = jax.lax.dynamic_slice(Dinv, (b, 0, 0), (1, P, P))[0]
+        S = jnp.dot(Drow * (col_ids < r0).astype(L.dtype), Y,
+                    precision=jax.lax.Precision.HIGHEST)  # (P, n) MXU
+        Irow = (col_ids == (r0 + prow)[:, None]).astype(L.dtype)
+        Yrow = Ldinv @ (Irow - S)
+        return jax.lax.dynamic_update_slice(Y, Yrow, (r0, 0))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(L))
+
+
 def _hinv_cholesky(H: jax.Array, percdamp: float) -> jax.Array:
-    """Upper-triangular U with U = chol(H⁻¹)ᵀ-style factor used for error
-    propagation: the i-th diagonal entry scales the i-th row's error, and
-    U[i, j>i] carries it to later rows."""
+    """Upper-triangular U with H⁻¹ = UᵀU, used for error propagation: the
+    i-th diagonal entry scales the i-th row's error and U[i, j>i] carries it
+    to later rows.
+
+    Computed via the reversal identity U = J·chol(J H J)⁻¹·J (J = exchange
+    matrix): ONE Cholesky + ONE triangular inverse. Mathematically identical
+    (uniqueness of the Cholesky factor) to the reference's
+    cholesky → cholesky_inverse → upper-cholesky chain
+    (ref: gptq_utils.py:236-238) but skips forming H⁻¹ and the second
+    factorization. Padding to the panel size with identity blocks commutes
+    with the reversal (the padded region factors to identity and is sliced
+    away)."""
     n = H.shape[-1]
     H = H.astype(jnp.float32)
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -63,14 +185,15 @@ def _hinv_cholesky(H: jax.Array, percdamp: float) -> jax.Array:
     H = H + jnp.diag(jnp.where(dead, one, 0 * one))
     damp = jnp.float32(percdamp) * jnp.mean(jnp.abs(diag))
     H = H + damp * jnp.eye(n, dtype=jnp.float32)
-    L = jnp.linalg.cholesky(H)
-    # H⁻¹ via two triangular solves on the identity
-    eye = jnp.eye(n, dtype=H.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    Hinv = Linv.T @ Linv
-    # upper cholesky factor of H⁻¹ (reference: cholesky(Hinv, upper=True))
-    U = jnp.linalg.cholesky(Hinv, upper=True)
-    return U
+    Hr = H[::-1, ::-1]
+    pad = (-n) % PANEL
+    if pad:
+        Hr = jnp.pad(Hr, ((0, pad), (0, pad)))
+        Hr = Hr + jnp.diag(jnp.pad(jnp.zeros((n,), jnp.float32), (0, pad),
+                                   constant_values=1.0))
+    Lg, Dinv = _blocked_cholesky(Hr)
+    Lginv = _blocked_tri_inv_lower(Lg, Dinv)
+    return Lginv[:n, :n][::-1, ::-1]
 
 
 def _quantize_rows_block(Wb, Ub, scale, zero, qmin, qmax):
@@ -117,18 +240,41 @@ def gptq_quantize_matrix(
     mse_clip: bool = False,
     sym: bool = True,
 ) -> GPTQResult:
+    """One jitted function end-to-end (vmappable over stacked layers):
+    act_order permutation → blocked Hessian factorization → sequential row
+    walk. Compile time is O(1) in the input dimension (every loop is a
+    ``lax.fori_loop`` over fixed-shape panels/blocks)."""
+    if act_order:  # quantize most-salient inputs first (ref:225-229)
+        perm = jnp.argsort(-jnp.diagonal(H))
+        Hp = H[perm][:, perm]
+    else:
+        perm = None
+        Hp = H
+    U = _hinv_cholesky(Hp.astype(jnp.float32), percdamp)
+    return _gptq_walk(W, jnp.diagonal(Hp), U, perm, bits=bits,
+                      act_order=act_order, group_size=group_size,
+                      mse_clip=mse_clip, sym=sym)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "act_order", "group_size",
+                                             "mse_clip", "sym"))
+def _gptq_walk(
+    W: jax.Array,  # (in, out)
+    diag: jax.Array,  # (in,) diagonal of the (permuted) Hessian
+    U: jax.Array,  # (in, in) upper factor of Hp⁻¹
+    perm: Optional[jax.Array],  # (in,) permutation when act_order
+    bits: int,
+    act_order: bool,
+    group_size: Optional[int],
+    mse_clip: bool,
+    sym: bool,
+) -> GPTQResult:
     fmt = get_format(bits, signed=sym)
     Win = W.astype(jnp.float32)
     n, out = Win.shape
-    diag = jnp.diagonal(H)
-    Win = jnp.where((diag == 0)[:, None], 0.0, Win)  # dead inputs → 0 (ref:205-207)
-
-    if act_order:  # quantize most-salient inputs first (ref:225-229)
-        perm = jnp.argsort(-diag)
+    if act_order:
         Win = Win[perm]
-        H = H[perm][:, perm]
-
-    U = _hinv_cholesky(H.astype(jnp.float32), percdamp)
+    Win = jnp.where((diag == 0)[:, None], 0.0, Win)  # dead inputs → 0 (ref:205-207)
 
     # per-out-channel scales; optionally per input-row group (ref:263-273)
     if group_size is None:
