@@ -40,13 +40,18 @@ def make_cfg(n_layers, intermediate_pad=0):
                                intermediate_pad=intermediate_pad)
 
 
-def llm_specs(static=True, online_had=True):
+def llm_specs(static=True, online_had=True, lm_head_bits=8):
     from mquant_tpu.models.layers import SiteSpec
     from mquant_tpu.models.llm import LLM_SITES
 
     s = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=static) for n in LLM_SITES}
     if online_had:
         s["llm.down"] = dataclasses.replace(s["llm.down"], online_had="full")
+    if lm_head_bits:
+        # int8 lm_head: beyond the reference (which rotates but never
+        # quantizes the head) — halves the 1.09 GB/step bf16 head stream
+        s["llm.lm_head"] = SiteSpec(w_bits=lm_head_bits, a_bits=8,
+                                    a_static=static)
     return s
 
 
@@ -88,19 +93,25 @@ def init_w4a8_on_device(cfg, key):
                 "down": qsite(next(ks), I, Hd),
             },
             "ln_f": {"w": jnp.ones((Hd,), jnp.bfloat16)},
-            "lm_head": {"w": (jax.random.normal(next(ks), (Hd, cfg.vocab), jnp.float32)
-                              * 0.02).astype(jnp.bfloat16)},
+            "lm_head": {
+                "w_q": jax.random.randint(next(ks), (Hd, cfg.vocab), -127, 128,
+                                          jnp.int8),
+                "w_scale": jnp.full((cfg.vocab,), 2e-4, jnp.float32),
+            },
         }
         return params
 
     params = jax.jit(build)(key)
-    # static per-tensor activation scales, stacked per layer
+    # static per-tensor activation scales, stacked per layer (lm_head is a
+    # global site outside the layer scan → scalar scale)
     from mquant_tpu.core.quant import QuantParams
     from mquant_tpu.models.llm import LLM_SITES
 
     state = {f"llm.{n}": {"act": QuantParams(scale=jnp.full((cfg.n_layers,), 0.05,
                                                             jnp.float32))}
              for n in LLM_SITES}
+    state["llm.lm_head"] = {"act": QuantParams(scale=jnp.full((), 0.05,
+                                                              jnp.float32))}
     return params, state
 
 

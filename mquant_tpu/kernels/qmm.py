@@ -83,6 +83,41 @@ def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True) -> Dict[st
     return out
 
 
+def s4_squeeze_sites(layer_params: Dict[str, Any], specs,
+                     in_dims: Dict[str, int],
+                     prefix: str = "llm.") -> Dict[str, Any]:
+    """Re-store every 4-bit site's int8 ``w_q`` as native S4 *inside a jit*.
+
+    Decode is HBM-bandwidth-bound: the fused-convert bf16 GEMV streams w_q
+    from HBM each step, so halving its bytes (int8 → XLA-native s4, hardware
+    (8,1)-packed) halves decode weight traffic. The conversion runs ONCE at
+    the top of the fused decode_n jit (amortized over the token loop) behind
+    an optimization_barrier so XLA cannot fold the convert back onto the int8
+    source; S4 never crosses the jit/host boundary (device_put of S4 arrays
+    recurses on the current runtime). Not applied to per-step decode or
+    prefill, where the one-off conversion pass would not amortize.
+
+    ``in_dims``: expected input dim per site name — split-half-packed storage
+    (w_q holds in/2 byte rows) is left untouched."""
+    out = dict(layer_params)
+    for name, site in layer_params.items():
+        spec = specs.get(prefix + name) if specs else None
+        if (spec is None or getattr(spec, "w_bits", None) != 4
+                or not isinstance(site, dict)):
+            continue
+        wq = site.get("w_q")
+        if wq is None or wq.dtype != jnp.int8:
+            continue
+        expected = in_dims.get(name)
+        # RMS-split storage drops one fp row (w_col0), hence expected - 1
+        if expected is not None and wq.shape[-2] not in (expected, expected - 1):
+            continue  # split-half packed bytes — not nibble-safe to convert
+        s = dict(site)
+        s["w_q"] = jax.lax.optimization_barrier(wq.astype(jnp.int4))
+        out[name] = s
+    return out
+
+
 def _decode_nibbles_i32(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
     """int8 packed bytes → (lo, hi) sign-extended int32 planes (Mosaic-safe:
     no uint shifts, mask/divide only)."""

@@ -105,9 +105,26 @@ class Generator:
         if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             alpha = self._ntk_alpha
+            import os
+
+            s4 = (mode == "real" and specs
+                  and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
 
             @jax.jit
             def decode_n(params, first_tok, cache):
+                if s4:
+                    # halve decode weight traffic: W4 sites re-stored as
+                    # native S4 once per fused loop (see s4_squeeze_sites)
+                    from ..kernels.qmm import s4_squeeze_sites
+
+                    in_dims = {"q": cfg.hidden, "k": cfg.hidden,
+                               "v": cfg.hidden, "gate": cfg.hidden,
+                               "up": cfg.hidden,
+                               "o": cfg.n_heads * cfg.head_dim,
+                               "down": cfg.inter_eff}
+                    params = dict(params)
+                    params["layers"] = s4_squeeze_sites(
+                        params["layers"], specs, in_dims)
                 B = first_tok.shape[0]
                 toks0 = jnp.zeros((B, n_tokens), jnp.int32)
 

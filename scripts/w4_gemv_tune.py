@@ -2,11 +2,14 @@
 
 Decode is HBM-bandwidth-bound: tokens/s scales with bytes of weights streamed
 per step. Candidates:
-  A. int8 storage, bf16 MXU dot (current default, 2x vs bf16)
-  B. native jnp.int4 storage, bf16 dot (XLA s4: 4x storage; convert fused
-     into the operand read if XLA cooperates)
-  C. Pallas split-half packed int8 nibbles, two-dot decode kernel
+  A. int8 storage, fused int8->bf16 MXU dot (current default, 2x vs bf16)
+  B. native jnp.int4 (S4) storage, fused s4->bf16 dot (4x storage)
   D. bf16 storage (baseline)
+
+The whole timing loop runs inside ONE jit (chained fori_loop) because S4
+arrays cannot cross the host/jit boundary on this backend (device_put
+recursion bug); an optimization_barrier pins the storage format so the
+convert cannot be folded back onto the int8 source.
 
 Run on the TPU: python scripts/w4_gemv_tune.py
 """
@@ -24,18 +27,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Qwen2-VL-7B GEMV shapes (in, out)
 SHAPES = [(3584, 4608), (3584, 18944), (18944, 3584), (3584, 3584)]
 M = 1
-ITERS = 30
+ITERS = 64
+
+
+def make_bench(store_dtype):
+    @jax.jit
+    def bench(x, w8, s):
+        w = w8.astype(store_dtype)
+        w = jax.lax.optimization_barrier(w)  # pin the storage format
+
+        def body(i, carry):
+            y, xx = carry
+            acc = jnp.dot(xx, w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            y = (acc * s).astype(jnp.bfloat16)
+            # feed a hair of the output back into x: serializes iterations
+            xx = xx + y[0, :1].astype(xx.dtype) * 1e-9
+            return y, xx
+
+        y0 = jnp.zeros((M, w8.shape[1]), jnp.bfloat16)
+        y, _ = jax.lax.fori_loop(0, ITERS, body, (y0, x))
+        return y
+
+    return bench
 
 
 def timeit(fn, *args):
     r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    np.asarray(r).ravel()[:1]
     best = float("inf")
-    for i in range(3):
+    for i in range(4):
+        a0 = args[0] + i * 1e-6
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+        r = fn(a0, *args[1:])
+        np.asarray(r).ravel()[:1]
         best = min(best, (time.perf_counter() - t0) / ITERS)
     return best
 
@@ -47,34 +72,14 @@ def main():
         x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32), jnp.bfloat16)
         wq = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
         ws = jnp.asarray(rng.random(N).astype(np.float32) * 0.01)
+        w8 = jnp.asarray(wq)
 
-        w8 = jnp.asarray(wq)  # int8 storage
-        w4 = jnp.asarray(wq, dtype=jnp.int4)  # native s4 storage
-        wb = jnp.asarray(wq.astype(np.float32), jnp.bfloat16)
-
-        @jax.jit
-        def dot8(x, w, s):
-            acc = jnp.dot(x, w.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-            return (acc * s).astype(jnp.bfloat16)
-
-        @jax.jit
-        def dot4(x, w, s):
-            acc = jnp.dot(x, w.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-            return (acc * s).astype(jnp.bfloat16)
-
-        @jax.jit
-        def dotb(x, w):
-            return jnp.dot(x, w, preferred_element_type=jnp.float32
-                           ).astype(jnp.bfloat16)
-
-        t8 = timeit(dot8, x, w8, ws)
-        t4 = timeit(dot4, x, w4, ws)
-        tb = timeit(dotb, x, wb)
+        tb = timeit(make_bench(jnp.bfloat16), x, w8, ws)
+        t8 = timeit(make_bench(jnp.int8), x, w8, ws)
+        t4 = timeit(make_bench(jnp.int4), x, w8, ws)
+        bwb = K * N * 2 / tb / 1e9
         bw8 = K * N / t8 / 1e9
         bw4 = K * N / 2 / t4 / 1e9  # s4 = half a byte
-        bwb = K * N * 2 / tb / 1e9
         print(f"K={K:6d} N={N:6d}  bf16 {tb*1e6:7.1f}us ({bwb:5.0f}GB/s)"
               f"  int8 {t8*1e6:7.1f}us ({bw8:5.0f}GB/s)"
               f"  int4 {t4*1e6:7.1f}us ({bw4:5.0f}GB/s)"

@@ -183,3 +183,36 @@ class TestDynamicNTK:
         # short prompt resets alpha to 1
         gen.generate(jnp.ones((1, 8), jnp.int32), max_new_tokens=2)
         assert gen._ntk_alpha == 1.0
+
+
+class TestS4Decode:
+    """Native-S4 weight storage inside the fused decode loop: exact
+    equivalence with int8 storage (same 4-bit grid values, same bf16 dot)."""
+
+    def test_s4_decode_matches_int8(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from mquant_tpu.core.quant import QuantParams
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           init_decoder_params)
+        from mquant_tpu.serve.generate import Generator
+        from mquant_tpu.transform.recipes import realize_decoder_weights
+
+        cfg = DecoderConfig(vocab=128, hidden=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=96, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=True)
+                 for n in LLM_SITES}
+        state = {f"llm.{n}": {"act": QuantParams(
+            scale=jnp.full((2,), 0.05, jnp.float32))} for n in LLM_SITES}
+        rp = realize_decoder_weights(params, specs)
+        toks = jnp.ones((1, 8), jnp.int32)
+
+        monkeypatch.setenv("MQUANT_DECODE_S4", "0")
+        a = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                      max_len=64).generate_on_device(toks, max_new_tokens=6)
+        monkeypatch.setenv("MQUANT_DECODE_S4", "1")
+        b = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                      max_len=64).generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(a) == np.asarray(b)).all()
