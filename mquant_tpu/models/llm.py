@@ -274,10 +274,49 @@ def _layer_step(
     x = L.rms_norm(h, lp["ln2"]["w"], cfg.norm_eps)
     g, u = L.qlinear_group(x, [lp["gate"], lp["up"]], ["llm.gate", "llm.up"],
                            specs, lstate, mode, tape)
-    a = L.swiglu(g, u)
-    d = qlinear(a, lp["down"], "llm.down", site("down"), lstate, mode, tape)
+    d = _mlp_tail(cfg, site("down"), mode, g, u, lp["down"], lstate, tape)
     h = h + d
     return h, new_cache
+
+
+def _mlp_tail(cfg, dspec, mode, g, u, dp, lstate, tape):
+    """swiglu → down-projection. MQUANT_FUSED_TAIL=1 routes the tail
+    (swiglu → hadamard → int8 quantize) through one fused Pallas VMEM pass
+    (``kernels.fwht.fused_swiglu_had_quant``) when the static-per-tensor
+    real-int conditions hold. OFF by default: measured at 7B prefill
+    (T=1024, v5e) the fused kernel LOSES ~2.5 ms total to XLA's own fusion
+    of the composable chain (68.4 vs 65.9 ms TTFT at tile 128; larger tiles
+    exceed Mosaic's scoped-VMEM budget) — XLA overlaps the chain with the
+    surrounding GEMMs better than the monolithic kernel. Kept for retuning
+    on other topologies."""
+    import os
+
+    T = g.shape[-2]
+    dstate = None if lstate is None else lstate.get("llm.down")
+    fused_ok = (
+        mode == "real" and dspec is not None and tape is None
+        and dspec.online_had == "full" and dspec.a_bits == 8
+        and dspec.a_static and dspec.a_symmetric and dspec.out_bits is None
+        and "w_col0" not in dp and "w_q" in dp
+        and dstate is not None and dstate.get("act") is not None
+        and dstate["act"].zero_point is None
+        and jnp.ndim(dstate["act"].scale) == 0
+        and T >= 256 and T % 256 == 0
+        and jax.default_backend() in ("tpu", "axon")
+        and os.environ.get("MQUANT_FUSED_TAIL", "0") == "1"
+    )
+    if fused_ok:
+        from ..kernels.fwht import fused_swiglu_had_quant
+        from ..kernels.qmm import quantized_matmul_pre
+
+        sc = dstate["act"].scale
+        q8 = fused_swiglu_had_quant(g, u, sc)
+        y = quantized_matmul_pre(q8, sc, dp, g.dtype)
+        if dp.get("b") is not None:
+            y = y + dp["b"].astype(y.dtype)
+        return y
+    a = L.swiglu(g, u)
+    return qlinear(a, dp, "llm.down", dspec, lstate, mode, tape)
 
 
 def decoder_forward(

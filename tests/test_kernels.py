@@ -100,3 +100,64 @@ class TestQmmPallas:
         deq = unpacked.astype(jnp.float32) * p["w_scale"][None, :]
         rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
         assert rel < 0.15  # int4 precision on gaussian weights
+
+
+class TestFusedTail:
+    """fused swiglu→hadamard→int8 Pallas tail vs the composable chain."""
+
+    def test_matches_unfused_within_one_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mquant_tpu.core.formats import INT8
+        from mquant_tpu.core.quant import QuantParams, quantize
+        from mquant_tpu.kernels.fwht import (fused_swiglu_had_quant,
+                                             online_hadamard)
+        from mquant_tpu.models.layers import swiglu
+
+        rng = np.random.default_rng(0)
+        for n, T in ((512, 256), (148 * 16, 512)):
+            g = jnp.asarray(rng.normal(size=(1, T, n)), jnp.bfloat16)
+            u = jnp.asarray(rng.normal(size=(1, T, n)), jnp.bfloat16)
+            s = jnp.float32(0.05)
+            ref = quantize(online_hadamard(swiglu(g, u)),
+                           QuantParams(scale=s), INT8)
+            got = fused_swiglu_had_quant(g, u, s, interpret=True)
+            diff = np.abs(np.asarray(ref, np.int32) - np.asarray(got, np.int32))
+            # the fused kernel keeps f32 where the unfused path round-trips
+            # bf16 → at most ±1 quantization step on rounding ties
+            assert diff.max() <= 1
+            assert (diff > 0).mean() < 0.08
+
+    def test_layer_step_fallback_matches(self, monkeypatch):
+        """On CPU the fused path is inactive; flag off must equal flag on."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mquant_tpu.core.quant import QuantParams
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           decoder_forward,
+                                           init_decoder_params)
+        from mquant_tpu.transform.recipes import realize_decoder_weights
+
+        cfg = DecoderConfig(vocab=64, hidden=64, n_layers=1, n_heads=2,
+                            n_kv_heads=2, intermediate=512, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=True)
+                 for n in LLM_SITES}
+        specs["llm.down"] = dataclasses.replace(specs["llm.down"],
+                                                online_had="full")
+        state = {f"llm.{n}": {"act": QuantParams(
+            scale=jnp.full((1,), 0.05, jnp.float32))} for n in LLM_SITES}
+        rp = realize_decoder_weights(params, specs)
+        toks = jnp.ones((1, 256), jnp.int32)
+        monkeypatch.setenv("MQUANT_FUSED_TAIL", "0")
+        a, _, _ = decoder_forward(cfg, rp, toks, specs=specs, state=state,
+                                  mode="real")
+        monkeypatch.setenv("MQUANT_FUSED_TAIL", "1")
+        b, _, _ = decoder_forward(cfg, rp, toks, specs=specs, state=state,
+                                  mode="real")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
