@@ -5,6 +5,11 @@ pays the vision tower + merger once per image. This measures that component
 for a 448x448 image (32x32 patch grid -> 1024 ViT tokens -> 256 merged) with
 both variants, chained in one jit (tunnel-RTT-free).
 
+Measured on v5e (2026-08-16): bf16 16.44 ms vs w8a8 12.73 ms (-22.6%) —
+the same reduction band as the LLM prefill, so a full VLM request (vision +
+prefill + 128-token decode) keeps bench.py's measured -55% e2e story:
+(16.4 + 2619) ms bf16 vs (12.7 + 1174) ms quantized = -55.0%.
+
 Run on the TPU: python scripts/vlm_vision_bench.py
 """
 
@@ -77,15 +82,21 @@ def main():
                                indexing="ij"), -1).reshape(1, -1, 2),
         (1, N_TOK, 2)).astype(jnp.int32)
 
-    def fwd(patches, vparams, mparams, specs, state, mode):
-        feats, _ = vit_forward(cfg.vit, vparams, patches, grid_hw=grid,
-                               specs=specs, state=state, mode=mode)
-        img, _ = merger_forward(cfg.merger, mparams, feats, specs=specs,
-                                state=state, mode=mode)
-        return img
+    def make_fwd(specs, mode):
+        # specs (dataclasses) + mode (str) are jit-static → closure; arrays
+        # (params/state pytrees) stay jit ARGS (closure constants would be
+        # serialized into the remote-compile request body)
+        def fwd(patches, vparams, mparams, state):
+            feats, _ = vit_forward(cfg.vit, vparams, patches, grid_hw=grid,
+                                   specs=specs, state=state, mode=mode)
+            img, _ = merger_forward(cfg.merger, mparams, feats, specs=specs,
+                                    state=state, mode=mode)
+            return img
 
-    t_bf = bench("vision bf16 (448x448 -> 256 tok)", fwd, patches, vp, mp,
-                 None, None, "fp")
+        return fwd
+
+    t_bf = bench("vision bf16 (448x448 -> 256 tok)", make_fwd(None, "fp"),
+                 patches, vp, mp, None)
 
     specs = {f"vis.{n}": SiteSpec(w_bits=8, a_bits=8, a_static=True)
              for n in VIT_SITES}
@@ -107,8 +118,8 @@ def main():
              for n in VIT_SITES}
     state.update({f"merger.{n}": {"act": QuantParams(
         scale=jnp.full((), 0.05, jnp.float32))} for n in ("mlp0", "mlp2")})
-    t_q = bench("vision w8a8 (448x448 -> 256 tok)", fwd, patches, vq, mq,
-                specs, state, "real")
+    t_q = bench("vision w8a8 (448x448 -> 256 tok)", make_fwd(specs, "real"),
+                patches, vq, mq, state)
     print(f"vision TTFT contribution: bf16 {t_bf*1e3:.2f} ms vs w8a8 "
           f"{t_q*1e3:.2f} ms ({(1-t_q/t_bf)*100:.1f}% reduction)", flush=True)
 
