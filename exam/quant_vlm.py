@@ -61,6 +61,7 @@ def parser_gen(model_default=None):
     p.add_argument("--llm_static", action="store_true", default=True)
     p.add_argument("--a_asym", action="store_true")
     p.add_argument("--w_asym", action="store_true")
+    p.add_argument("--a_groupsize", type=int, default=None)
     p.add_argument("--act_per_tensor", action="store_true", default=True)
     p.add_argument("--act_observer", default="minmax",
                    choices=["minmax", "ema", "percentile", "omse", "ptf"])
@@ -103,6 +104,7 @@ def main(args=None):
         nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
         llm_a_bits=args.llm_a_bits, visual_static=args.visual_static,
         llm_static=args.llm_static, a_asym=args.a_asym, w_asym=args.w_asym,
+        a_groupsize=args.a_groupsize,
         act_per_tensor=args.act_per_tensor, act_observer=args.act_observer,
         calib_num=args.calib_num, skip_names=tuple(args.skip_names),
         realize_int=args.realize_int, kv_bits=args.kv_bits, seed=args.seed)

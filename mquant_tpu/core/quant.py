@@ -128,9 +128,22 @@ def dynamic_fake_quant(
     per_token: bool = True,
     symmetric: bool = True,
     clip_ratio: float = 1.0,
+    groupsize: Optional[int] = None,
 ) -> jax.Array:
-    """One-shot dynamic fake quantization of an activation tensor (..., T, C)."""
+    """One-shot dynamic fake quantization of an activation tensor (..., T, C).
+
+    ``groupsize`` quantizes per token AND per ``groupsize``-channel group
+    (ref: fake_quant/quant_utils.py:181-203
+    ``find_params_per_token_groupwise`` via --a_groupsize): the channel axis
+    is viewed as (C/g, g) and each (token, group) gets its own scale."""
     fmt = get_format(bits, signed=symmetric)
+    if groupsize is not None and groupsize > 0:
+        C = x.shape[-1]
+        assert C % groupsize == 0, (C, groupsize)
+        xg = x.reshape(*x.shape[:-1], C // groupsize, groupsize)
+        qp = dynamic_qparams(xg, fmt, axis=-1, symmetric=symmetric,
+                             clip_ratio=clip_ratio)
+        return fake_quantize(xg, qp, fmt).reshape(x.shape)
     axis = -1 if per_token else None
     qp = dynamic_qparams(x, fmt, axis=axis, symmetric=symmetric, clip_ratio=clip_ratio)
     return fake_quantize(x, qp, fmt)

