@@ -62,6 +62,7 @@ def parser_gen(model_default=None):
     p.add_argument("--a_asym", action="store_true")
     p.add_argument("--w_asym", action="store_true")
     p.add_argument("--a_groupsize", type=int, default=None)
+    p.add_argument("--a_clip_ratio", type=float, default=1.0)
     p.add_argument("--act_per_tensor", action="store_true", default=True)
     p.add_argument("--act_observer", default="minmax",
                    choices=["minmax", "ema", "percentile", "omse", "ptf"])
@@ -104,7 +105,7 @@ def main(args=None):
         nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
         llm_a_bits=args.llm_a_bits, visual_static=args.visual_static,
         llm_static=args.llm_static, a_asym=args.a_asym, w_asym=args.w_asym,
-        a_groupsize=args.a_groupsize,
+        a_groupsize=args.a_groupsize, a_clip_ratio=args.a_clip_ratio,
         act_per_tensor=args.act_per_tensor, act_observer=args.act_observer,
         calib_num=args.calib_num, skip_names=tuple(args.skip_names),
         realize_int=args.realize_int, kv_bits=args.kv_bits, seed=args.seed)

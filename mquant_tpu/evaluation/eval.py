@@ -92,10 +92,14 @@ def _infer_scorer(name: str) -> str:
         return "MME"
     if "mmbench" in n or "mcq" in n or "mmmu" in n:
         return "MCQ"
-    if "docvqa" in n:
+    if "docvqa" in n or "infovqa" in n:
         return "ANLS"
     if "ocr" in n:
         return "OCRBench"
+    if "pope" in n or "hallusion" in n:
+        return "POPE"
+    if "chartqa" in n:
+        return "ChartQA"
     return "VQA"
 
 

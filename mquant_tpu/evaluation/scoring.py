@@ -172,6 +172,64 @@ def score_ocrbench(rows: List[dict]) -> Dict[str, float]:
     return {"score": 100.0 * hits / max(len(rows), 1)}
 
 
+# ---------------------------------------------------------------------------
+# POPE (object-hallucination yes/no, reported as accuracy + F1 over "yes")
+# ---------------------------------------------------------------------------
+
+
+def score_pope(rows: List[dict]) -> Dict[str, float]:
+    """Yes/no accuracy, precision, recall and F1 with "yes" as the positive
+    class (the POPE protocol; VLMEvalKit reports the same four numbers).
+    Unparseable predictions count as wrong (treated as the opposite class)."""
+    tp = fp = tn = fn = 0
+    for r in rows:
+        gt = extract_yes_no(str(r.get("answer", "")))
+        pred = extract_yes_no(r["prediction"])
+        if gt is None:
+            continue
+        pos = gt == "yes"
+        hit = pred == gt
+        if pos:
+            tp, fn = tp + hit, fn + (not hit)
+        else:
+            tn, fp = tn + hit, fp + (not hit)
+    n = tp + fp + tn + fn
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return {"score": 100.0 * (tp + tn) / max(n, 1), "precision": 100.0 * prec,
+            "recall": 100.0 * rec, "f1": 100.0 * f1}
+
+
+# ---------------------------------------------------------------------------
+# ChartQA (relaxed accuracy: exact string OR numeric within 5%)
+# ---------------------------------------------------------------------------
+
+
+def relaxed_accuracy(pred: str, gt: str, tolerance: float = 0.05) -> float:
+    """ChartQA protocol: numeric answers match within ±5% relative error,
+    non-numeric answers by normalized exact match."""
+    p = _norm_text(pred).rstrip("%")
+    g = _norm_text(str(gt)).rstrip("%")
+    try:
+        pv, gv = float(p), float(g)
+        if gv == 0:
+            return float(pv == 0)
+        return float(abs(pv - gv) / abs(gv) <= tolerance)
+    except ValueError:
+        return float(p == g)
+
+
+def score_chartqa(rows: List[dict]) -> Dict[str, float]:
+    total = 0.0
+    for r in rows:
+        answers = r["answers"] if isinstance(r.get("answers"), (list, tuple)) \
+            else [r.get("answer", "")]
+        total += max((relaxed_accuracy(r["prediction"], a) for a in answers),
+                     default=0.0)
+    return {"score": 100.0 * total / max(len(rows), 1)}
+
+
 SCORERS = {
     "MME": score_mme,
     "MMBench": score_mcq,
@@ -181,4 +239,7 @@ SCORERS = {
     "DocVQA_VAL": score_anls,
     "ANLS": score_anls,
     "OCRBench": score_ocrbench,
+    "POPE": score_pope,
+    "ChartQA_TEST": score_chartqa,
+    "ChartQA": score_chartqa,
 }

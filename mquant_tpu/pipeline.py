@@ -78,6 +78,7 @@ class QuantizeConfig:
     llm_static: bool = True
     a_asym: bool = False
     a_groupsize: Optional[int] = None  # dynamic per-token-per-group act scales
+    a_clip_ratio: float = 1.0  # dynamic range clip, ref --a_clip_ratio
     act_per_tensor: bool = True  # static granularity
     act_observer: str = "minmax"
     calib_num: int = 128
@@ -108,7 +109,7 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
                 w_bits=w_bits or None, a_bits=a_bits or None, a_static=static,
                 a_symmetric=not q.a_asym,
                 a_per_channel=False if q.act_per_tensor else True,
-                a_groupsize=q.a_groupsize,
+                a_groupsize=q.a_groupsize, a_clip_ratio=q.a_clip_ratio,
                 observer=q.act_observer)
     if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
         specs["llm.down"] = dataclasses.replace(

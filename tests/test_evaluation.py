@@ -296,3 +296,32 @@ class TestMultiImage:
         assert "Picture 1: " in text and "Picture 2: " in text
         out = r.generate({"text": "diff?", "image": imgs})
         assert isinstance(out, str)
+
+
+class TestNewScorers:
+    def test_pope_f1(self):
+        from mquant_tpu.evaluation.scoring import score_pope
+
+        rows = [
+            {"answer": "yes", "prediction": "Yes, there is a dog."},   # tp
+            {"answer": "yes", "prediction": "No."},                    # fn
+            {"answer": "no", "prediction": "no"},                      # tn
+            {"answer": "no", "prediction": "Yes"},                     # fp
+        ]
+        r = score_pope(rows)
+        assert r["score"] == 50.0
+        assert r["precision"] == 50.0 and r["recall"] == 50.0
+        assert abs(r["f1"] - 50.0) < 1e-6
+
+    def test_chartqa_relaxed(self):
+        from mquant_tpu.evaluation.scoring import (relaxed_accuracy,
+                                                   score_chartqa)
+
+        assert relaxed_accuracy("104", "100") == 1.0   # within 5%
+        assert relaxed_accuracy("106", "100") == 0.0   # outside 5%
+        assert relaxed_accuracy("42%", "42") == 1.0    # percent sign stripped
+        assert relaxed_accuracy("blue", "Blue") == 1.0
+        assert relaxed_accuracy("blue", "red") == 0.0
+        r = score_chartqa([{"answer": "100", "prediction": "103"},
+                           {"answer": "red", "prediction": "blue"}])
+        assert r["score"] == 50.0
