@@ -67,6 +67,9 @@ def parser_gen(model_default=None):
     p.add_argument("--act_observer", default="minmax",
                    choices=["minmax", "ema", "percentile", "omse", "ptf"])
     p.add_argument("--calib_num", type=int, default=128)
+    p.add_argument("--calib_dataset", default=None,
+                   help="calibrate on real prompts from this eval dataset "
+                        "(same names as --dataset_name); default: synthetic")
     p.add_argument("--skip_names", nargs="*", default=[])
     # serving / output
     p.add_argument("--realize_int", action="store_true",
@@ -110,8 +113,19 @@ def main(args=None):
         calib_num=args.calib_num, skip_names=tuple(args.skip_names),
         realize_int=args.realize_int, kv_bits=args.kv_bits, seed=args.seed)
 
+    tokenizer = None
+    if args.model_dir:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.model_dir, trust_remote_code=True)
+        except Exception as e:
+            log.warning(f"tokenizer load failed ({e}); using byte tokenizer")
+
     cfg, params, state, specs, info = run_pipeline(
         args.model, q, model_dir=args.model_dir, artifact_dir=args.artifact,
+        calib_dataset=args.calib_dataset, tokenizer=tokenizer,
         tiny=args.tiny)
     log.info(f"pipeline done: {args.model} ({info})")
 
@@ -119,15 +133,6 @@ def main(args=None):
         from mquant_tpu.evaluation.adapter import VLMRunner
         from mquant_tpu.evaluation.eval import build_dataset, eval_dataset
 
-        tokenizer = None
-        if args.model_dir:
-            try:
-                from transformers import AutoTokenizer
-
-                tokenizer = AutoTokenizer.from_pretrained(
-                    args.model_dir, trust_remote_code=True)
-            except Exception as e:
-                log.warning(f"tokenizer load failed ({e}); using byte tokenizer")
         runner = VLMRunner(args.model, cfg, params, specs=specs, state=state,
                            mode="real" if args.realize_int else "fake",
                            tokenizer=tokenizer)

@@ -275,3 +275,28 @@ def _image_features(fam, cfg, params, patches, extra, specs, state, mode):
         feats = feats[:, : gh * gw]
         img, _ = glu_projector_forward(cfg.proj, params["proj"], feats, gh, gw, **kw)
     return img
+
+
+def calib_batches_from_dataset(runner: VLMRunner, dataset, n: int):
+    """Real multimodal-prompt calibration batches from an eval dataset.
+
+    The reference calibrates by driving ``model.generate`` over real VQA
+    prompts (ref: quant_utils.py:1079-1129 calib_vqa_plus); here each dataset
+    row goes through the SAME chat-template + resolution-bucket input
+    construction as generation (``VLMRunner.build_inputs``), so the
+    calibration distribution matches what serving actually sees. Returns
+    pipeline-compatible batches ({"tokens", "patches", **forward kwargs}).
+    Rows share compiled shapes per (text-length, bucket) combination; enable
+    ``pad_to_max`` on the runner to collapse image shapes to one bucket."""
+    out = []
+    for i in range(min(n, len(dataset))):
+        prompt = dataset.build_prompt(i)
+        toks, encoded = runner.build_inputs(prompt)
+        batch = {"tokens": toks, "patches": None}
+        if encoded:
+            patches, extra, _ = encoded[0]  # one image per calibration row
+            extra = {k: v for k, v in extra.items() if k != "mrope_grid"}
+            batch["patches"] = patches
+            batch.update(extra)
+        out.append(batch)
+    return out

@@ -374,6 +374,8 @@ def run_pipeline(model: str, q: QuantizeConfig,
                  params: Optional[Dict] = None,
                  cfg=None,
                  calib_batches: Optional[List[dict]] = None,
+                 calib_dataset: Optional[str] = None,
+                 tokenizer=None,
                  artifact_dir: Optional[str] = None,
                  tiny: bool = False):
     """The full PTQ pipeline. Returns (cfg, params, state, specs, info)."""
@@ -409,6 +411,17 @@ def run_pipeline(model: str, q: QuantizeConfig,
                 cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
         log.info(f"fuse+rotate done: {info}")
 
+    if calib_batches is None and calib_dataset:
+        # real multimodal-prompt calibration (ref: calib_vqa_plus) — rows go
+        # through the SAME chat-template + bucket construction as serving
+        from .evaluation.adapter import VLMRunner, calib_batches_from_dataset
+        from .evaluation.eval import build_dataset
+
+        runner = VLMRunner(fam.name, cfg, params, tokenizer=tokenizer)
+        calib_batches = calib_batches_from_dataset(
+            runner, build_dataset(calib_dataset), q.calib_num)
+        log.info(f"calibration prompts from {calib_dataset}: "
+                 f"{len(calib_batches)} rows")
     if calib_batches is None:
         calib_batches = synthetic_calib_batches(
             fam, cfg, max(1, q.calib_num // 16), jax.random.fold_in(key, 2))

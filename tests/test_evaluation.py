@@ -325,3 +325,33 @@ class TestNewScorers:
         r = score_chartqa([{"answer": "100", "prediction": "103"},
                            {"answer": "red", "prediction": "blue"}])
         assert r["score"] == 50.0
+
+
+class TestDatasetCalibration:
+    """Real-prompt calibration batches built through the serving input path
+    (ref: calib_vqa_plus drives generate over real VQA prompts)."""
+
+    def test_calibrate_from_synthetic_dataset(self):
+        import jax
+
+        from mquant_tpu.evaluation.adapter import (VLMRunner,
+                                                   calib_batches_from_dataset)
+        from mquant_tpu.evaluation.eval import build_dataset
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+        from mquant_tpu.models.registry import get_family
+        from mquant_tpu.pipeline import (QuantizeConfig, build_specs,
+                                         calibrate_activations)
+
+        fam = get_family("qwen2vl")
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        runner = VLMRunner("qwen2vl", cfg, params, max_len=256)
+        ds = build_dataset("SyntheticVQA")
+        batches = calib_batches_from_dataset(runner, ds, 2)
+        assert len(batches) == 2
+        assert batches[0]["tokens"].ndim == 2
+        q = QuantizeConfig(calib_num=2)
+        specs = build_specs(fam, q)
+        state = calibrate_activations(fam, cfg, params, specs, batches)
+        assert state and state["llm.q"]["act"].scale is not None
