@@ -83,3 +83,44 @@ class TestGraftEntry:
         import __graft_entry__ as G
 
         G.dryrun_multichip(8)
+
+
+class TestShardedServing:
+    """TP-sharded prefill + KV-cache decode matches single-device — the
+    multi-chip serving path (prefill writes the cache under the mesh; decode
+    steps carry it)."""
+
+    def test_tp_prefill_decode_matches_single_device(self):
+        from mquant_tpu.models.llm import init_cache
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=4, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, cfg.vocab)
+
+        # single device reference: prefill + 3 decode steps
+        cache = init_cache(cfg, 2, 16)
+        logits, cache, _ = decoder_forward(cfg, params, toks, cache=cache,
+                                           prefill_fresh=True)
+        ref_steps = []
+        tok = jnp.argmax(logits[:, -1:], axis=-1)
+        for _ in range(3):
+            logits, cache, _ = decoder_forward(cfg, params, tok, cache=cache)
+            tok = jnp.argmax(logits[:, -1:], axis=-1)
+            ref_steps.append(np.asarray(tok))
+
+        mesh = make_mesh(8, tp=4)
+        sp = shard_params(params, mesh, decoder_param_specs(params))
+        toks_s = jax.device_put(toks, NamedSharding(mesh, P("dp", None)))
+        with jax.set_mesh(mesh):
+            cache = init_cache(cfg, 2, 16)
+            prefill = jax.jit(lambda p, t, c: decoder_forward(
+                cfg, p, t, cache=c, prefill_fresh=True)[:2])
+            step = jax.jit(lambda p, t, c: decoder_forward(
+                cfg, p, t, cache=c)[:2])
+            logits, cache = prefill(sp, toks_s, cache)
+            tok = jnp.argmax(logits[:, -1:], axis=-1)
+            for i in range(3):
+                logits, cache = step(sp, tok, cache)
+                tok = jnp.argmax(logits[:, -1:], axis=-1)
+                assert (np.asarray(tok) == ref_steps[i]).all(), i
