@@ -133,13 +133,11 @@ class VLMRunner:
                 self.fam.name, prompt["text"], n_imgs,
                 system=prompt.get("system"))
             toks: list = []
-            img_i = 0
             for p in pieces:
                 if p["kind"] == "text":
                     toks += list(self.tok.encode(p["text"]))
                 else:
                     toks += [self.cfg.image_token_id] * p["n_tokens"]
-                    img_i += 1
         else:
             toks = sum(([self.cfg.image_token_id] * n for n in n_imgs),
                        []) + list(self.tok.encode(prompt["text"]))
