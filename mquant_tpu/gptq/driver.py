@@ -116,8 +116,19 @@ def gptq_quantize_decoder(
     positions: Optional[List[jax.Array]] = None,
     gcfg: GPTQConfig = GPTQConfig(),
     progress: Optional[callable] = None,
+    stream_from_host: bool = False,
 ) -> tuple[Dict, Dict]:
-    """Quantize every spec'd decoder weight with GPTQ. Returns (params, report)."""
+    """Quantize every spec'd decoder weight with GPTQ. Returns (params, report).
+
+    ``stream_from_host=True``: ``params["layers"]`` leaves live in HOST memory
+    (numpy, incl. ml_dtypes.bfloat16); each layer is transferred to the device
+    only while being quantized and written back after. This is how a 7B+ bf16
+    model is GPTQ'd on a 16 GB chip — the fully-resident stacked weights plus
+    an 18944² Hessian + factor exceed HBM at full depth (measured OOM); the
+    driver is already layer-sequential, so streaming adds only the per-layer
+    PCIe/DMA transfer. Returns host-stacked (numpy) layer leaves in this mode."""
+    import numpy as np
+
     nL = cfg.n_layers
     stage_fns = {s: make_stage_fn(cfg, specs, s) for s in STAGES}
     hess = jax.jit(C.accumulate_hessian)
@@ -159,7 +170,11 @@ def gptq_quantize_decoder(
     hb = hidden_batches
     new_layers = []
     for l in range(nL):
-        lp = jax.tree.map(lambda x: x[l], params["layers"])
+        if stream_from_host:
+            lp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x[l])),
+                              params["layers"])
+        else:
+            lp = jax.tree.map(lambda x: x[l], params["layers"])
 
         # group 1: q, k, v share the post-ln1 input
         Hq = None
@@ -205,11 +220,16 @@ def gptq_quantize_decoder(
         if l < nL - 1:
             hb = [stage_fns["next"](lp, h, cos, sin, mask)
                   for h, (cos, sin, mask) in zip(hb, pre)]
-        new_layers.append(lp)
+        if stream_from_host:  # write back + free the device copy
+            new_layers.append(jax.tree.map(
+                lambda x: np.asarray(x) if x is not None else None, lp))
+        else:
+            new_layers.append(lp)
         if progress:
             progress(l, nL)
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
+    stack = np.stack if stream_from_host else jnp.stack
+    stacked = jax.tree.map(lambda *xs: stack(xs), *new_layers)
     out = dict(params)
     out["layers"] = stacked
     return out, report

@@ -1,6 +1,8 @@
 """Full-scale GPTQ feasibility: stage-sequential GPTQ over a REAL-dims
-Qwen2-VL-7B decoder (28 layers, random bf16 weights) on one chip, with
-layer-streamed Hessians and the blocked on-device factorization.
+Qwen2-VL-7B decoder (28 layers, random bf16 weights) on one chip, with the
+layer weights HOST-STREAMED (stream_from_host=True): fully-resident bf16 7B
+weights + the 18944^2 Hessian/factor exceed the 16 GB HBM (measured OOM), so
+each layer lives on device only while being quantized.
 
 Validates what tiny-config tests cannot: compile behavior, HBM headroom and
 wall-clock at production shapes. Run: python scripts/ptq_7b_e2e.py
@@ -25,10 +27,32 @@ T = int(os.environ.get("CALIB_T", "512"))
 
 
 def main():
+    import ml_dtypes
+
     cfg = B.make_cfg(28, intermediate_pad=0)
     key = jax.random.key(0)
-    print(f"init 7B decoder (bf16, {cfg.n_layers} layers)...", flush=True)
-    params = B.init_bf16_on_device(cfg, key)
+    print(f"init 7B decoder layers in HOST memory (bf16, {cfg.n_layers} "
+          f"layers)...", flush=True)
+    rng = np.random.default_rng(0)
+    L, Hd, I = cfg.n_layers, cfg.hidden, cfg.inter_eff
+    Hh, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def w(i, o):
+        return (rng.standard_normal((L, i, o), np.float32) * 0.02
+                ).astype(ml_dtypes.bfloat16)
+
+    ones = np.ones((L, Hd), ml_dtypes.bfloat16)
+    params = {"layers": {
+        "ln1": {"w": ones},
+        "q": {"w": w(Hd, Hh * hd), "b": np.zeros((L, Hh * hd), ml_dtypes.bfloat16)},
+        "k": {"w": w(Hd, KV * hd), "b": np.zeros((L, KV * hd), ml_dtypes.bfloat16)},
+        "v": {"w": w(Hd, KV * hd), "b": np.zeros((L, KV * hd), ml_dtypes.bfloat16)},
+        "o": {"w": w(Hh * hd, Hd), "b": None},
+        "ln2": {"w": ones.copy()},
+        "gate": {"w": w(Hd, I), "b": None},
+        "up": {"w": w(Hd, I), "b": None},
+        "down": {"w": w(I, Hd), "b": None},
+    }}
     specs = B.llm_specs(lm_head_bits=None)
     embeds = [jax.random.normal(jax.random.fold_in(key, 10 + i),
                                 (1, T, cfg.hidden), jnp.bfloat16) * 0.02
@@ -45,16 +69,15 @@ def main():
     times.append(t0)
     params, report = gptq_quantize_decoder(
         cfg, params, embeds, specs, gcfg=GPTQConfig(act_order=False),
-        progress=progress)
+        progress=progress, stream_from_host=True)
     total = time.perf_counter() - t0
     per_layer = [b - a for a, b in zip(times[1:-1], times[2:])]
     print(f"\nGPTQ over {cfg.n_layers} layers x 7 sites: {total/60:.1f} min "
           f"total; steady per-layer {np.median(per_layer):.1f}s "
           f"(first-layer incl. compile {times[2]-times[1]:.1f}s); "
           f"fallbacks: {report['fallbacks'] or 'none'}", flush=True)
-    w = jax.tree.leaves(params["layers"])[0]
-    print("finite:", bool(jnp.all(jnp.isfinite(
-        params["layers"]["down"]["w"].astype(jnp.float32)))), flush=True)
+    print("finite:", bool(np.all(np.isfinite(
+        np.asarray(params["layers"]["down"]["w"], np.float32)))), flush=True)
 
 
 if __name__ == "__main__":

@@ -224,3 +224,38 @@ class TestCrossModalGptq:
         # values lie on a 4-bit per-channel grid: few distinct values per column
         col = w1[:, 0]
         assert len(np.unique(np.round(col / (np.abs(col).max() / 7), 6))) <= 16
+
+
+class TestHostStreaming:
+    """stream_from_host: layers live in host numpy, quantized one at a time —
+    identical result to the fully device-resident path."""
+
+    def test_stream_from_host_matches_resident(self):
+        import numpy as np
+
+        from mquant_tpu.gptq.driver import GPTQConfig, gptq_quantize_decoder
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           init_decoder_params)
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8) for n in LLM_SITES}
+        embeds = [jax.random.normal(jax.random.key(1), (1, 16, 32),
+                                    jnp.float32) * 0.1]
+
+        p_dev, _ = gptq_quantize_decoder(cfg, params, embeds, specs,
+                                         gcfg=GPTQConfig())
+        host = dict(params)
+        host["layers"] = jax.tree.map(lambda x: np.asarray(x),
+                                      params["layers"])
+        p_host, _ = gptq_quantize_decoder(cfg, host, embeds, specs,
+                                          gcfg=GPTQConfig(),
+                                          stream_from_host=True)
+        for site in LLM_SITES:
+            np.testing.assert_allclose(
+                np.asarray(p_dev["layers"][site]["w"]),
+                np.asarray(p_host["layers"][site]["w"]), atol=1e-6,
+                err_msg=site)
+        assert isinstance(p_host["layers"]["q"]["w"], np.ndarray)
