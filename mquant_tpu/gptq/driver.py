@@ -117,6 +117,7 @@ def gptq_quantize_decoder(
     gcfg: GPTQConfig = GPTQConfig(),
     progress: Optional[callable] = None,
     stream_from_host: bool = False,
+    realize_on_device: bool = False,
 ) -> tuple[Dict, Dict]:
     """Quantize every spec'd decoder weight with GPTQ. Returns (params, report).
 
@@ -126,7 +127,13 @@ def gptq_quantize_decoder(
     model is GPTQ'd on a 16 GB chip — the fully-resident stacked weights plus
     an 18944² Hessian + factor exceed HBM at full depth (measured OOM); the
     driver is already layer-sequential, so streaming adds only the per-layer
-    PCIe/DMA transfer. Returns host-stacked (numpy) layer leaves in this mode."""
+    PCIe/DMA transfer. Returns host-stacked (numpy) layer leaves in this mode.
+
+    ``realize_on_device=True`` (with streaming): instead of writing bf16 fake-
+    quantized weights back to the host, each finished layer is converted to
+    real-int serving storage (w_q/w_scale, int8 ≤ half the bytes) and the
+    stacked result STAYS on device — bf16-at-rest on the host goes in, a
+    servable quantized model comes out, with no device→host weight traffic."""
     import numpy as np
 
     nL = cfg.n_layers
@@ -220,7 +227,24 @@ def gptq_quantize_decoder(
         if l < nL - 1:
             hb = [stage_fns["next"](lp, h, cos, sin, mask)
                   for h, (cos, sin, mask) in zip(hb, pre)]
-        if stream_from_host:  # write back + free the device copy
+        if stream_from_host and realize_on_device:
+            from ..kernels.qmm import quantize_weights_real
+
+            store = {}
+            for name, site in lp.items():
+                spec = specs.get("llm." + name)
+                if (isinstance(site, dict) and "w" in site and spec is not None
+                        and spec.w_bits is not None):
+                    s = {k: v for k, v in site.items() if k != "w"}
+                    # int8 storage (the serving default; the decode loop
+                    # re-stores W4 as native S4 — see qmm.s4_squeeze_sites)
+                    s.update(quantize_weights_real(site["w"], spec.w_bits,
+                                                   pack=False))
+                    store[name] = s
+                else:
+                    store[name] = site
+            new_layers.append(store)
+        elif stream_from_host:  # write back + free the device copy
             new_layers.append(jax.tree.map(
                 lambda x: np.asarray(x) if x is not None else None, lp))
         else:
@@ -228,7 +252,8 @@ def gptq_quantize_decoder(
         if progress:
             progress(l, nL)
 
-    stack = np.stack if stream_from_host else jnp.stack
+    stack = (np.stack if (stream_from_host and not realize_on_device)
+             else jnp.stack)
     stacked = jax.tree.map(lambda *xs: stack(xs), *new_layers)
     out = dict(params)
     out["layers"] = stacked

@@ -259,3 +259,33 @@ class TestHostStreaming:
                 np.asarray(p_host["layers"][site]["w"]), atol=1e-6,
                 err_msg=site)
         assert isinstance(p_host["layers"]["q"]["w"], np.ndarray)
+
+    def test_realize_on_device_matches_post_hoc_realize(self):
+        import numpy as np
+
+        from mquant_tpu.gptq.driver import GPTQConfig, gptq_quantize_decoder
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           init_decoder_params)
+        from mquant_tpu.transform.recipes import realize_decoder_weights
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8) for n in LLM_SITES}
+        embeds = [jax.random.normal(jax.random.key(1), (1, 16, 32),
+                                    jnp.float32) * 0.1]
+        host = dict(params)
+        host["layers"] = jax.tree.map(lambda x: np.asarray(x),
+                                      params["layers"])
+        p_rt, _ = gptq_quantize_decoder(cfg, host, embeds, specs,
+                                        gcfg=GPTQConfig(),
+                                        stream_from_host=True,
+                                        realize_on_device=True)
+        p_dev, _ = gptq_quantize_decoder(cfg, params, embeds, specs,
+                                         gcfg=GPTQConfig())
+        ref = realize_decoder_weights(p_dev, specs)
+        for site in LLM_SITES:
+            np.testing.assert_array_equal(
+                np.asarray(p_rt["layers"][site]["w_q"]),
+                np.asarray(ref["layers"][site]["w_q"]), err_msg=site)
