@@ -40,10 +40,16 @@ def main():
     L, Hd, I = cfg.n_layers, cfg.hidden, cfg.inter_eff
     Hh, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    def w(i, o):
-        return (rng.standard_normal((L, i, o), np.float32) * 0.02
-                ).astype(ml_dtypes.bfloat16)
+    # this image's numpy is an unoptimized build (RNG ~10M draws/s, LAPACK
+    # reference-speed): bulk-generate by tiling one pre-converted random
+    # block — memcpy-speed, statistically irrelevant for a timing demo
+    blk = rng.standard_normal(1 << 16).astype(np.float32) * 0.02
+    blk16 = (blk.view(np.uint32) >> 16).astype(np.uint16)
 
+    def w(i, o):
+        return np.resize(blk16, (L, i, o)).view(ml_dtypes.bfloat16)
+
+    t_init = time.perf_counter()
     ones = np.ones((L, Hd), ml_dtypes.bfloat16)
     params = {"layers": {
         "ln1": {"w": ones},
@@ -56,10 +62,13 @@ def main():
         "up": {"w": w(Hd, I), "b": None},
         "down": {"w": w(I, Hd), "b": None},
     }}
+    print(f"host init done in {time.perf_counter() - t_init:.0f}s", flush=True)
     specs = B.llm_specs(lm_head_bits=None)
     embeds = [jax.random.normal(jax.random.fold_in(key, 10 + i),
                                 (1, T, cfg.hidden), jnp.bfloat16) * 0.02
               for i in range(N_BATCHES)]
+    jax.block_until_ready(embeds)
+    print("embeds on device; starting GPTQ", flush=True)
 
     times = []
 
