@@ -8,7 +8,14 @@ no device->host weight traffic (which this dev tunnel does at ~1-4 MB/s; a
 real host does it at PCIe speed, but the realize path makes it moot).
 
 Validates what tiny-config tests cannot: compile behavior, HBM headroom and
-wall-clock at production shapes. Run: python scripts/ptq_7b_e2e.py
+wall-clock at production shapes.
+
+Measured on v5e (2026-08-17): 28 layers x 7 sites in 21 min wall (contended
+host; uncontended layers ran ~14 s each => ~7 min steady), first layer incl.
+all compiles 22 s, ZERO Cholesky fallbacks; output = stacked int8 w_q/w_scale
+resident on the chip, ready for the serving path.
+
+Run: python scripts/ptq_7b_e2e.py
 """
 
 import os
