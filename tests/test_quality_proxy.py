@@ -73,3 +73,20 @@ def test_w8a8_tighter_than_w4a8(setup):
     r8 = _ppl_ratio(fam, cfg, params, held, p8, sp8, s8)
     assert r8 < r4, (r8, r4)
     assert r8 < 1.001, r8
+
+
+@pytest.mark.parametrize("family", ["qwenvl", "internvl", "minicpmv", "glm4v"])
+def test_w4a8_gate_all_families(family):
+    """The <1% perplexity gate holds for every supported family (the paper
+    reports <1% accuracy degradation across all 5 MLLMs)."""
+    fam = get_family(family)
+    cfg = fam.tiny_fn()
+    params = fam.init_fn(cfg, jax.random.key(0))
+    calib = synthetic_calib_batches(fam, cfg, 1, jax.random.key(5))
+    held = synthetic_calib_batches(fam, cfg, 1, jax.random.key(77))
+    q = QuantizeConfig(calib_num=8, nsamples=4, visual_w_bits=8, llm_w_bits=4)
+    _, p, s, sp, _ = run_pipeline(family, q,
+                                  params=jax.tree.map(lambda x: x, params),
+                                  cfg=cfg, calib_batches=calib)
+    r = _ppl_ratio(fam, cfg, params, held, p, sp, s)
+    assert r < 1.01, (family, r)
