@@ -67,6 +67,9 @@ def parser_gen(model_default=None):
     p.add_argument("--act_observer", default="minmax",
                    choices=["minmax", "ema", "percentile", "omse", "ptf"])
     p.add_argument("--calib_num", type=int, default=128)
+    p.add_argument("--calib_decode_steps", type=int, default=0,
+                   help="also calibrate on N greedy decode steps per batch "
+                        "(the reference calibrates through generate())")
     p.add_argument("--calib_dataset", default=None,
                    help="calibrate on real prompts from this eval dataset "
                         "(same names as --dataset_name); default: synthetic")
@@ -111,6 +114,7 @@ def main(args=None):
         a_groupsize=args.a_groupsize, a_clip_ratio=args.a_clip_ratio,
         act_per_tensor=args.act_per_tensor, act_observer=args.act_observer,
         calib_num=args.calib_num, skip_names=tuple(args.skip_names),
+        calib_decode_steps=args.calib_decode_steps,
         realize_int=args.realize_int, kv_bits=args.kv_bits, seed=args.seed)
 
     tokenizer = None

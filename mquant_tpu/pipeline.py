@@ -79,6 +79,7 @@ class QuantizeConfig:
     a_asym: bool = False
     a_groupsize: Optional[int] = None  # dynamic per-token-per-group act scales
     a_clip_ratio: float = 1.0  # dynamic range clip, ref --a_clip_ratio
+    calib_decode_steps: int = 0  # fold N greedy decode steps into LLM stats
     act_per_tensor: bool = True  # static granularity
     act_observer: str = "minmax"
     calib_num: int = 128
@@ -353,10 +354,16 @@ def embed_batch(fam: ModelFamily, cfg, params: Dict, batch: dict) -> jax.Array:
 
 def calibrate_activations(fam: ModelFamily, cfg, params: Dict,
                           specs: Dict[str, SiteSpec],
-                          calib_batches: List[dict]) -> Dict:
+                          calib_batches: List[dict],
+                          decode_steps: int = 0) -> Dict:
     """Stage: static activation calibration over real multimodal forwards
-    (the MSQ pass — ref: quant_utils.py:1079-1129 calib_vqa_plus)."""
-    from .calib.calibrate import calibrate
+    (the MSQ pass — ref: quant_utils.py:1079-1129 calib_vqa_plus).
+
+    ``decode_steps > 0`` additionally folds the activations of that many
+    greedy DECODE steps per batch into the LLM sites' stats — the reference
+    calibrates by driving ``model.generate``, so its scales see decode-phase
+    activations too, not just prefill."""
+    from .calib.calibrate import calibrate, finalize_state, merge_stats
 
     def fwd(batch, collect_samples=False):
         kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
@@ -366,7 +373,36 @@ def calibrate_activations(fam: ModelFamily, cfg, params: Dict,
             collect_samples=collect_samples, **kwargs)
         return logits, st
 
-    return calibrate(fwd, [(b,) for b in calib_batches], specs)
+    if not decode_steps:
+        return calibrate(fwd, [(b,) for b in calib_batches], specs)
+
+    from .models.llm import decoder_forward, init_cache
+
+    needs_samples = any(s.observer in ("omse", "ptf") for s in specs.values())
+    running = None
+    samples = None
+    for i, b in enumerate(calib_batches):
+        last = i == len(calib_batches) - 1
+        _, (stats, smp) = fwd(b, collect_samples=last and needs_samples)
+        running = merge_stats(specs, running, stats)
+        if last and needs_samples:
+            samples = smp
+        # decode-phase stats: prefill a KV cache (stats NOT double-counted —
+        # this pass runs without collection), then fold each greedy step
+        embeds = embed_batch(fam, cfg, params, b)
+        B, T = b["tokens"].shape
+        cache = init_cache(cfg.llm, B, T + decode_steps)
+        logits, cache, _ = decoder_forward(
+            cfg.llm, params["llm"], embeds, specs=specs, mode="calib",
+            cache=cache, prefill_fresh=True)
+        tok = jnp.argmax(logits[:, -1:], axis=-1)
+        for _ in range(decode_steps):
+            logits, cache, st2 = decoder_forward(
+                cfg.llm, params["llm"], tok, specs=specs, mode="calib",
+                cache=cache, collect_stats=True)
+            running = merge_stats(specs, running, st2[0])
+            tok = jnp.argmax(logits[:, -1:], axis=-1)
+    return finalize_state(specs, running or {}, samples)
 
 
 def run_pipeline(model: str, q: QuantizeConfig,
@@ -431,7 +467,8 @@ def run_pipeline(model: str, q: QuantizeConfig,
 
     state = None
     if q.visual_static or q.llm_static:
-        state = calibrate_activations(fam, cfg, params, specs, calib_batches)
+        state = calibrate_activations(fam, cfg, params, specs, calib_batches,
+                                      decode_steps=q.calib_decode_steps)
         log.info(f"activation calibration done ({len(state)} sites)")
 
     if q.realize_int:

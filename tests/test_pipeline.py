@@ -97,3 +97,26 @@ def test_pipeline_all_families(name):
     batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(3))[0]
     out = fwd(fam, cfg, params, batch, specs, state, mode="fake")
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_calibration_with_decode_steps():
+    """generate()-style calibration: decode-step activations fold into the
+    LLM sites' static scales (ref drives model.generate during calib)."""
+    fam = get_family("qwen2vl")
+    cfg = fam.tiny_fn()
+    params = fam.init_fn(cfg, jax.random.key(0))
+    batches = synthetic_calib_batches(fam, cfg, 2, jax.random.key(5))
+    specs = build_specs(fam, QuantizeConfig(calib_num=8))
+    from mquant_tpu.pipeline import calibrate_activations
+
+    s0 = calibrate_activations(fam, cfg, params, specs, batches)
+    s2 = calibrate_activations(fam, cfg, params, specs, batches,
+                               decode_steps=2)
+    a0 = np.asarray(s0["llm.q"]["act"].scale)
+    a2 = np.asarray(s2["llm.q"]["act"].scale)
+    assert np.all(np.isfinite(a2)) and a2.shape == a0.shape
+    # minmax ranges can only widen when more activations are folded in
+    assert np.all(a2 >= a0 - 1e-7)
+    # vision sites see no decode tokens → identical
+    np.testing.assert_allclose(np.asarray(s2["vis.q"]["act"].scale),
+                               np.asarray(s0["vis.q"]["act"].scale))
