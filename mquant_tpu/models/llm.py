@@ -253,8 +253,10 @@ def _layer_step(
             new_cache["v"] = upd(cache_kv["v"], v)
         if prefill_fresh:
             k_all, v_all = k, v  # attend locally; padded rows are discarded
-            attn_mask = None
-            causal = True
+            if attn_mask is None:
+                causal = True
+            # else: caller supplied a (B,1,T,T) mask (e.g. left-padded ragged
+            # batches: causal AND col≥row_start) — honored over plain causal
         elif quantized:
             k_all = (new_cache["k"].astype(jnp.float32)
                      * new_cache["k_scale"][..., None]).astype(h.dtype)

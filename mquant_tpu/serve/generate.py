@@ -205,6 +205,79 @@ class Generator:
             jnp.asarray(length, jnp.int32), rope_delta)
         return logits[:, 0], cache
 
+    def generate_batch(self, seqs, max_new_tokens: int = 32,
+                       eos_id: Optional[int] = None):
+        """Ragged batched greedy generation: DIFFERENT-length prompts served
+        in one batch. Prompts are LEFT-padded to a shared bucket; pad columns
+        are masked out of attention for both prefill and decode, and RoPE is
+        relative, so each row's uniform position shift cancels in the
+        attention logits — every sequence decodes exactly as it would alone.
+        Returns a list of per-sequence generated token lists (eos-trimmed)."""
+        import numpy as np
+
+        from ..models.llm import ntk_alpha_for
+
+        B = len(seqs)
+        Lmax = max(len(s) for s in seqs)
+        Tb = bucket_len(Lmax)
+        self.ensure_capacity(Tb + max_new_tokens)
+        starts = np.asarray([Tb - len(s) for s in seqs], np.int32)
+        toks = np.zeros((B, Tb), np.int64)
+        for i, s in enumerate(seqs):
+            toks[i, Tb - len(s):] = np.asarray(s)
+        r = np.arange(Tb)
+        pre_mask = ((r[None, :, None] >= r[None, None, :])
+                    & (r[None, None, :] >= starts[:, None, None]))
+        self._ntk_alpha = ntk_alpha_for(self.cfg, Lmax)
+        alpha = self._ntk_alpha
+
+        key = ("ragged", Tb, alpha)
+        if key not in self._prefill_cache:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def prefill_ragged(params, toks, cache, attn_mask):
+                T = toks.shape[1]
+                logits, cache2, _ = decoder_forward(
+                    cfg, params, toks, specs=specs, state=state, mode=mode,
+                    cache=cache, prefill_fresh=True, attn_mask=attn_mask,
+                    ntk_alpha=alpha,
+                    last_index=jnp.asarray(T - 1, jnp.int32))
+                return logits, cache2  # pos advanced by T (rows are aligned)
+
+            @jax.jit
+            def step_ragged(params, tok, cache, starts):
+                S = cache["k"].shape[2]
+                cols = jnp.arange(S)
+                # the step's own k/v is written at index pos → cols ≤ pos
+                m = ((cols[None, :] <= cache["pos"])
+                     & (cols[None, :] >= starts[:, None]))
+                logits, cache2, _ = decoder_forward(
+                    cfg, params, tok, specs=specs, state=state, mode=mode,
+                    cache=cache, attn_mask=m[:, None, None, :],
+                    ntk_alpha=alpha)
+                return logits, cache2
+
+            self._prefill_cache[key] = (prefill_ragged, step_ragged)
+        prefill_ragged, step_ragged = self._prefill_cache[key]
+
+        cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
+        starts_d = jnp.asarray(starts)
+        logits, cache = prefill_ragged(self.params, jnp.asarray(toks), cache,
+                                       jnp.asarray(pre_mask[:, None]))
+        tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+        outs = [[int(t)] for t in np.asarray(tok[:, 0])]
+        for _ in range(max_new_tokens - 1):
+            logits, cache = step_ragged(self.params, tok, cache, starts_d)
+            tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+            for i, t in enumerate(np.asarray(tok[:, 0])):
+                outs[i].append(int(t))
+            if eos_id is not None and all(eos_id in o for o in outs):
+                break
+        if eos_id is not None:
+            outs = [o[:o.index(eos_id)] if eos_id in o else o for o in outs]
+        return outs
+
     def generate(self, tokens: jax.Array, max_new_tokens: int = 32,
                  eos_id: Optional[int] = None, positions=None):
         """Greedy decode. Returns (B, <=max_new_tokens) int32 array."""

@@ -237,3 +237,40 @@ class TestBatchedServing:
         out_b = np.asarray(gen.generate_on_device(b, max_new_tokens=5))
         assert (out_ab[0] == out_a[0]).all()
         assert (out_ab[1] == out_b[0]).all()
+
+
+class TestRaggedBatch:
+    """Left-padded ragged batching: different-length prompts in one batch
+    decode token-for-token like individual runs (pad columns masked, RoPE's
+    relative phases unaffected by the per-row shift)."""
+
+    def test_ragged_matches_individual(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = DecoderConfig(vocab=96, hidden=48, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        gen = Generator(cfg, params, max_len=64)
+        seqs = [[5, 9, 12], [7, 1, 2, 3, 4, 8, 11], [20] * 12]
+        outs = gen.generate_batch(seqs, max_new_tokens=5)
+        for s, o in zip(seqs, outs):
+            ref = np.asarray(gen.generate(jnp.asarray(s)[None],
+                                          max_new_tokens=5))[0]
+            assert o == list(ref), (s, o, list(ref))
+
+    def test_ragged_eos_trim(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = DecoderConfig(vocab=32, hidden=32, n_layers=1, n_heads=2,
+                            n_kv_heads=2, intermediate=48, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+        gen = Generator(cfg, params, max_len=64)
+        outs = gen.generate_batch([[3, 4], [5, 6, 7]], max_new_tokens=6,
+                                  eos_id=0)
+        assert all(0 not in o for o in outs)
