@@ -261,12 +261,48 @@ class Generator:
             self._prefill_cache[key] = (prefill_ragged, step_ragged)
         prefill_ragged, step_ragged = self._prefill_cache[key]
 
+        nkey = ("decode_n_ragged", max_new_tokens - 1, alpha)
+        if nkey not in self._prefill_cache:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def decode_n_ragged(params, first_tok, cache, starts):
+                nB = first_tok.shape[0]
+                toks0 = jnp.zeros((nB, max_new_tokens - 1), jnp.int32)
+
+                def body(i, carry):
+                    tok, cache, out = carry
+                    S = cache["k"].shape[2]
+                    cols = jnp.arange(S)
+                    m = ((cols[None, :] <= cache["pos"])
+                         & (cols[None, :] >= starts[:, None]))
+                    logits, cache2, _ = decoder_forward(
+                        cfg, params, tok, specs=specs, state=state, mode=mode,
+                        cache=cache, attn_mask=m[:, None, None, :],
+                        ntk_alpha=alpha)
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+                    return nxt[:, None], cache2, out
+
+                _, cache, out = jax.lax.fori_loop(
+                    0, max_new_tokens - 1, body, (first_tok, cache, toks0))
+                return out
+
+            self._prefill_cache[nkey] = decode_n_ragged
+        decode_n_ragged = self._prefill_cache[nkey]
+
         cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
         starts_d = jnp.asarray(starts)
         logits, cache = prefill_ragged(self.params, jnp.asarray(toks), cache,
                                        jnp.asarray(pre_mask[:, None]))
         tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
         outs = [[int(t)] for t in np.asarray(tok[:, 0])]
+        if eos_id is None and max_new_tokens > 1:
+            # production path: the whole decode loop fused on device
+            rest = np.asarray(decode_n_ragged(self.params, tok, cache, starts_d))
+            for i in range(B):
+                outs[i] += [int(t) for t in rest[i]]
+            return outs
         for _ in range(max_new_tokens - 1):
             logits, cache = step_ragged(self.params, tok, cache, starts_d)
             tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
