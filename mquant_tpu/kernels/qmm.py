@@ -4,8 +4,10 @@ The reference only fake-quantizes (quant→dequant in fp; real int GEMMs never
 execute — ref: SURVEY §3.4; the int4 pack/unpack primitives at
 fake_quant/quant_utils.py:61-94 are unused by its pipelines). This module is
 where the TPU rebuild goes beyond the reference: actual INT8×INT8 MXU GEMMs
-(native s8 MXU path, ~2× bf16 throughput on v5e) with int32 accumulation and a
-fused dequant epilogue.
+with int32 accumulation and a fused dequant epilogue. (Measured on the v5e
+runtime in use: the s8 dot reaches ~300 TF/s in-model vs bf16's ~190 — XLA
+exposes no full 2× int8 path here; see scripts/mxu_rate*.py — so the int8
+win is compute ~1.5× plus halved weight streaming.)
 
 Weight storage in the params pytree (produced by ``quantize_weights_real``):
   * ``w_q``      int8 (in, out) for W8; for W4, **split-half packed**
