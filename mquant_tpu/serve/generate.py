@@ -205,6 +205,41 @@ class Generator:
             jnp.asarray(length, jnp.int32), rope_delta)
         return logits[:, 0], cache
 
+    def prefill_chunked(self, tokens_or_embeds: jax.Array, chunk: int = 2048
+                        ) -> Tuple[jax.Array, Dict]:
+        """Prefill a long prompt in fixed-size chunks: each chunk attends to
+        the KV cache written so far plus itself (the auto causal-with-offset
+        mask), bounding peak attention memory at O(chunk·T) instead of O(T²)
+        and reusing one compiled step for arbitrarily long prompts. Returns
+        (last-token logits, cache) like :meth:`prefill`."""
+        from ..models.llm import ntk_alpha_for
+
+        B, T = tokens_or_embeds.shape[:2]
+        self.ensure_capacity(T)
+        self._ntk_alpha = ntk_alpha_for(self.cfg, T)
+        alpha = self._ntk_alpha
+        key = ("chunk", chunk, alpha)
+        if key not in self._prefill_cache:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+
+            @jax.jit
+            def step(params, piece, cache):
+                logits, cache2, _ = decoder_forward(
+                    cfg, params, piece, specs=specs, state=state, mode=mode,
+                    cache=cache, ntk_alpha=alpha)
+                return logits, cache2
+
+            self._prefill_cache[key] = step
+        step = self._prefill_cache[key]
+
+        cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
+        logits = None
+        for c0 in range(0, T, chunk):
+            # a non-multiple tail chunk retraces once for its shorter shape
+            piece = tokens_or_embeds[:, c0:c0 + chunk]
+            logits, cache = step(self.params, piece, cache)
+        return logits[:, -1], cache
+
     def generate_batch(self, seqs, max_new_tokens: int = 32,
                        eos_id: Optional[int] = None):
         """Ragged batched greedy generation: DIFFERENT-length prompts served

@@ -274,3 +274,26 @@ class TestRaggedBatch:
         outs = gen.generate_batch([[3, 4], [5, 6, 7]], max_new_tokens=6,
                                   eos_id=0)
         assert all(0 not in o for o in outs)
+
+
+class TestChunkedPrefill:
+    def test_chunked_matches_single_shot(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = DecoderConfig(vocab=96, hidden=48, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        gen = Generator(cfg, params, max_len=96)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 22), 1, 90)
+        ref, _ = gen.prefill(toks)
+        got, cache = gen.prefill_chunked(toks, chunk=8)  # 8+8+6 pieces
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # decode continues correctly from the chunked cache
+        step = gen._decode()
+        tok = jnp.argmax(got, axis=-1)[:, None].astype(jnp.int32)
+        logits, _ = step(params, tok, cache)
+        assert bool(jnp.all(jnp.isfinite(logits)))
