@@ -160,7 +160,7 @@ class VLMRunner:
         mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
         embeds = _embed_with_quant(
             self.fam, self.cfg, self.params,
-            {"tokens": toks, "images": [(p, e) for p, e, _ in encoded]},
+            {"tokens": toks, "images": [(p, e, n) for p, e, n in encoded]},
             self.specs, self.state, self.mode)
 
         positions = None
@@ -223,18 +223,23 @@ def _embed_with_quant(fam, cfg, params, batch, specs, state, mode):
         if patches is None:
             return embeds
         images = [(patches, {k: v for k, v in batch.items()
-                             if k not in ("tokens", "patches")})]
-    images = [(p, e) for p, e in images if p is not None]
+                             if k not in ("tokens", "patches")}, None)]
+    images = [im for im in images if im[0] is not None]
     if not images:
         return embeds
-    feats = [_image_features(fam, cfg, params, p, e, specs, state, mode)
-             for p, e in images]
+    feats = [_image_features(fam, cfg, params, p, e, specs, state, mode,
+                             n_img=n)
+             for p, e, n in images]
     img = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
     return splice_image_embeds(embeds, toks, img, cfg.image_token_id)
 
 
-def _image_features(fam, cfg, params, patches, extra, specs, state, mode):
-    """One image's merged/projected features (B, N_i, hidden)."""
+def _image_features(fam, cfg, params, patches, extra, specs, state, mode,
+                    n_img=None):
+    """One image's merged/projected features (B, N_i, hidden). ``n_img`` (the
+    image-token span length) trims bucket-padded outputs to the valid rows —
+    without it, pad-garbage rows from one padded image would shift into the
+    NEXT image's token span in a multi-image splice."""
     vmask = extra.get("vis_token_mask")
     kw = dict(specs=specs, state=state, mode=mode)
     if fam.name == "qwen2vl":
@@ -272,6 +277,8 @@ def _image_features(fam, cfg, params, patches, extra, specs, state, mode):
                                token_mask=vmask, **kw)
         feats = feats[:, : gh * gw]
         img, _ = glu_projector_forward(cfg.proj, params["proj"], feats, gh, gw, **kw)
+    if n_img is not None and img.shape[1] > n_img:
+        img = img[:, :n_img]  # valid rows lead; bucket padding sits at the end
     return img
 
 
@@ -289,6 +296,12 @@ def calib_batches_from_dataset(runner: VLMRunner, dataset, n: int):
     out = []
     for i in range(min(n, len(dataset))):
         prompt = dataset.build_prompt(i)
+        img = prompt.get("image")
+        if isinstance(img, (list, tuple)):
+            # the single-"patches" batch contract carries one image; keep the
+            # tokens consistent with it by calibrating on the first image only
+            prompt = dict(prompt)
+            prompt["image"] = img[0] if img else None
         toks, encoded = runner.build_inputs(prompt)
         batch = {"tokens": toks, "patches": None}
         if encoded:

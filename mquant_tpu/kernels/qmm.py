@@ -61,7 +61,23 @@ def _act_int8(x: jax.Array, spec, site_state) -> tuple[jax.Array, jax.Array]:
                 "channel scales into the weight matrix")
         q = Q.quantize(x, qp, INT8)
         return q, qp.scale
-    qp = Q.dynamic_qparams(x, INT8, axis=-1 if spec.a_per_token else None)
+    if getattr(spec, "a_groupsize", None):
+        # per-token-per-GROUP scales span the contracted axis → same epilogue
+        # problem as per-channel static scales above; the fake/calib path
+        # supports them, the real-int GEMM does not (explicit, not silent)
+        raise NotImplementedError(
+            "a_groupsize is not supported by the real-int GEMM path (group "
+            "scales span the contracted axis); serve with per-token dynamic "
+            "or static per-tensor scales")
+    if not spec.a_symmetric:
+        # an activation zero-point needs a zp·Σw correction term per output
+        # in the dequant epilogue — not implemented; fake/calib modes support
+        # asym activations, real-int serving requires symmetric
+        raise NotImplementedError(
+            "asymmetric activations are not supported by the real-int GEMM "
+            "path (missing zero-point epilogue correction)")
+    qp = Q.dynamic_qparams(x, INT8, axis=-1 if spec.a_per_token else None,
+                           clip_ratio=spec.a_clip_ratio)
     return Q.quantize(x, qp, INT8), qp.scale
 
 

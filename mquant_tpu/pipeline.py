@@ -115,10 +115,16 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
     if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
         specs["llm.down"] = dataclasses.replace(
             specs["llm.down"], online_had="full", split=q.llm_split)
-    if ("vis.fc2" in specs and q.rotate and q.rotate_visual
-            and q.online_visual_hadamard):
-        specs["vis.fc2"] = dataclasses.replace(
-            specs["vis.fc2"], online_had="full", split=q.visual_split)
+    if "vis.fc2" in specs and q.rotate and q.rotate_visual:
+        # split and online-had are independent flags (ref --visual_split /
+        # --online_visual_hadamard); the spec must mirror prepare_vlm, which
+        # splits fc2 storage whenever visual_split is set — a split-storage
+        # site with split=False would feed full-width Hessians to GPTQ
+        if q.online_visual_hadamard or q.visual_split:
+            specs["vis.fc2"] = dataclasses.replace(
+                specs["vis.fc2"],
+                online_had="full" if q.online_visual_hadamard else None,
+                split=q.visual_split)
     return specs
 
 

@@ -159,7 +159,12 @@ class Generator:
         """Grow the KV cache to hold at least ``n`` positions. jit closures
         retrace automatically on the new cache shapes; callers that know the
         prompt+decode budget (e.g. VLMRunner) call this up front so a long
-        chat-templated prompt never overflows a small default cache."""
+        chat-templated prompt never overflows a small default cache.
+
+        Growth is sticky: one long request raises ``max_len`` for all later
+        requests on this Generator (they then pay the wider decode-attention
+        mask). For mixed long/short serving, use separate Generators per
+        length class or reset ``max_len`` explicitly between phases."""
         if n > self.max_len:
             self.max_len = bucket_len(n)
 
@@ -205,17 +210,21 @@ class Generator:
             jnp.asarray(length, jnp.int32), rope_delta)
         return logits[:, 0], cache
 
-    def prefill_chunked(self, tokens_or_embeds: jax.Array, chunk: int = 2048
-                        ) -> Tuple[jax.Array, Dict]:
+    def prefill_chunked(self, tokens_or_embeds: jax.Array, chunk: int = 2048,
+                        decode_reserve: int = 128) -> Tuple[jax.Array, Dict]:
         """Prefill a long prompt in fixed-size chunks: each chunk attends to
         the KV cache written so far plus itself (the auto causal-with-offset
         mask), bounding peak attention memory at O(chunk·T) instead of O(T²)
-        and reusing one compiled step for arbitrarily long prompts. Returns
-        (last-token logits, cache) like :meth:`prefill`."""
+        and reusing one compiled step for arbitrarily long prompts. Each
+        chunk computes logits only for its last token (last_index), so the
+        T×vocab lm_head GEMM never runs over interior positions. Returns
+        (last-token logits, cache) like :meth:`prefill`. ``decode_reserve``
+        rows of cache headroom are kept for the decode that follows (a write
+        at pos==max_len would be silently clamped onto the last prompt row)."""
         from ..models.llm import ntk_alpha_for
 
         B, T = tokens_or_embeds.shape[:2]
-        self.ensure_capacity(T)
+        self.ensure_capacity(T + decode_reserve)
         self._ntk_alpha = ntk_alpha_for(self.cfg, T)
         alpha = self._ntk_alpha
         key = ("chunk", chunk, alpha)
@@ -224,9 +233,11 @@ class Generator:
 
             @jax.jit
             def step(params, piece, cache):
+                Tp = piece.shape[1]
                 logits, cache2, _ = decoder_forward(
                     cfg, params, piece, specs=specs, state=state, mode=mode,
-                    cache=cache, ntk_alpha=alpha)
+                    cache=cache, ntk_alpha=alpha,
+                    last_index=jnp.asarray(Tp - 1, jnp.int32))
                 return logits, cache2
 
             self._prefill_cache[key] = step
@@ -247,7 +258,13 @@ class Generator:
         are masked out of attention for both prefill and decode, and RoPE is
         relative, so each row's uniform position shift cancels in the
         attention logits — every sequence decodes exactly as it would alone.
-        Returns a list of per-sequence generated token lists (eos-trimmed)."""
+        Returns a list of per-sequence generated token lists (eos-trimmed).
+
+        Caveat (Qwen-VL dynamic NTK only): the batch shares ONE alpha derived
+        from the longest prompt, so a short row batched with a much longer
+        one uses the longer row's RoPE theta — exact per-row equality holds
+        for families without ``use_dynamic_ntk`` (all but Qwen-VL) or when
+        the batch's lengths fall in the same NTK band."""
         import numpy as np
 
         from ..models.llm import ntk_alpha_for
