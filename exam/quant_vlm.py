@@ -34,6 +34,8 @@ def parser_gen(model_default=None):
     p.add_argument("--rotate", action="store_true")
     p.add_argument("--rotate_mode", default="hadamard", choices=["hadamard", "random"])
     p.add_argument("--no_rotate_visual", action="store_true")
+    p.add_argument("--no_rotate_llm", action="store_true",
+                   help="vision-only rotation (inverse of ref --rotate_llm)")
     p.add_argument("--online_llm_hadamard", action="store_true")
     p.add_argument("--llm_split", action="store_true")
     p.add_argument("--online_visual_hadamard", action="store_true")
@@ -100,6 +102,7 @@ def main(args=None):
     q = QuantizeConfig(
         rotate=args.rotate, rotate_mode=args.rotate_mode,
         rotate_visual=not args.no_rotate_visual,
+        rotate_llm=not args.no_rotate_llm,
         online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
         online_visual_hadamard=args.online_visual_hadamard,
         visual_split=args.visual_split,

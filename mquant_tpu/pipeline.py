@@ -56,6 +56,7 @@ class QuantizeConfig:
     rotate: bool = True
     rotate_mode: str = "hadamard"  # hadamard | random
     rotate_visual: bool = True
+    rotate_llm: bool = True  # ref --rotate_llm (vision-only rotation if off)
     online_llm_hadamard: bool = True
     llm_split: bool = True
     online_visual_hadamard: bool = False  # ref: exam/quant_qwenvl.py --online_visual_hadamard
@@ -112,7 +113,8 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
                 a_per_channel=False if q.act_per_tensor else True,
                 a_groupsize=q.a_groupsize, a_clip_ratio=q.a_clip_ratio,
                 observer=q.act_observer)
-    if "llm.down" in specs and q.rotate and q.online_llm_hadamard:
+    if ("llm.down" in specs and q.rotate and q.rotate_llm
+            and q.online_llm_hadamard):
         specs["llm.down"] = dataclasses.replace(
             specs["llm.down"], online_had="full", split=q.llm_split)
     if "vis.fc2" in specs and q.rotate and q.rotate_visual:
@@ -443,8 +445,10 @@ def run_pipeline(model: str, q: QuantizeConfig,
 
         params, info = prepare_vlm(
             fam.name, cfg, params, jax.random.fold_in(key, 1),
-            rotate_visual=q.rotate_visual, mode=q.rotate_mode,
-            online_had_down=q.online_llm_hadamard, split_down=q.llm_split,
+            rotate_visual=q.rotate_visual, rotate_llm=q.rotate_llm,
+            mode=q.rotate_mode,
+            online_had_down=q.online_llm_hadamard and q.rotate_llm,
+            split_down=q.llm_split and q.rotate_llm,
             online_had_visual=q.online_visual_hadamard,
             split_visual=q.visual_split)
         pad = getattr(info.get("llm"), "down_pad", 0)

@@ -262,6 +262,7 @@ def prepare_vlm(
     key: jax.Array,
     rotate: bool = True,
     rotate_visual: bool = True,
+    rotate_llm: bool = True,
     mode: str = "hadamard",
     online_had_down: bool = True,
     split_down: bool = False,
@@ -336,6 +337,8 @@ def prepare_vlm(
         info["resampler_rotated"] = True
 
     # ---- rotate: LLM stream (+ image-feature producers into rotated space) ----
+    if not rotate_llm:  # ref --rotate without --rotate_llm: vision-only
+        return p, info
     Q_l = H.get_orthogonal_matrix(cfg.llm.hidden, mode, k_l)
     p["llm"], rinfo = rotate_decoder(cfg.llm, p["llm"], k_l, mode=mode,
                                      online_had_down=online_had_down, Q=Q_l)

@@ -156,3 +156,29 @@ def test_visual_online_hadamard_pad_split_invariance(name):
                                    mode="fake", **extra)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_vision_only_rotation():
+    """ref --rotate without --rotate_llm: vision stream rotated, LLM weights
+    untouched, forward still finite (fp invariance holds trivially)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mquant_tpu.models.registry import get_family
+    from mquant_tpu.transform.vlm_recipes import prepare_vlm
+
+    fam = get_family("qwen2vl")
+    cfg = fam.tiny_fn()
+    params = fam.init_fn(cfg, jax.random.key(0))
+    p2, info = prepare_vlm("qwen2vl", cfg,
+                           jax.tree.map(lambda x: x, params),
+                           jax.random.key(1), rotate_llm=False)
+    assert info.get("vit_rotated") and "llm" not in info
+    # llm q weight unchanged by rotation (fusion may fold LN -> compare the
+    # rotation-specific invariant: down_proj untouched by hadamard/pad)
+    assert p2["llm"]["layers"]["down"]["w"].shape == \
+        params["llm"]["layers"]["down"]["w"].shape
+    from tests.test_pipeline import fwd, synthetic_calib_batches
+    b = synthetic_calib_batches(fam, cfg, 1, jax.random.key(2))[0]
+    out = fwd(fam, cfg, p2, b)
+    assert bool(jnp.all(jnp.isfinite(out)))
