@@ -124,3 +124,54 @@ class TestShardedServing:
                 logits, cache = step(sp, tok, cache)
                 tok = jnp.argmax(logits[:, -1:], axis=-1)
                 assert (np.asarray(tok) == ref_steps[i]).all(), i
+
+
+class Test72BScale:
+    """72B config validates structurally without 72B memory: abstract trace
+    (eval_shape) of the decoder step + TP-divisibility of every sharded dim."""
+
+    def test_72b_decoder_traces_and_tp_divides(self):
+        from functools import partial
+
+        from mquant_tpu.models.qwen2vl import Qwen2VLConfig
+
+        cfg = Qwen2VLConfig.qwen2vl_72b().llm
+        assert cfg.hidden == 8192 and cfg.n_layers == 80
+
+        # abstract params pytree with real 72B shapes (no allocation)
+        L, Hd, I = cfg.n_layers, cfg.hidden, cfg.intermediate
+        Hh, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+        def st(*shape, dt=jnp.bfloat16):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        params = {
+            "embed": {"w": st(cfg.vocab, Hd)},
+            "layers": {
+                "ln1": {"w": st(L, Hd)},
+                "q": {"w": st(L, Hd, Hh * hd), "b": st(L, Hh * hd)},
+                "k": {"w": st(L, Hd, KV * hd), "b": st(L, KV * hd)},
+                "v": {"w": st(L, Hd, KV * hd), "b": st(L, KV * hd)},
+                "o": {"w": st(L, Hh * hd, Hd), "b": None},
+                "ln2": {"w": st(L, Hd)},
+                "gate": {"w": st(L, Hd, I), "b": None},
+                "up": {"w": st(L, Hd, I), "b": None},
+                "down": {"w": st(L, I, Hd), "b": None},
+            },
+            "ln_f": {"w": st(Hd)},
+            "lm_head": {"w": st(Hd, cfg.vocab)},
+        }
+        toks = jax.ShapeDtypeStruct((1, 128), jnp.int32)
+        out = jax.eval_shape(
+            lambda p, t: decoder_forward(cfg, p, t)[0], params, toks)
+        assert out.shape == (1, 128, cfg.vocab)
+
+        # sharding specs cover the abstract tree and every TP-cut dim
+        # divides an 8-way tp axis
+        from mquant_tpu.parallel.sharding import decoder_param_specs
+
+        specs = decoder_param_specs(params)
+        assert jax.tree.structure(specs) == jax.tree.structure(
+            params, is_leaf=lambda x: x is None)
+        for dim in (Hh * hd, I, Hd):
+            assert dim % 8 == 0, dim
