@@ -149,6 +149,33 @@ class VLMRunner:
 
     # -- generation ---------------------------------------------------------
 
+    def generate_batch(self, prompts, max_new_tokens: Optional[int] = None):
+        """Serve several prompts (possibly different lengths/images) in ONE
+        ragged batch: per-prompt vision passes + splice, then the left-padded
+        masked batch decode (``Generator.generate_batch``). Returns a list of
+        decoded strings. Qwen2-VL M-RoPE prompts fall back to serial
+        generation (per-row 3-plane position ids are not batched yet)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        if self.fam.name == "qwen2vl" and any(
+                p.get("image") is not None for p in prompts):
+            return [self.generate(p, max_new_tokens=max_new) for p in prompts]
+        embeds = []
+        for p in prompts:
+            toks, encoded = self.build_inputs(p)
+            for _, e, _ in encoded:
+                e.pop("mrope_grid", None)
+            emb = _embed_with_quant(
+                self.fam, self.cfg, self.params,
+                {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
+                self.specs, self.state, self.mode)
+            embeds.append(emb[0])  # (T_i, hidden)
+        self.gen.ensure_capacity(
+            max(int(e.shape[0]) for e in embeds) + max_new)
+        eos = getattr(self.tok, "eos_id", -1)
+        outs = self.gen.generate_batch(embeds, max_new_tokens=max_new,
+                                       eos_id=eos if eos >= 0 else None)
+        return [self.tok.decode(o) for o in outs]
+
     def generate(self, prompt: Dict, max_new_tokens: Optional[int] = None) -> str:
         """prompt: {"text": str, "image": np.ndarray | None} → decoded text."""
         max_new = max_new_tokens or self.max_new_tokens

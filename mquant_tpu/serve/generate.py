@@ -270,13 +270,24 @@ class Generator:
         from ..models.llm import ntk_alpha_for
 
         B = len(seqs)
-        Lmax = max(len(s) for s in seqs)
+        # each entry: a token id list/array (T,) OR an embeds array (1|0,T,H)
+        embeds_mode = hasattr(seqs[0], "ndim") and seqs[0].ndim >= 2
+        lens = [int(s.shape[-2]) if embeds_mode else len(s) for s in seqs]
+        Lmax = max(lens)
         Tb = bucket_len(Lmax)
         self.ensure_capacity(Tb + max_new_tokens)
-        starts = np.asarray([Tb - len(s) for s in seqs], np.int32)
-        toks = np.zeros((B, Tb), np.int64)
-        for i, s in enumerate(seqs):
-            toks[i, Tb - len(s):] = np.asarray(s)
+        starts = np.asarray([Tb - n for n in lens], np.int32)
+        if embeds_mode:
+            Hd = seqs[0].shape[-1]
+            toks = np.zeros((B, Tb, Hd), np.float32)
+            for i, s in enumerate(seqs):
+                toks[i, Tb - lens[i]:] = np.asarray(
+                    s.reshape(lens[i], Hd), np.float32)
+            # decoder_forward casts embeds to cfg.dtype on device
+        else:
+            toks = np.zeros((B, Tb), np.int64)
+            for i, s in enumerate(seqs):
+                toks[i, Tb - lens[i]:] = np.asarray(s)
         r = np.arange(Tb)
         pre_mask = ((r[None, :, None] >= r[None, None, :])
                     & (r[None, None, :] >= starts[:, None, None]))

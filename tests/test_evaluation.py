@@ -355,3 +355,29 @@ class TestDatasetCalibration:
         specs = build_specs(fam, q)
         state = calibrate_activations(fam, cfg, params, specs, batches)
         assert state and state["llm.q"]["act"].scale is not None
+
+
+class TestBatchedRunner:
+    """VLMRunner.generate_batch: ragged multi-prompt serving matches serial
+    generation (minicpmv path exercises vision + resampler + ragged decode)."""
+
+    def test_batch_matches_serial(self):
+        import jax
+        import numpy as np
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.minicpmv import (MiniCPMVConfig,
+                                                init_minicpmv_params)
+
+        cfg = MiniCPMVConfig.tiny()
+        params = init_minicpmv_params(cfg, jax.random.key(0))
+        r = VLMRunner("minicpmv", cfg, params, max_new_tokens=4, max_len=512)
+        rng = np.random.default_rng(0)
+        prompts = [
+            {"text": "one", "image": rng.random((16, 16, 3)).astype(np.float32)},
+            {"text": "a longer question two", "image": None},
+            {"text": "three", "image": rng.random((24, 24, 3)).astype(np.float32)},
+        ]
+        batched = r.generate_batch(prompts)
+        serial = [r.generate(p) for p in prompts]
+        assert batched == serial, (batched, serial)
