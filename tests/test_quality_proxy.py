@@ -90,3 +90,24 @@ def test_w4a8_gate_all_families(family):
                                   cfg=cfg, calib_batches=calib)
     r = _ppl_ratio(fam, cfg, params, held, p, sp, s)
     assert r < 1.01, (family, r)
+
+
+def test_w4a8_real_int_serving_within_gate(setup):
+    """The gate holds through the REAL-int serving path (int8 MXU GEMMs,
+    realized storage), not just the fake-quant evaluation path."""
+    fam, cfg, params, calib, held = setup
+    q = QuantizeConfig(calib_num=16, nsamples=8, visual_w_bits=8,
+                       llm_w_bits=4, realize_int=True)
+    _, p, s, sp, _ = run_pipeline(fam.name, q,
+                                  params=jax.tree.map(lambda x: x, params),
+                                  cfg=cfg, calib_batches=calib)
+    ds = []
+    for b in held:
+        lf = _fwd(fam, cfg, params, b)
+        lq = _fwd(fam, cfg, p, b, sp, s, mode="real")
+        pf = jax.nn.softmax(lf, -1)
+        ce_q = -jnp.sum(pf * jax.nn.log_softmax(lq, -1), -1)
+        ce_f = -jnp.sum(pf * jax.nn.log_softmax(lf, -1), -1)
+        ds.append(float(jnp.mean(ce_q - ce_f)))
+    r = float(np.exp(np.mean(ds)))
+    assert r < 1.01, r
