@@ -12,6 +12,13 @@ import os
 # startup — so env vars alone are too late. jax.config.update works post-import
 # as long as no backend has been created yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# JAX_PLATFORMS=cpu alone does NOT stop the axon TPU plugin from initializing:
+# any PALLAS_AXON_*/AXON_*/TPU_*/LIBTPU* var triggers plugin init, which blocks
+# ~15 min on relay sockets (observed round 2) or dies on a libtpu AOT mismatch.
+# Scrub them before any backend is created so test wall-clock is deterministic.
+for _k in [k for k in os.environ
+           if k.startswith(("PALLAS_AXON", "AXON", "TPU", "LIBTPU"))]:
+    del os.environ[_k]
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
