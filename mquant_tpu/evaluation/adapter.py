@@ -152,18 +152,26 @@ class VLMRunner:
     def generate_batch(self, prompts, max_new_tokens: Optional[int] = None):
         """Serve several prompts (possibly different lengths/images) in ONE
         ragged batch: per-prompt vision passes + splice, then the left-padded
-        masked batch decode (``Generator.generate_batch``). Returns a list of
-        decoded strings. Qwen2-VL M-RoPE prompts fall back to serial
-        generation (per-row 3-plane position ids are not batched yet)."""
+        masked batch decode (``Generator.generate_batch``). Qwen2-VL image
+        prompts ride the same path: per-row (3, T_i) M-RoPE position ids are
+        built here and batched by the Generator (left-pad = uniform per-plane
+        shift, exact under the attention mask — HF get_rope_index parity).
+        Returns a list of decoded strings."""
         max_new = max_new_tokens or self.max_new_tokens
-        if self.fam.name == "qwen2vl" and any(
-                p.get("image") is not None for p in prompts):
-            return [self.generate(p, max_new_tokens=max_new) for p in prompts]
         embeds = []
+        positions = None
+        if self.fam.name == "qwen2vl":
+            positions = []
         for p in prompts:
             toks, encoded = self.build_inputs(p)
-            for _, e, _ in encoded:
-                e.pop("mrope_grid", None)
+            mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
+            if positions is not None:
+                from ..models.qwen2vl import mrope_positions
+
+                grids = [g for g in mrope_grids if g is not None]
+                positions.append(mrope_positions(
+                    np.asarray(toks), self.cfg.image_token_id,
+                    grid_thw=grids or None))
             emb = _embed_with_quant(
                 self.fam, self.cfg, self.params,
                 {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
@@ -173,7 +181,8 @@ class VLMRunner:
             max(int(e.shape[0]) for e in embeds) + max_new)
         eos = getattr(self.tok, "eos_id", -1)
         outs = self.gen.generate_batch(embeds, max_new_tokens=max_new,
-                                       eos_id=eos if eos >= 0 else None)
+                                       eos_id=eos if eos >= 0 else None,
+                                       positions=positions)
         return [self.tok.decode(o) for o in outs]
 
     def generate(self, prompt: Dict, max_new_tokens: Optional[int] = None) -> str:

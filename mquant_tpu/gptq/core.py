@@ -41,6 +41,7 @@ class GPTQResult(NamedTuple):
     w: jax.Array  # fake-quantized weight (in, out), original dtype
     scale: jax.Array  # (n_groups_or_1, out) per-out-channel scales
     used_fallback: jax.Array  # bool scalar: RTN fallback (Cholesky failed)
+    zero: Optional[jax.Array] = None  # (n_groups_or_1, out) asym zero points
 
 
 def accumulate_hessian(h: Optional[jax.Array], x: jax.Array) -> jax.Array:
@@ -158,7 +159,7 @@ def _blocked_tri_inv_lower(L: jax.Array, Dinv: jax.Array,
         S = jnp.dot(Drow * (col_ids < r0).astype(L.dtype), Y,
                     precision=jax.lax.Precision.HIGHEST)  # (P, n) MXU
         Irow = (col_ids == (r0 + prow)[:, None]).astype(L.dtype)
-        Yrow = Ldinv @ (Irow - S)
+        Yrow = jnp.dot(Ldinv, Irow - S, precision=jax.lax.Precision.HIGHEST)
         return jax.lax.dynamic_update_slice(Y, Yrow, (r0, 0))
 
     return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(L))
@@ -339,9 +340,23 @@ def _gptq_walk(
         inv = jnp.argsort(perm)
         Wq = Wq[inv]
 
-    # NaN guard → RTN fallback (ref: gptq_utils.py:239-245, 296-303)
+    # NaN guard → RTN fallback (ref: gptq_utils.py:239-245, 296-303). The
+    # fallback's grid replaces the GPTQ grid in the returned qparams too, so
+    # realize-from-qparams stays exact either way.
     bad = ~jnp.all(jnp.isfinite(Wq))
-    rtn = Q.rtn_fake_quant_weight(W.astype(jnp.float32), bits, symmetric=sym,
-                                  mse_clip=mse_clip)
+    qp_rtn = Q.weight_qparams(W.astype(jnp.float32), fmt, per_channel=True,
+                              symmetric=sym, mse_clip=mse_clip)
+    rtn = Q.fake_quantize(W.astype(jnp.float32), qp_rtn, fmt)
     Wq = jnp.where(bad, rtn, Wq)
-    return GPTQResult(w=Wq.astype(W.dtype), scale=scales, used_fallback=bad)
+    g = scales.shape[0]
+    scales = jnp.where(bad, jnp.broadcast_to(qp_rtn.scale.reshape(1, out),
+                                             (g, out)), scales)
+    if zeros is not None:
+        zeros = jnp.where(bad, jnp.broadcast_to(
+            qp_rtn.zero_point.reshape(1, out), (g, out)), zeros)
+    # NOTE act_order × group_size: group scales are per PERMUTED row block;
+    # after the inverse permutation the (g, out) table no longer maps to
+    # contiguous input-row groups, so realization from these qparams is
+    # rejected by the drivers (fake-quant serving of that combo is exact).
+    return GPTQResult(w=Wq.astype(W.dtype), scale=scales, used_fallback=bad,
+                      zero=zeros)

@@ -150,20 +150,30 @@ def gptq_quantize_decoder(
         pre.append((cos, sin, L.causal_mask(T, T)))
 
     def quantize_site(lp, name, H):
+        """Returns (lp, used_fallback, (scale, zero)|None). The qparams are the
+        EXACT grid the fake-quantized weight lies on — carried to realization
+        so int storage recovers the codes losslessly instead of re-quantizing
+        onto a fresh symmetric grid (the round-2 w_asym/w_groupsize silent
+        degradation)."""
         spec = specs.get("llm." + name)
         if spec is None or spec.w_bits is None:
-            return lp, None
+            return lp, None, None
         site_p = dict(lp[name])
         w = site_p["w"].astype(jnp.float32)
         if gcfg.use_rtn:
             from ..core import quant as Q
+            from ..core.formats import get_format
 
-            site_p["w"] = Q.rtn_fake_quant_weight(
-                w, spec.w_bits, symmetric=gcfg.sym,
-                mse_clip=gcfg.mse_clip).astype(lp[name]["w"].dtype)
+            fmt = get_format(spec.w_bits, signed=gcfg.sym)
+            qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=gcfg.sym,
+                                  mse_clip=gcfg.mse_clip)
+            site_p["w"] = Q.fake_quantize(w, qp, fmt).astype(lp[name]["w"].dtype)
             lp = dict(lp)
             lp[name] = site_p
-            return lp, False
+            out = w.shape[-1]
+            qps = (qp.scale.reshape(1, out),
+                   None if qp.zero_point is None else qp.zero_point.reshape(1, out))
+            return lp, False, qps
         res = C.gptq_quantize_matrix(
             w, H, bits=spec.w_bits, percdamp=gcfg.percdamp,
             act_order=gcfg.act_order, group_size=gcfg.group_size,
@@ -171,12 +181,13 @@ def gptq_quantize_decoder(
         site_p["w"] = res.w.astype(lp[name]["w"].dtype)
         lp = dict(lp)
         lp[name] = site_p
-        return lp, bool(res.used_fallback)
+        return lp, bool(res.used_fallback), (res.scale, res.zero)
 
-    report = {"fallbacks": [], "sites": 0}
+    report = {"fallbacks": [], "sites": 0, "qparams": []}
     hb = hidden_batches
     new_layers = []
     for l in range(nL):
+        layer_qps = {}
         if stream_from_host:
             lp = jax.tree.map(lambda x: jnp.asarray(np.asarray(x[l])),
                               params["layers"])
@@ -189,7 +200,8 @@ def gptq_quantize_decoder(
             x1 = stage_fns["qkv"](lp, h, cos, sin, mask)
             Hq = hess(Hq, x1) if Hq is not None else C.accumulate_hessian(None, x1)
         for s in ("q", "k", "v"):
-            lp, fb = quantize_site(lp, s, Hq)
+            lp, fb, qps = quantize_site(lp, s, Hq)
+            layer_qps[s] = qps
             _track(report, f"L{l}.{s}", fb)
 
         # group 2: o
@@ -197,7 +209,8 @@ def gptq_quantize_decoder(
         for h, (cos, sin, mask) in zip(hb, pre):
             attn = stage_fns["o"](lp, h, cos, sin, mask)
             Ho = hess(Ho, attn) if Ho is not None else C.accumulate_hessian(None, attn)
-        lp, fb = quantize_site(lp, "o", Ho)
+        lp, fb, qps = quantize_site(lp, "o", Ho)
+        layer_qps["o"] = qps
         _track(report, f"L{l}.o", fb)
 
         # group 3: gate, up share the post-ln2 input
@@ -206,7 +219,8 @@ def gptq_quantize_decoder(
             x2 = stage_fns["gu"](lp, h, cos, sin, mask)
             Hg = hess(Hg, x2) if Hg is not None else C.accumulate_hessian(None, x2)
         for s in ("gate", "up"):
-            lp, fb = quantize_site(lp, s, Hg)
+            lp, fb, qps = quantize_site(lp, s, Hg)
+            layer_qps[s] = qps
             _track(report, f"L{l}.{s}", fb)
 
         # group 4: down — on the post-hadamard input; RMS split keeps col0 fp
@@ -220,16 +234,23 @@ def gptq_quantize_decoder(
             if split:
                 a = a[..., 1:]
             Hd = hess(Hd, a) if Hd is not None else C.accumulate_hessian(None, a)
-        lp, fb = quantize_site(lp, "down", Hd)
+        lp, fb, qps = quantize_site(lp, "down", Hd)
+        layer_qps["down"] = qps
         _track(report, f"L{l}.down", fb)
 
         # produce next layer's inputs with the fully quantized layer
         if l < nL - 1:
             hb = [stage_fns["next"](lp, h, cos, sin, mask)
                   for h, (cos, sin, mask) in zip(hb, pre)]
+        report["qparams"].append(layer_qps)
         if stream_from_host and realize_on_device:
             from ..kernels.qmm import quantize_weights_real
 
+            if gcfg.act_order and gcfg.group_size:
+                raise NotImplementedError(
+                    "realize with act_order × group_size: group scales map to "
+                    "permuted row blocks, not contiguous input groups — serve "
+                    "this combo in fake mode (exact) instead")
             store = {}
             for name, site in lp.items():
                 spec = specs.get("llm." + name)
@@ -237,9 +258,13 @@ def gptq_quantize_decoder(
                         and spec.w_bits is not None):
                     s = {k: v for k, v in site.items() if k != "w"}
                     # int8 storage (the serving default; the decode loop
-                    # re-stores W4 as native S4 — see qmm.s4_squeeze_sites)
+                    # re-stores W4 as native S4 — see qmm.s4_squeeze_sites).
+                    # The GPTQ grid is passed through so the codes are the
+                    # exact ones the walk optimized — no re-quantization.
+                    scale, zero = layer_qps.get(name) or (None, None)
                     s.update(quantize_weights_real(site["w"], spec.w_bits,
-                                                   pack=False))
+                                                   pack=False, scale=scale,
+                                                   zero=zero))
                     store[name] = s
                 else:
                     store[name] = site
@@ -262,6 +287,19 @@ def gptq_quantize_decoder(
         site_leaves = [nl.pop(name) for nl in new_layers]
         stacked[name] = jax.tree.map(lambda *xs: stack(xs), *site_leaves)
         del site_leaves
+    # stack per-layer qparams → {site: (scale (L,g,out), zero|None)} so the
+    # post-hoc realize path can recover exact codes (see quantize_site)
+    qps_stacked = {}
+    for name in report["qparams"][0]:
+        entries = [lq.get(name) for lq in report["qparams"]]
+        if entries[0] is None:
+            qps_stacked[name] = None
+            continue
+        sc = jnp.stack([e[0] for e in entries])
+        ze = (None if entries[0][1] is None
+              else jnp.stack([e[1] for e in entries]))
+        qps_stacked[name] = (sc, ze)
+    report["qparams"] = qps_stacked
     out = dict(params)
     out["layers"] = stacked
     return out, report

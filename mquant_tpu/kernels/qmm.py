@@ -29,6 +29,7 @@ Two implementations:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -46,51 +47,143 @@ def _pallas_enabled() -> bool:
     return os.environ.get("MQUANT_DISABLE_PALLAS", "0") != "1"
 
 
-def _act_int8(x: jax.Array, spec, site_state) -> tuple[jax.Array, jax.Array]:
-    """Quantize activation to int8; returns (q: int8, scale broadcastable)."""
+class ActQ:
+    """Quantized activation bundle for the real-int GEMM.
+
+    ``q``        int8 values, shape (..., C)
+    ``scale``    broadcastable against the GEMM output (scalar, or per-token
+                 (..., 1)); for ``groupsize`` acts, shape (..., G) with one
+                 scale per (token, channel-group)
+    ``zp``       optional integer zero point (same broadcast shape as scale,
+                 stored f32): x ≈ scale · (q − zp)
+    ``groupsize``  channel-group width of the scales (None → whole axis)
+    """
+
+    __slots__ = ("q", "scale", "zp", "groupsize")
+
+    def __init__(self, q, scale, zp=None, groupsize=None):
+        self.q = q
+        self.scale = scale
+        self.zp = zp
+        self.groupsize = groupsize
+
+
+def _act_int8(x: jax.Array, spec, site_state, p=None) -> ActQ:
+    """Quantize an activation to int8 per the site spec. Every configuration
+    the fake/calib path supports is realized here (parity target: the
+    reference fake-quants all of these via quant_utils.py:181-268):
+
+      * static per-tensor (sym or asym) scales
+      * static per-CHANNEL scales — only when the scales were folded into the
+        weights at realize time (``a_fold`` marker in the weight storage):
+        the channel scale spans the contracted axis, so the activation is
+        integer-quantized per channel and the magnitude lives in the weights
+      * dynamic per-token / per-tensor (sym or asym)
+      * dynamic per-token-per-group (``a_groupsize``) — grouped scales handled
+        by the group-blocked epilogue in ``quantized_matmul_pre``
+    """
     if spec.a_static and site_state is not None and site_state.get("act") is not None:
         qp = site_state["act"]
         s = jnp.asarray(qp.scale)
+
+        def codes(qp):
+            """int8 codes + epilogue zero point. Static asym state follows the
+            unsigned-code convention (codes/zp in [0, 255], matching the fake
+            path's get_format(bits, signed=False)) — shift both by 128 so
+            storage is int8 and x = s·(q − z) is unchanged."""
+            if qp.zero_point is None:
+                return Q.quantize(x, qp, INT8), None
+            q = jnp.round(x.astype(jnp.float32) / qp.scale) + qp.zero_point
+            q = (jnp.clip(q, 0, 255) - 128.0).astype(jnp.int8)
+            return q, qp.zero_point - 128.0
+
         if s.ndim >= 1 and s.shape and s.shape[-1] == x.shape[-1] and x.shape[-1] > 1:
-            # a per-channel scale over the CONTRACTED axis cannot be applied in
-            # the GEMM dequant epilogue (y = acc·x_scale·w_scale multiplies the
-            # output axis) — it must be folded into the weights instead.
+            if p is not None and "a_fold" in p:
+                # per-channel static scales folded into the weights at realize
+                # time (see realize docstrings): integer codes are per-channel
+                # round(x / s_ch); the dequant magnitude rides w_scale, so the
+                # activation contributes scale 1
+                q, zp = codes(qp)
+                if zp is not None:
+                    raise NotImplementedError(
+                        "per-channel asymmetric static act scales: fold "
+                        "supports symmetric per-channel scales only")
+                return ActQ(q, jnp.ones((), jnp.float32), None)
             raise NotImplementedError(
-                "per-channel static activation scales are not supported by the "
-                "real-int GEMM path; use per-tensor static scales or fold the "
-                "channel scales into the weight matrix")
-        q = Q.quantize(x, qp, INT8)
-        return q, qp.scale
-    if getattr(spec, "a_groupsize", None):
-        # per-token-per-GROUP scales span the contracted axis → same epilogue
-        # problem as per-channel static scales above; the fake/calib path
-        # supports them, the real-int GEMM does not (explicit, not silent)
-        raise NotImplementedError(
-            "a_groupsize is not supported by the real-int GEMM path (group "
-            "scales span the contracted axis); serve with per-token dynamic "
-            "or static per-tensor scales")
-    if not spec.a_symmetric:
-        # an activation zero-point needs a zp·Σw correction term per output
-        # in the dequant epilogue — not implemented; fake/calib modes support
-        # asym activations, real-int serving requires symmetric
-        raise NotImplementedError(
-            "asymmetric activations are not supported by the real-int GEMM "
-            "path (missing zero-point epilogue correction)")
+                "per-channel static activation scales require realize-time "
+                "folding into the weights (realize with the calibrated state "
+                "so the a_fold marker is stored)")
+        q, zp = codes(qp)
+        return ActQ(q, qp.scale, zp)
+    gs = getattr(spec, "a_groupsize", None)
+    if gs:
+        C = x.shape[-1]
+        assert C % gs == 0, (C, gs)
+        xg = x.reshape(*x.shape[:-1], C // gs, gs)
+        qp = Q.dynamic_qparams(xg, INT8, axis=-1, symmetric=spec.a_symmetric,
+                               clip_ratio=spec.a_clip_ratio)
+        q = Q.quantize(xg, qp, INT8).reshape(x.shape)
+        scale = qp.scale[..., 0]  # (..., G)
+        zp = None if qp.zero_point is None else qp.zero_point[..., 0]
+        return ActQ(q, scale, zp, groupsize=gs)
     qp = Q.dynamic_qparams(x, INT8, axis=-1 if spec.a_per_token else None,
+                           symmetric=spec.a_symmetric,
                            clip_ratio=spec.a_clip_ratio)
-    return Q.quantize(x, qp, INT8), qp.scale
+    return ActQ(Q.quantize(x, qp, INT8), qp.scale, qp.zero_point)
 
 
-def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True) -> Dict[str, Any]:
-    """Offline: fp weight (in, out) → real-int storage (per-out-channel sym
-    scales). W4 values are split-half packed (see module docstring)."""
+def quantize_weights_real(w: jax.Array, bits: int, pack: bool = True,
+                          scale: Optional[jax.Array] = None,
+                          zero: Optional[jax.Array] = None) -> Dict[str, Any]:
+    """Offline: fp weight (in, out) → real-int storage.
+
+    With ``scale``/``zero`` given — the EXACT grid the fake-quantized weight
+    already lies on (carried from GPTQ/RTN, shapes (G_or_1, out)) — the codes
+    are recovered losslessly: q = round(w/s) + z. Re-deriving a grid here
+    would be a second lossy quantization (the silent w_asym/w_groupsize
+    degradation flagged in round 2); passing the real qparams avoids it.
+
+    Without qparams, derives a per-out-channel symmetric minmax grid — exact
+    for weights fake-quantized on that same grid (the sym non-grouped
+    default), a fresh quantization for raw fp weights.
+
+    Storage: ``w_scale`` (out,) per-channel sym, or (G, out) grouped;
+    ``w_zp`` (G_or_1, out) integer zero points when asymmetric. W4 sym
+    non-grouped values may be split-half packed (see module docstring);
+    grouped/asym storage is never packed (the group epilogue indexes rows).
+    """
     wf = w.astype(jnp.float32)
-    fmt = Q.get_format(bits, signed=True)
-    amax = jnp.max(jnp.abs(wf), axis=0)  # per-out-channel
-    scale = jnp.maximum(amax / fmt.qmax, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale[None, :]), fmt.qmin, fmt.qmax).astype(jnp.int8)
-    out: Dict[str, Any] = {"w_scale": scale}
-    if bits == 4 and pack:
+    fmt = Q.get_format(bits, signed=zero is None)
+    out: Dict[str, Any] = {}
+    if scale is not None:
+        s = jnp.asarray(scale, jnp.float32)
+        s2 = s if s.ndim == 2 else s.reshape(1, -1)
+        G = s2.shape[0]
+        n = wf.shape[0]
+        srows = jnp.repeat(s2, n // G, axis=0)  # (in, out) per-row scale
+        q = jnp.round(wf / srows)
+        if zero is not None:
+            # asym codes live in [0, 2^b−1] (unsigned) which overflows int8 at
+            # b=8 — shift codes AND zero point by 2^(b−1) so storage is int8
+            # and the epilogue identity w = s·(q − z) is unchanged
+            off = float(2 ** (bits - 1))
+            z2 = jnp.asarray(zero, jnp.float32)
+            z2 = z2 if z2.ndim == 2 else z2.reshape(1, -1)
+            q = q + jnp.repeat(z2, n // G, axis=0)
+            q = jnp.clip(q, fmt.qmin, fmt.qmax) - off
+            out["w_zp"] = z2 - off
+            q = q.astype(jnp.int8)
+        else:
+            q = jnp.clip(q, fmt.qmin, fmt.qmax).astype(jnp.int8)
+        out["w_scale"] = s2[0] if G == 1 and zero is None else s2
+        grouped = G > 1 or zero is not None
+    else:
+        amax = jnp.max(jnp.abs(wf), axis=0)  # per-out-channel
+        s1 = jnp.maximum(amax / fmt.qmax, 1e-8)
+        q = jnp.clip(jnp.round(wf / s1[None, :]), fmt.qmin, fmt.qmax).astype(jnp.int8)
+        out["w_scale"] = s1
+        grouped = False
+    if bits == 4 and pack and not grouped:
         n = q.shape[0]
         assert n % 2 == 0
         lo = q[: n // 2].astype(jnp.uint8) & 0x0F
@@ -162,8 +255,75 @@ def quantized_matmul(
 ) -> jax.Array:
     """y = dequant(int8(x) @ int_w) with fused scales. Bias NOT added here."""
     out_dtype = out_dtype or x.dtype
-    xq, x_scale = _act_int8(x, spec, site_state)
-    return quantized_matmul_pre(xq, x_scale, p, out_dtype)
+    aq = _act_int8(x, spec, site_state, p)
+    return quantized_matmul_pre(aq.q, aq.scale, p, out_dtype,
+                                x_zp=aq.zp, a_groupsize=aq.groupsize)
+
+
+def _grouped_epilogue(xq2, x_scale, x_zp, a_gs, w, ws, wz, out_dtype):
+    """General group-blocked int GEMM + dequant for the configurations the
+    fast path can't fold (grouped weight scales, weight zero points, act
+    zero points, per-token-per-group act scales).
+
+    Math, per output n, over contraction groups g of unified width u:
+      y_n = Σ_g s_x[t,g]·s_w[g,n]·( acc_gn − z_w[g,n]·Σxq_g
+                                    − z_x[t,g]·Σwq_gn + z_x·z_w·u )
+    A ``lax.scan`` over groups keeps compile O(1) in group count and memory
+    O(M·N) f32 for the accumulator (a (G,M,N) batched dot would not fit at
+    prefill sizes). Pays extra accumulator traffic vs the fused fast path —
+    acceptable: these are capability configs, the serving defaults
+    (per-token/tensor sym acts × per-channel sym weights) never come here.
+    """
+    M, K = xq2.shape
+    N = w.shape[1]
+    Gw = ws.shape[0] if ws.ndim == 2 else 1
+    Ga = (K // a_gs) if a_gs else 1
+    # unified group width: both scale tables must be constant within a block
+    G = math.lcm(Gw, Ga)
+    assert K % G == 0, (K, Gw, Ga)
+    u = K // G
+    ws2 = ws if ws.ndim == 2 else ws.reshape(1, N)
+    xs = jnp.asarray(x_scale, jnp.float32)
+    if a_gs:
+        xs2 = xs.reshape(M, Ga)  # per-token-per-group
+    else:
+        xs2 = jnp.broadcast_to(xs.reshape(-1, 1) if xs.ndim else xs.reshape(1, 1),
+                               (M if xs.ndim else 1, 1))
+    xzp = None if x_zp is None else jnp.asarray(x_zp, jnp.float32)
+    if xzp is not None:
+        xzp = (xzp.reshape(M, Ga) if a_gs
+               else jnp.broadcast_to(xzp.reshape(-1, 1) if xzp.ndim else
+                                     xzp.reshape(1, 1), (M if xzp.ndim else 1, 1)))
+
+    xg = xq2.reshape(M, G, u).transpose(1, 0, 2)  # (G, M, u)
+    wg = w.reshape(G, u, N)
+
+    def body(acc, inp):
+        (xb, wb, g) = inp
+        a = jax.lax.dot_general(xb, wb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32)  # (M, N)
+        swg = ws2[g * Gw // G]  # (N,) weight scale row for this block
+        corr = a
+        if wz is not None:
+            zw = wz[g * Gw // G]  # (N,)
+            xsum = jnp.sum(xb.astype(jnp.int32), axis=1,
+                           dtype=jnp.int32).astype(jnp.float32)  # (M,)
+            corr = corr - xsum[:, None] * zw[None, :]
+        if xzp is not None:
+            wsum = jnp.sum(wb.astype(jnp.int32), axis=0,
+                           dtype=jnp.int32).astype(jnp.float32)  # (N,)
+            zx = xzp[:, (g * Ga // G) if a_gs else 0]  # (M,) or (1,)
+            corr = corr - zx[:, None] * wsum[None, :]
+            if wz is not None:
+                corr = corr + (zx[:, None] * wz[g * Gw // G][None, :]) * u
+        sx = xs2[:, (g * Ga // G) if a_gs else 0]  # (M,) or (1,)
+        return acc + corr * sx[:, None] * swg[None, :], None
+
+    acc0 = jnp.zeros((M, N), jnp.float32)
+    gids = jnp.arange(G)
+    acc, _ = jax.lax.scan(body, acc0, (xg, wg, gids))
+    return acc.astype(out_dtype)
 
 
 def quantized_matmul_pre(
@@ -171,6 +331,8 @@ def quantized_matmul_pre(
     x_scale: jax.Array,
     p: Dict[str, Any],
     out_dtype,
+    x_zp: Optional[jax.Array] = None,
+    a_groupsize: Optional[int] = None,
 ) -> jax.Array:
     """GEMM + dequant for an ALREADY int8-quantized activation.
 
@@ -179,6 +341,18 @@ def quantized_matmul_pre(
     scales the per-site quantizers see the identical tensor and produce the
     identical int8 activation, so sharing is mathematically exact and saves
     two full activation passes per site group."""
+    ws = p["w_scale"]
+    if (ws.ndim == 2 or p.get("w_zp") is not None or x_zp is not None
+            or a_groupsize is not None):
+        lead = xq.shape[:-1]
+        K = xq.shape[-1]
+        w = (unpack_int4_weights(p) if p["w_q"].shape[-2] * 2 == K
+             else p["w_q"])
+        y = _grouped_epilogue(
+            xq.reshape(-1, K), x_scale, x_zp, a_groupsize,
+            w, ws, p.get("w_zp"), out_dtype)
+        return y.reshape(*lead, y.shape[-1])
+
     # packedness inferred from static shapes: packed int4 stores in/2 rows
     packed = p["w_q"].shape[-2] * 2 == xq.shape[-1]
     # Measured on v5e: the XLA path (materialized unpack + native s8 MXU dot)
@@ -200,15 +374,13 @@ def quantized_matmul_pre(
         # Default: bf16 MXU dot with the int8→bf16 weight convert fused into
         # the operand read (measured fastest full-model decode: 81 tok/s vs
         # 59 pallas-GEMV vs 26 s8-dot at 7B dims). Both operands are exact
-        # ≤8-bit grids and the MXU accumulates in f32, so products are exact;
-        # accumulation is bit-identical to s8×s8→s32 only while running
-        # partial sums stay below 2^24 (f32 mantissa). Worst-case bound
-        # K·127·127 crosses 2^24 at K≈1040, so for large-K layers (down_proj
-        # K≈19k) correlated extremes could round low-order bits — in practice
-        # orders of magnitude below the int8 quantization noise floor, but NOT
-        # a formal exactness guarantee. MQUANT_GEMV=pallas selects the
-        # explicit VMEM-convert kernel; use the tokens>32 s8→s32 path when
-        # integer-exact accumulation is required.
+        # ≤8-bit grids, so products are exact. Accumulation: MEASURED
+        # bit-exact vs the s8→s32 path on the v5e MXU even on adversarial
+        # all-max same-sign inputs at down_proj K=18944 (partial sums reach
+        # 3.05e8 ≫ 2^24; drift 0.0 — the MXU accumulator carries more than
+        # f32's 24-bit mantissa through the pass). CPU emulation of the same
+        # dot DOES drift adversarially (~1.8e4 int units ≈ 5.9e-5 relative),
+        # which tests/test_kernels.py::TestGemvAccumulation pins per backend.
         if (_pallas_enabled() and os.environ.get("MQUANT_GEMV", "xla") == "pallas"
                 and jax.default_backend() in ("tpu", "axon")
                 and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0):

@@ -240,10 +240,11 @@ def qlinear_group(
     from ..kernels.qmm import _act_int8, quantized_matmul_pre
 
     site_state = None if state is None else state.get(names[0])
-    xq, x_scale = _act_int8(x, s0, site_state)
+    aq = _act_int8(x, s0, site_state, ps[0])
     outs = []
     for p, n in zip(ps, names):
-        y = quantized_matmul_pre(xq, x_scale, p, x.dtype)
+        y = quantized_matmul_pre(aq.q, aq.scale, p, x.dtype,
+                                 x_zp=aq.zp, a_groupsize=aq.groupsize)
         if p.get("b") is not None:
             y = y + p["b"].astype(y.dtype)
         outs.append(y)

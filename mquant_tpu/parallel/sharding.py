@@ -84,6 +84,44 @@ _MERGER_PARAM_SPECS = {
     "mlp2": {"w": P("tp", None), "b": P(None)},
 }
 
+# Qwen-VL attn-pool / MiniCPM-V resampler (cross-attention): kv_proj/q/k/v
+# column-split (heads across devices), out/proj_fc row-split (psum restores
+# the full feature dim), learned query/pos tables replicated. Replaces the
+# reference's accelerate whole-module placement (SURVEY §2.7).
+_RES_PARAM_SPECS = {
+    "query": {"w": P(None, None)},
+    "pos_embed_kv": {"w": P(None, None)},
+    "kv_proj": {"w": P(None, "tp"), "b": P("tp")},
+    "q": {"w": P(None, "tp"), "b": P("tp")},
+    "k": {"w": P(None, "tp"), "b": P("tp")},
+    "v": {"w": P(None, "tp"), "b": P("tp")},
+    "out": {"w": P("tp", None), "b": P(None)},
+    "proj_fc": {"w": P("tp", None), "b": P(None)},
+    "ln_q": {"w": P(None), "b": P(None)},
+    "ln_kv": {"w": P(None), "b": P(None)},
+    "ln_post": {"w": P(None), "b": P(None)},
+}
+
+# InternVL mlp1: Megatron col→row pair
+_PROJ_MLP1_PARAM_SPECS = {
+    "ln": {"w": P(None), "b": P(None)},
+    "fc1": {"w": P(None, "tp"), "b": P("tp")},
+    "fc2": {"w": P("tp", None), "b": P(None)},
+}
+
+# GLM-4V GLU projector: conv col-split → linear_proj row-split, SwiGLU
+# gate/h_to_4h col-split → 4h_to_h row-split; norms + boi/eoi replicated
+_PROJ_GLU_PARAM_SPECS = {
+    "conv": {"w": P(None, "tp"), "b": P("tp")},
+    "linear_proj": {"w": P("tp", None), "b": P(None)},
+    "norm1": {"w": P(None), "b": P(None)},
+    "gate": {"w": P(None, "tp"), "b": P("tp")},
+    "h_to_4h": {"w": P(None, "tp"), "b": P("tp")},
+    "4h_to_h": {"w": P("tp", None), "b": P(None)},
+    "boi": {"w": P(None, None)},
+    "eoi": {"w": P(None, None)},
+}
+
 
 def _spec_tree_for(params: Dict, spec_map: Dict) -> Dict:
     """Match the spec map against the actual params structure (missing entries →
@@ -99,12 +137,17 @@ def _spec_tree_for(params: Dict, spec_map: Dict) -> Dict:
                 if "w" in m and isinstance(m.get("w"), P):
                     wspec = m["w"]
                     sub.setdefault("w_q", wspec)
-                    # per-out-channel scale (..., out): drop the `in` axis of
-                    # the weight spec, keep leading (layer) axes + out axis
-                    if len(wspec) >= 2:
-                        sub.setdefault("w_scale", P(*wspec[:-2], wspec[-1]))
-                    else:
-                        sub.setdefault("w_scale", P())
+                    # dequant-epilogue tables carry the OUT axis last and any
+                    # (layer, group) axes before it: shard out like the weight
+                    # spec's last axis, replicate the rest. Shapes vary
+                    # ((L?,)(G?,) out) so size the spec from the actual array.
+                    outax = wspec[-1] if len(wspec) >= 2 else None
+                    for aux in ("w_scale", "w_zp"):
+                        if aux in v and aux not in sub and v[aux] is not None:
+                            nd = getattr(v[aux], "ndim", 0)
+                            sub[aux] = P(*([None] * (nd - 1)), outax) if nd else P()
+                    if "a_fold" in v:
+                        sub.setdefault("a_fold", P())
                 out[k] = _spec_tree_for(v, sub)
             else:
                 out[k] = _spec_tree_for(v, {})
@@ -118,7 +161,9 @@ def decoder_param_specs(params: Dict) -> Dict:
 
 
 def vlm_param_specs(params: Dict) -> Dict:
-    """Spec tree for the full {llm, vit, merger} params pytree."""
+    """Spec tree for the full VLM params pytree — every subsystem of every
+    family: llm, vit, merger (qwen2vl), res (qwenvl/minicpmv resampler),
+    proj (internvl mlp1 / glm4v GLU, distinguished by their keys)."""
     out = {}
     if "llm" in params:
         out["llm"] = _spec_tree_for(params["llm"], _DECODER_PARAM_SPECS)
@@ -126,6 +171,12 @@ def vlm_param_specs(params: Dict) -> Dict:
         out["vit"] = _spec_tree_for(params["vit"], _VIT_PARAM_SPECS)
     if "merger" in params:
         out["merger"] = _spec_tree_for(params["merger"], _MERGER_PARAM_SPECS)
+    if "res" in params:
+        out["res"] = _spec_tree_for(params["res"], _RES_PARAM_SPECS)
+    if "proj" in params:
+        pmap = (_PROJ_GLU_PARAM_SPECS if "linear_proj" in params["proj"]
+                else _PROJ_MLP1_PARAM_SPECS)
+        out["proj"] = _spec_tree_for(params["proj"], pmap)
     return out
 
 

@@ -203,7 +203,9 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
                           group_size=q.w_groupsize, mse_clip=q.w_clip,
                           sym=not q.w_asym)
         vrep = {"fallbacks": [], "sites": 0}
-        batches = [b for b in calib_batches if b.get("patches") is not None]
+        batches = _bound_nsamples(
+            [b for b in calib_batches if b.get("patches") is not None],
+            q.nsamples)
 
         # 1. patch embed (the reference's conv GPTQ,
         #    ref: qwenvl_gptq_plus.py:65-138)
@@ -295,18 +297,23 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
         params = set_in(params, list(path), new_site)
 
     # LLM: GPTQ (needs decoder-input embeds) or RTN
+    wqps = None  # exact per-site weight grids for lossless realization
     llm_spec_bits = specs.get("llm.q", SiteSpec()).w_bits
     if llm_spec_bits is not None:
         if q.llm_w_rtn or calib_batches is None:
             from .transform.recipes import rtn_quantize_decoder
 
-            params["llm"] = rtn_quantize_decoder(cfg.llm, params["llm"], specs,
-                                                 mse_clip=q.w_clip,
-                                                 symmetric=not q.w_asym)
+            params["llm"], wqps = rtn_quantize_decoder(
+                cfg.llm, params["llm"], specs, mse_clip=q.w_clip,
+                symmetric=not q.w_asym, return_qparams=True)
         else:
             from .gptq.driver import GPTQConfig, gptq_quantize_decoder
 
-            embeds = [embed_batch(fam, cfg, params, b) for b in calib_batches]
+            # --nsamples bounds the GPTQ Hessian data independently of
+            # --calib_num (activation calibration) — the reference's two-knob
+            # contract (ref: exam/quant_qwenvl.py argparse, docs/qwenvl.md)
+            gptq_batches = _bound_nsamples(calib_batches, q.nsamples)
+            embeds = [embed_batch(fam, cfg, params, b) for b in gptq_batches]
             gcfg = GPTQConfig(percdamp=q.percdamp, act_order=q.act_order,
                               group_size=q.w_groupsize, mse_clip=q.w_clip,
                               sym=not q.w_asym)
@@ -314,7 +321,33 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
                 cfg.llm, params["llm"], embeds, specs, gcfg=gcfg)
             if report["fallbacks"]:
                 log.warning(f"GPTQ RTN-fallbacks: {report['fallbacks']}")
-    return params
+            if not (q.act_order and q.w_groupsize):
+                wqps = report["qparams"]
+    return params, wqps
+
+
+def _bound_nsamples(batches: List[dict], nsamples: int) -> List[dict]:
+    """Cap the total number of calibration ROWS fed to GPTQ at ``nsamples``
+    (whole batches plus one row-sliced remainder batch)."""
+    if not nsamples or nsamples <= 0:
+        return batches
+    out, seen = [], 0
+    for b in batches:
+        rows = b["tokens"].shape[0]
+        if seen + rows <= nsamples:
+            out.append(b)
+            seen += rows
+        else:
+            take = nsamples - seen
+            if take > 0:
+                out.append({k: (v[:take] if hasattr(v, "shape") and
+                                getattr(v, "ndim", 0) >= 1 and
+                                v.shape[0] == rows else v)
+                            for k, v in b.items()})
+                seen += take
+        if seen >= nsamples:
+            break
+    return out
 
 
 def embed_batch(fam: ModelFamily, cfg, params: Dict, batch: dict) -> jax.Array:
@@ -472,7 +505,7 @@ def run_pipeline(model: str, q: QuantizeConfig,
         calib_batches = synthetic_calib_batches(
             fam, cfg, max(1, q.calib_num // 16), jax.random.fold_in(key, 2))
 
-    params = quantize_weights(fam, cfg, params, specs, q, calib_batches)
+    params, wqps = quantize_weights(fam, cfg, params, specs, q, calib_batches)
     log.info("weight quantization done")
 
     state = None
@@ -485,7 +518,10 @@ def run_pipeline(model: str, q: QuantizeConfig,
         from .transform.recipes import realize_decoder_weights
 
         params = dict(params)
-        params["llm"] = realize_decoder_weights(params["llm"], specs)
+        # exact grids (wqps) make realization lossless for asym/grouped
+        # weights; state enables per-channel static act-scale folding
+        params["llm"] = realize_decoder_weights(params["llm"], specs,
+                                                qps=wqps, state=state)
         log.info("realized int weights for the LLM serving path")
 
     if artifact_dir:

@@ -96,12 +96,14 @@ class Generator:
             self._prefill_cache[key] = step
         return self._prefill_cache[key]
 
-    def _decode_n(self, n_tokens: int):
-        """On-device greedy decode of n_tokens in ONE jit (lax.fori_loop over
-        steps, KV cache as loop carry) — no per-token host round trips. This is
-        the TPU-native serving loop; the per-step python loop remains for
-        eos-early-exit interactive use."""
-        key = ("decode_n", n_tokens, self._ntk_alpha)
+    def _decode_n(self, n_tokens: int, eos_id: Optional[int] = None):
+        """On-device greedy decode of n_tokens in ONE jit — no per-token host
+        round trips. This is the TPU-native serving loop. With ``eos_id`` the
+        loop is a ``lax.while_loop`` carrying a per-row done mask: finished
+        rows freeze to eos, and the loop exits as soon as EVERY row has
+        terminated — an eos-terminated batch stops paying per-step cost at
+        the last real token instead of running to max_new_tokens."""
+        key = ("decode_n", n_tokens, self._ntk_alpha, eos_id)
         if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             alpha = self._ntk_alpha
@@ -126,31 +128,59 @@ class Generator:
                     params["layers"] = s4_squeeze_sites(
                         params["layers"], specs, in_dims)
                 B = first_tok.shape[0]
-                toks0 = jnp.zeros((B, n_tokens), jnp.int32)
+                toks0 = jnp.full((B, n_tokens),
+                                 eos_id if eos_id is not None else 0, jnp.int32)
 
-                def body(i, carry):
-                    tok, cache, out = carry
+                def step(i, tok, cache, out, done):
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state, mode=mode,
                         cache=cache, ntk_alpha=alpha)
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-                    return nxt[:, None], cache2, out
+                    if eos_id is not None:
+                        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+                        done = done | (nxt == eos_id)
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None],
+                                       (jnp.int32(0), jnp.asarray(i, jnp.int32)))
+                    return nxt[:, None], cache2, out, done
 
-                _, cache, out = jax.lax.fori_loop(
-                    0, n_tokens, body, (first_tok, cache, toks0))
+                done0 = (jnp.zeros((B,), jnp.bool_) if eos_id is None
+                         else first_tok[:, 0] == eos_id)
+                if eos_id is None:
+                    def body(i, carry):
+                        tok, cache, out, done = carry
+                        return step(i, tok, cache, out, done)
+
+                    _, cache, out, _ = jax.lax.fori_loop(
+                        0, n_tokens, body, (first_tok, cache, toks0, done0))
+                else:
+                    def cond(carry):
+                        i, _, _, _, done = carry
+                        return (i < n_tokens) & ~jnp.all(done)
+
+                    def body(carry):
+                        i, tok, cache, out, done = carry
+                        tok, cache, out, done = step(i, tok, cache, out, done)
+                        return i + 1, tok, cache, out, done
+
+                    _, _, cache, out, _ = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), first_tok, cache, toks0,
+                                     done0))
                 return out, cache
 
             self._prefill_cache[key] = decode_n
         return self._prefill_cache[key]
 
     def generate_on_device(self, tokens: jax.Array, max_new_tokens: int = 32,
-                           positions=None) -> jax.Array:
-        """Greedy generation with the WHOLE decode loop on device."""
+                           positions=None,
+                           eos_id: Optional[int] = None) -> jax.Array:
+        """Greedy generation with the WHOLE decode loop on device. With
+        ``eos_id``, rows past their eos are frozen to eos (trim host-side);
+        the on-device loop exits early once all rows are done."""
         self.ensure_capacity(tokens.shape[1] + max_new_tokens)
         last_logits, cache = self.prefill(tokens, positions=positions)
         first = jnp.argmax(last_logits, axis=-1)[:, None].astype(jnp.int32)
-        out, _ = self._decode_n(max_new_tokens - 1)(self.params, first, cache)
+        out, _ = self._decode_n(max_new_tokens - 1, eos_id)(
+            self.params, first, cache)
         return jnp.concatenate([first, out], axis=1)
 
     # -- public API ---------------------------------------------------------
@@ -211,20 +241,24 @@ class Generator:
         return logits[:, 0], cache
 
     def prefill_chunked(self, tokens_or_embeds: jax.Array, chunk: int = 2048,
-                        decode_reserve: int = 128) -> Tuple[jax.Array, Dict]:
+                        max_new_tokens: int = 128) -> Tuple[jax.Array, Dict]:
         """Prefill a long prompt in fixed-size chunks: each chunk attends to
         the KV cache written so far plus itself (the auto causal-with-offset
         mask), bounding peak attention memory at O(chunk·T) instead of O(T²)
         and reusing one compiled step for arbitrarily long prompts. Each
         chunk computes logits only for its last token (last_index), so the
         T×vocab lm_head GEMM never runs over interior positions. Returns
-        (last-token logits, cache) like :meth:`prefill`. ``decode_reserve``
-        rows of cache headroom are kept for the decode that follows (a write
-        at pos==max_len would be silently clamped onto the last prompt row)."""
+        (last-token logits, cache) like :meth:`prefill`.
+
+        Pass the decode budget you actually plan as ``max_new_tokens``: the
+        returned cache is allocated at its final size, so a decode LONGER
+        than this reserve would silently clamp KV writes onto the last cache
+        row (``ensure_capacity`` after the fact cannot grow an allocated
+        cache)."""
         from ..models.llm import ntk_alpha_for
 
         B, T = tokens_or_embeds.shape[:2]
-        self.ensure_capacity(T + decode_reserve)
+        self.ensure_capacity(T + max_new_tokens)
         self._ntk_alpha = ntk_alpha_for(self.cfg, T)
         alpha = self._ntk_alpha
         key = ("chunk", chunk, alpha)
@@ -252,13 +286,21 @@ class Generator:
         return logits[:, -1], cache
 
     def generate_batch(self, seqs, max_new_tokens: int = 32,
-                       eos_id: Optional[int] = None):
+                       eos_id: Optional[int] = None, positions=None):
         """Ragged batched greedy generation: DIFFERENT-length prompts served
         in one batch. Prompts are LEFT-padded to a shared bucket; pad columns
         are masked out of attention for both prefill and decode, and RoPE is
         relative, so each row's uniform position shift cancels in the
         attention logits — every sequence decodes exactly as it would alone.
         Returns a list of per-sequence generated token lists (eos-trimmed).
+
+        ``positions``: optional per-row position ids — (T_i,) or M-RoPE
+        (3, T_i) / (3, 1, T_i) arrays. Left-padding shifts each row's
+        positions uniformly, and M-RoPE is relative per plane, so the same
+        masking argument holds: each row's 3-plane ids are shifted by its
+        start column, the left pad is edge-filled (masked out of attention
+        anyway), and decode continues at that row's max(position)+1 via a
+        per-row rope_delta (HF get_rope_index parity).
 
         Caveat (Qwen-VL dynamic NTK only): the batch shares ONE alpha derived
         from the longest prompt, so a short row batched with a much longer
@@ -277,6 +319,25 @@ class Generator:
         Tb = bucket_len(Lmax)
         self.ensure_capacity(Tb + max_new_tokens)
         starts = np.asarray([Tb - n for n in lens], np.int32)
+
+        pos_b = None
+        rope_delta = None
+        if positions is not None:
+            pos_b = np.zeros((3, B, Tb), np.int64)
+            rope_delta = np.zeros((B,), np.int32)
+            for i, p in enumerate(positions):
+                if p is None:
+                    p = np.broadcast_to(np.arange(lens[i])[None],
+                                        (3, lens[i]))
+                p = np.asarray(p)
+                if p.ndim == 1:
+                    p = np.broadcast_to(p[None], (3, p.shape[-1]))
+                elif p.ndim == 3:
+                    p = p[:, 0]  # (3, 1, T) → (3, T)
+                s = int(starts[i])
+                pos_b[:, i, s:] = p + s
+                pos_b[:, i, :s] = p[:, :1] + s  # edge fill (masked columns)
+                rope_delta[i] = int(p.max()) + 1 + s - Tb
         if embeds_mode:
             Hd = seqs[0].shape[-1]
             toks = np.zeros((B, Tb, Hd), np.float32)
@@ -294,18 +355,25 @@ class Generator:
         self._ntk_alpha = ntk_alpha_for(self.cfg, Lmax)
         alpha = self._ntk_alpha
 
-        key = ("ragged", Tb, alpha)
+        key = ("ragged", Tb, alpha, pos_b is not None)
         if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            with_pos = pos_b is not None
 
             @jax.jit
-            def prefill_ragged(params, toks, cache, attn_mask):
+            def prefill_ragged(params, toks, cache, attn_mask, pos=None,
+                               rope_delta=None):
                 T = toks.shape[1]
                 logits, cache2, _ = decoder_forward(
                     cfg, params, toks, specs=specs, state=state, mode=mode,
                     cache=cache, prefill_fresh=True, attn_mask=attn_mask,
-                    ntk_alpha=alpha,
+                    ntk_alpha=alpha, positions=pos,
                     last_index=jnp.asarray(T - 1, jnp.int32))
+                if with_pos:
+                    # per-row M-RoPE continuation: decode resumes at this
+                    # row's max(position)+1, not at the shared column count
+                    cache2 = dict(cache2)
+                    cache2["rope_delta"] = rope_delta
                 return logits, cache2  # pos advanced by T (rows are aligned)
 
             @jax.jit
@@ -324,17 +392,17 @@ class Generator:
             self._prefill_cache[key] = (prefill_ragged, step_ragged)
         prefill_ragged, step_ragged = self._prefill_cache[key]
 
-        nkey = ("decode_n_ragged", max_new_tokens - 1, alpha)
+        nkey = ("decode_n_ragged", max_new_tokens - 1, alpha, eos_id)
         if nkey not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
 
             @jax.jit
             def decode_n_ragged(params, first_tok, cache, starts):
                 nB = first_tok.shape[0]
-                toks0 = jnp.zeros((nB, max_new_tokens - 1), jnp.int32)
+                toks0 = jnp.full((nB, max_new_tokens - 1),
+                                 eos_id if eos_id is not None else 0, jnp.int32)
 
-                def body(i, carry):
-                    tok, cache, out = carry
+                def step(i, tok, cache, out, done):
                     S = cache["k"].shape[2]
                     cols = jnp.arange(S)
                     m = ((cols[None, :] <= cache["pos"])
@@ -344,11 +412,38 @@ class Generator:
                         cache=cache, attn_mask=m[:, None, None, :],
                         ntk_alpha=alpha)
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-                    return nxt[:, None], cache2, out
+                    if eos_id is not None:
+                        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+                        done = done | (nxt == eos_id)
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None],
+                                       (jnp.int32(0), jnp.asarray(i, jnp.int32)))
+                    return nxt[:, None], cache2, out, done
 
-                _, cache, out = jax.lax.fori_loop(
-                    0, max_new_tokens - 1, body, (first_tok, cache, toks0))
+                done0 = (jnp.zeros((nB,), jnp.bool_) if eos_id is None
+                         else first_tok[:, 0] == eos_id)
+                if eos_id is None:
+                    def body(i, carry):
+                        tok, cache, out, done = carry
+                        return step(i, tok, cache, out, done)
+
+                    _, cache, out, _ = jax.lax.fori_loop(
+                        0, max_new_tokens - 1, body,
+                        (first_tok, cache, toks0, done0))
+                else:
+                    # eos early-exit: per-row done mask freezes finished rows;
+                    # the whole batch stops once every row has terminated
+                    def cond(carry):
+                        i, _, _, _, done = carry
+                        return (i < max_new_tokens - 1) & ~jnp.all(done)
+
+                    def body(carry):
+                        i, tok, cache, out, done = carry
+                        tok, cache, out, done = step(i, tok, cache, out, done)
+                        return i + 1, tok, cache, out, done
+
+                    _, _, cache, out, _ = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), first_tok, cache, toks0,
+                                     done0))
                 return out
 
             self._prefill_cache[nkey] = decode_n_ragged
@@ -356,23 +451,23 @@ class Generator:
 
         cache = init_cache(self.cfg, B, self.max_len, quantized=self.kv_quant)
         starts_d = jnp.asarray(starts)
-        logits, cache = prefill_ragged(self.params, jnp.asarray(toks), cache,
-                                       jnp.asarray(pre_mask[:, None]))
+        if pos_b is not None:
+            logits, cache = prefill_ragged(
+                self.params, jnp.asarray(toks), cache,
+                jnp.asarray(pre_mask[:, None]), jnp.asarray(pos_b),
+                jnp.asarray(rope_delta))
+        else:
+            logits, cache = prefill_ragged(self.params, jnp.asarray(toks),
+                                           cache,
+                                           jnp.asarray(pre_mask[:, None]))
         tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
         outs = [[int(t)] for t in np.asarray(tok[:, 0])]
-        if eos_id is None and max_new_tokens > 1:
-            # production path: the whole decode loop fused on device
+        if max_new_tokens > 1:
+            # production path: the whole decode loop fused on device (with or
+            # without eos — the fused loop handles early exit itself)
             rest = np.asarray(decode_n_ragged(self.params, tok, cache, starts_d))
             for i in range(B):
                 outs[i] += [int(t) for t in rest[i]]
-            return outs
-        for _ in range(max_new_tokens - 1):
-            logits, cache = step_ragged(self.params, tok, cache, starts_d)
-            tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
-            for i, t in enumerate(np.asarray(tok[:, 0])):
-                outs[i].append(int(t))
-            if eos_id is not None and all(eos_id in o for o in outs):
-                break
         if eos_id is not None:
             outs = [o[:o.index(eos_id)] if eos_id in o else o for o in outs]
         return outs

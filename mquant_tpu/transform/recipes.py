@@ -176,43 +176,79 @@ def rtn_quantize_decoder(
     specs: Dict,
     mse_clip: bool = False,
     symmetric: bool = True,
-) -> Dict:
+    return_qparams: bool = False,
+):
     """Offline RTN weight fake-quantization of every spec'd decoder site.
 
-    Per-layer, per-out-channel symmetric scales (stacked weights (L, in, out)
-    reduce over the input axis only). The RMS-split fp column ``w_col0`` is left
+    Per-layer, per-out-channel scales (stacked weights (L, in, out) reduce
+    over the input axis only). The RMS-split fp column ``w_col0`` is left
     untouched (ref: gptq drivers target ``down_proj.L2`` and leave L1 in fp,
     ref: fake_quant/gptq/qwenvl_gptq_plus.py:542-545).
+
+    ``return_qparams=True`` → (params, {site: (scale (L,1,out), zero|None)}),
+    the exact grids for lossless realization (see realize_decoder_weights).
     """
     from ..core import quant as Q
+    from ..core.formats import get_format
     from ..models.llm import LLM_SITES
 
     p = dict(params)
     lay = dict(p["layers"])
+    qps: Dict = {}
+
+    def fq(w, bits, reduce_axes):
+        fmt = get_format(bits, signed=symmetric)
+        qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=symmetric,
+                              mse_clip=mse_clip, reduce_axes=reduce_axes)
+        return Q.fake_quantize(w, qp, fmt), qp
+
     for s in LLM_SITES:
         spec = specs.get("llm." + s)
         if spec is None or spec.w_bits is None:
             continue
         site = dict(lay[s])
-        site["w"] = Q.rtn_fake_quant_weight(
-            site["w"], spec.w_bits, mse_clip=mse_clip, symmetric=symmetric,
-            reduce_axes=(-2,))
+        site["w"], qp = fq(site["w"], spec.w_bits, (-2,))
         lay[s] = site
+        L_, _, out = site["w"].shape
+        qps[s] = (qp.scale.reshape(L_, 1, out),
+                  None if qp.zero_point is None
+                  else qp.zero_point.reshape(L_, 1, out))
     p["layers"] = lay
     head_spec = specs.get("llm.lm_head")
     if head_spec is not None and head_spec.w_bits is not None and "lm_head" in p:
         head = dict(p["lm_head"])
-        head["w"] = Q.rtn_fake_quant_weight(
-            head["w"], head_spec.w_bits, mse_clip=mse_clip, symmetric=symmetric)
+        head["w"], qp = fq(head["w"], head_spec.w_bits, None)
         p["lm_head"] = head
-    return p
+        out = head["w"].shape[-1]
+        qps["lm_head"] = (qp.scale.reshape(1, out),
+                          None if qp.zero_point is None
+                          else qp.zero_point.reshape(1, out))
+    return (p, qps) if return_qparams else p
 
 
 def realize_decoder_weights(params: Dict, specs: Dict,
-                            pack_int4: bool = False) -> Dict:
-    """Convert spec'd sites to real-int storage (w_q/w_scale) for the serving
-    path — the capability the reference's fake-quant stack never ships
+                            pack_int4: bool = False,
+                            qps: Optional[Dict] = None,
+                            state: Optional[Dict] = None) -> Dict:
+    """Convert spec'd sites to real-int storage (w_q/w_scale[/w_zp]) for the
+    serving path — the capability the reference's fake-quant stack never ships
     (ref: SURVEY §3.4). Stacked layers are converted with vmap.
+
+    ``qps``: {site: (scale (L,G,out), zero (L,G,out)|None)} — the EXACT grids
+    the fake-quantized weights lie on (from GPTQ's report["qparams"] or
+    ``rtn_quantize_decoder(return_qparams=True)``). With them the integer
+    codes are recovered losslessly, including asym (--w_asym) and grouped
+    (--w_groupsize) grids; without them a per-out-channel symmetric minmax
+    grid is re-derived (exact only for weights fake-quantized on that same
+    default grid).
+
+    ``state``: calibrated activation state. Sites whose static act scales are
+    per-CHANNEL get those scales FOLDED into the weights here (the channel
+    scale spans the contracted axis, so it cannot ride the GEMM epilogue);
+    the site stores an ``a_fold`` marker and the runtime quantizes the
+    activation per-channel with unit dequant scale. Folding re-quantizes the
+    folded weight (a second, small quantization — logged); exact qparams for
+    the site are superseded by the folded grid.
 
     ``pack_int4=False`` (default) stores W4-GRID values in int8 — v5e's MXU has
     no native int4 operand, so int8 storage gives W4 accuracy at full native
@@ -229,12 +265,54 @@ def realize_decoder_weights(params: Dict, specs: Dict,
             continue
         site = dict(lay[s])
         bits = spec.w_bits
-        qd = jax.vmap(lambda w: quantize_weights_real(w, bits, pack=pack_int4))(
-            site["w"])
+        w = site["w"]
+        sqp = (qps or {}).get(s)
+        fold_qp = None
+        if (state is not None and spec.a_bits is not None and spec.a_static):
+            aqp = (state.get("llm." + s) or {}).get("act")
+            if aqp is not None:
+                sc = jnp.asarray(aqp.scale)
+                if sc.ndim >= 1 and sc.shape and sc.shape[-1] == w.shape[-2]:
+                    # stacked per-layer per-channel scales (L, in)
+                    fold_qp = sc.reshape(w.shape[0], w.shape[-2])
+        if fold_qp is not None:
+            import logging
+
+            logging.getLogger("mquant").info(
+                f"llm.{s}: folding per-channel static act scales into the "
+                "weight (second weight quantization on the folded grid)")
+            w = w * fold_qp[:, :, None].astype(w.dtype)
+            sqp = None  # original grid no longer applies to the folded weight
+        if sqp is not None:
+            scale, zero = sqp
+            qd = jax.vmap(
+                lambda wl, sl, zl: quantize_weights_real(
+                    wl, bits, pack=pack_int4, scale=sl, zero=zl)
+            )(w, scale, zero) if zero is not None else jax.vmap(
+                lambda wl, sl: quantize_weights_real(
+                    wl, bits, pack=pack_int4, scale=sl))(w, scale)
+        else:
+            qd = jax.vmap(lambda wl: quantize_weights_real(
+                wl, bits, pack=pack_int4))(w)
         site.pop("w")
-        site.update({"w_q": qd["w_q"], "w_scale": qd["w_scale"]})
+        site.update(qd)
+        if fold_qp is not None:
+            # marker leaf; leading (L,) axis so the decoder's layer-scan can
+            # slice it like every other stacked site leaf
+            site["a_fold"] = jnp.ones((w.shape[0],), jnp.float32)
         lay[s] = site
     p["layers"] = lay
+    head_qp = (qps or {}).get("lm_head")
+    head_spec = specs.get("llm.lm_head")
+    if (head_spec is not None and head_spec.w_bits is not None
+            and "lm_head" in p and "w" in p["lm_head"]):
+        head = dict(p["lm_head"])
+        if head_qp is not None:
+            head.update(quantize_weights_real(
+                head["w"], head_spec.w_bits, pack=False,
+                scale=head_qp[0], zero=head_qp[1]))
+            head.pop("w")
+            p["lm_head"] = head
     return p
 
 

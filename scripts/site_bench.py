@@ -69,7 +69,7 @@ if __name__ == "__main__":
     for tm, tn, tk in ((512, 512, 512), (256, 1024, 512), (256, 512, 896),
                        (512, 1024, 896), (128, 2048, 448)):
         def step(p, x, tm=tm, tn=tn, tk=tk):
-            xq, xsc = KQ._act_int8(x, spec4, st)
+            _aq = KQ._act_int8(x, spec4, st); xq, xsc = _aq.q, _aq.scale
             return KQ._qmm_pallas_w4(xq, xsc, p, jnp.bfloat16, tm=tm, tn=tn, tk=tk)
 
         bench(f"w4a8 pallas t=({tm},{tn},{tk})", step, p4)

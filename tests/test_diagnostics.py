@@ -47,7 +47,7 @@ def test_error_attribution():
     from mquant_tpu.pipeline import quantize_weights
 
     q = QuantizeConfig(rotate=False, llm_w_rtn=True, llm_w_bits=3)
-    pq = quantize_weights(fam, cfg, params, specs, q, None)
+    pq, _ = quantize_weights(fam, cfg, params, specs, q, None)
     rep = D.quant_error_report(fam, cfg, params, pq, batch, specs)
     assert set(rep) == {"visual_only", "llm_only", "all"}
     assert rep["all"] >= rep["llm_only"] - 1e-6

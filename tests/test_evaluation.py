@@ -381,3 +381,29 @@ class TestBatchedRunner:
         batched = r.generate_batch(prompts)
         serial = [r.generate(p) for p in prompts]
         assert batched == serial, (batched, serial)
+
+    def test_qwen2vl_mrope_batch_matches_serial(self):
+        """The flagship family serves image prompts through the SAME ragged
+        batch path: per-row (3, T) M-RoPE ids, left-pad = uniform per-plane
+        shift (round-2 serial fallback removed). Two different-size images +
+        one text-only row must match serial generation token-for-token."""
+        import jax
+        import numpy as np
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        r = VLMRunner("qwen2vl", cfg, params, max_new_tokens=4, max_len=512)
+        rng = np.random.default_rng(1)
+        prompts = [
+            {"text": "one", "image": rng.random((16, 16, 3)).astype(np.float32)},
+            {"text": "what is in the picture?",
+             "image": rng.random((24, 24, 3)).astype(np.float32)},
+            {"text": "text only row", "image": None},
+        ]
+        batched = r.generate_batch(prompts)
+        serial = [r.generate(p) for p in prompts]
+        assert batched == serial, (batched, serial)

@@ -282,9 +282,10 @@ class TestHostStreaming:
                                         gcfg=GPTQConfig(),
                                         stream_from_host=True,
                                         realize_on_device=True)
-        p_dev, _ = gptq_quantize_decoder(cfg, params, embeds, specs,
-                                         gcfg=GPTQConfig())
-        ref = realize_decoder_weights(p_dev, specs)
+        p_dev, rep = gptq_quantize_decoder(cfg, params, embeds, specs,
+                                           gcfg=GPTQConfig())
+        # both paths must realize on the SAME (exact GPTQ) grid
+        ref = realize_decoder_weights(p_dev, specs, qps=rep["qparams"])
         for site in LLM_SITES:
             np.testing.assert_array_equal(
                 np.asarray(p_rt["layers"][site]["w_q"]),

@@ -61,7 +61,7 @@ class TestQmmPallas:
         x = jnp.asarray(rng.normal(size=(M, In)), jnp.float32)
         spec = SiteSpec(w_bits=4, a_bits=8)
         ref = KQ.quantized_matmul(x, p, spec, None, out_dtype=jnp.float32)
-        xq, xs = KQ._act_int8(x, spec, None)
+        aq = KQ._act_int8(x, spec, None); xq, xs = aq.q, aq.scale
         out = KQ._qmm_pallas_w4(xq, xs, p, jnp.float32,
                                 tm=16, tn=128, tk=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
@@ -76,7 +76,7 @@ class TestQmmPallas:
         spec = SiteSpec(w_bits=4, a_bits=8, a_static=True)
         state = {"act": QuantParams(scale=jnp.float32(0.05))}
         ref = KQ.quantized_matmul(x, p, spec, state, out_dtype=jnp.float32)
-        xq, xs = KQ._act_int8(x, spec, state)
+        aq = KQ._act_int8(x, spec, state); xq, xs = aq.q, aq.scale
         out = KQ._qmm_pallas_w4(xq, xs, p, jnp.float32,
                                 tm=16, tn=128, tk=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
@@ -161,3 +161,42 @@ class TestFusedTail:
         b, _, _ = decoder_forward(cfg, rp, toks, specs=specs, state=state,
                                   mode="real")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestGemvAccumulation:
+    """Bound the bf16-convert GEMV accumulation drift vs the integer-exact
+    s8→s32 path at down_proj scale (K=18944), on adversarial all-max
+    same-sign inputs whose partial sums cross 2^24.
+
+    Measured on the real v5e MXU: drift 0.0 (bit-exact) — recorded in the
+    qmm docstring. CPU emulation drifts; this test pins the bound per
+    backend so the exactness claim is checked wherever the suite runs."""
+
+    def test_bf16_gemv_drift_bounded(self):
+        K, N = 18944, 128
+        xq = jnp.full((1, K), 127, jnp.int8)
+        w = jnp.full((K, N), 127, jnp.int8)
+        bf = jnp.dot(xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        s32 = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        drift = np.abs(np.asarray(bf, np.float64)
+                       - np.asarray(s32, np.float64)).max()
+        if jax.default_backend() in ("tpu", "axon"):
+            assert drift == 0.0, drift  # measured bit-exact on v5e
+        else:
+            # CPU emulation: bounded well below 1e-4 relative even on the
+            # adversarial extreme (vs ~3e-3 relative int8 quantization noise)
+            rel = drift / float(np.asarray(s32).max())
+            assert rel < 1e-4, (drift, rel)
+
+    def test_bf16_gemv_exact_on_random(self, rng):
+        K, N = 18944, 256
+        xq = jnp.asarray(rng.integers(-127, 128, (1, K)), jnp.int8)
+        w = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+        bf = jnp.dot(xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        s32 = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(bf, np.int64),
+                                      np.asarray(s32, np.int64))

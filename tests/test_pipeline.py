@@ -120,3 +120,52 @@ def test_calibration_with_decode_steps():
     # vision sites see no decode tokens → identical
     np.testing.assert_allclose(np.asarray(s2["vis.q"]["act"].scale),
                                np.asarray(s0["vis.q"]["act"].scale))
+
+
+class TestNsamplesBound:
+    """--nsamples bounds GPTQ Hessian rows independently of --calib_num
+    (ref two-knob contract: exam/quant_qwenvl.py argparse, docs/qwenvl.md)."""
+
+    def test_bound_nsamples_row_count(self):
+        import numpy as np
+
+        from mquant_tpu.pipeline import _bound_nsamples
+
+        batches = [{"tokens": np.zeros((4, 8)), "patches": np.zeros((4, 3))}
+                   for _ in range(4)]
+        out = _bound_nsamples(batches, 10)
+        rows = sum(b["tokens"].shape[0] for b in out)
+        assert rows == 10
+        assert out[-1]["tokens"].shape[0] == 2
+        assert out[-1]["patches"].shape[0] == 2  # row-aligned arrays sliced too
+        # no bound → untouched
+        assert _bound_nsamples(batches, 0) is batches
+        assert sum(b["tokens"].shape[0]
+                   for b in _bound_nsamples(batches, 99)) == 16
+
+    def test_gptq_sees_exactly_nsamples_rows(self, monkeypatch):
+        """Integration: the decoder GPTQ driver receives exactly nsamples
+        embed rows even when calib_num provides more."""
+        import mquant_tpu.pipeline as PL
+        from mquant_tpu.pipeline import QuantizeConfig, get_family, build_specs
+
+        fam = get_family("qwen2vl")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        q = QuantizeConfig(llm_w_bits=4, llm_a_bits=8, nsamples=2)
+        specs = build_specs(fam, q)
+        batches = PL.synthetic_calib_batches(fam, cfg, 3, jax.random.key(1))
+        assert sum(b["tokens"].shape[0] for b in batches) > 2
+
+        seen = {}
+        import mquant_tpu.gptq.driver as D
+
+        real = D.gptq_quantize_decoder
+
+        def spy(cfg_, params_, embeds, *a, **k):
+            seen["rows"] = sum(e.shape[0] for e in embeds)
+            return real(cfg_, params_, embeds, *a, **k)
+
+        monkeypatch.setattr(D, "gptq_quantize_decoder", spy)
+        PL.quantize_weights(fam, cfg, params, specs, q, batches)
+        assert seen["rows"] == 2

@@ -297,3 +297,70 @@ class TestChunkedPrefill:
         tok = jnp.argmax(got, axis=-1)[:, None].astype(jnp.int32)
         logits, _ = step(params, tok, cache)
         assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+class TestFusedEosEarlyExit:
+    """The fused on-device decode loops handle eos themselves (while_loop with
+    a per-row done mask): outputs must equal the host per-step loop's, with
+    finished rows frozen to eos."""
+
+    def _cfg_params(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+
+        cfg = DecoderConfig(vocab=32, hidden=32, n_layers=2, n_heads=2,
+                            n_kv_heads=2, intermediate=48, dtype=jnp.float32)
+        return cfg, init_decoder_params(cfg, jax.random.PRNGKey(3))
+
+    def test_on_device_eos_matches_host_loop(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params = self._cfg_params()
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 1, 30)
+        # pick the eos id as a token the model actually produces so the early
+        # exit genuinely triggers
+        gen = Generator(cfg, params, max_len=64)
+        free = gen.generate(toks, max_new_tokens=8)
+        eos = int(np.asarray(free)[0, 3])  # 4th generated token of row 0
+
+        host = np.asarray(Generator(cfg, params, max_len=64)
+                          .generate(toks, max_new_tokens=8, eos_id=eos))
+        dev = np.asarray(Generator(cfg, params, max_len=64)
+                         .generate_on_device(toks, max_new_tokens=8,
+                                             eos_id=eos))
+        # host loop stops when ALL rows have hit eos; before that point the
+        # streams must agree, and fused rows after their own eos are frozen
+        for r in range(2):
+            h = list(host[r])
+            d = list(dev[r][:len(h)])
+            cut = h.index(eos) if eos in h else len(h)
+            assert d[:cut + 1] == h[:cut + 1], (r, h, d)
+        # frozen tail: everything after a row's eos is eos
+        for r in range(2):
+            row = list(dev[r])
+            if eos in row:
+                i = row.index(eos)
+                assert all(t == eos for t in row[i:]), row
+
+    def test_ragged_fused_eos_matches_serial(self):
+        import jax.numpy as jnp
+
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params = self._cfg_params()
+        gen = Generator(cfg, params, max_len=64)
+        # derive an eos that occurs for one of the prompts
+        probe = gen.generate_batch([[3, 4], [5, 6, 7]], max_new_tokens=8)
+        eos = probe[0][2]
+        outs = Generator(cfg, params, max_len=64).generate_batch(
+            [[3, 4], [5, 6, 7]], max_new_tokens=8, eos_id=eos)
+        # serial reference rows
+        for seq, got in zip([[3, 4], [5, 6, 7]], outs):
+            ref = Generator(cfg, params, max_len=64).generate(
+                jnp.asarray([seq]), max_new_tokens=8, eos_id=eos)
+            ref = [int(t) for t in np.asarray(ref)[0]]
+            ref = ref[:ref.index(eos)] if eos in ref else ref
+            assert got == ref, (seq, got, ref)

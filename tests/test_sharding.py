@@ -175,3 +175,52 @@ class Test72BScale:
         assert specs["layers"]["down"]["w"] is not None
         for dim in (Hh * hd, I, Hd):
             assert dim % 8 == 0, dim
+
+
+class TestAllFamiliesTP:
+    """Every family's FULL params tree (incl. res/proj subsystems) shards
+    under the (dp, tp) mesh and the TP forward matches single-device.
+    Replaces the reference's accelerate whole-module 72B placement
+    (SURVEY §2.7, ref: exam/quant_qwen2vl.py:26)."""
+
+    @pytest.mark.parametrize("fname", ["qwenvl", "internvl", "minicpmv",
+                                       "glm4v"])
+    def test_tp_forward_matches_single_device(self, fname):
+        from mquant_tpu.models.registry import get_family
+        from mquant_tpu.pipeline import (QuantizeConfig, build_specs,
+                                         synthetic_calib_batches)
+
+        fam = get_family(fname)
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        specs = build_specs(fam, QuantizeConfig(llm_static=False,
+                                                visual_static=False))
+        batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(1))[0]
+        extra = {k: v for k, v in batch.items()
+                 if k not in ("tokens", "patches")}
+
+        # fp-mode equality: GSPMD is semantics-preserving, so TP must match
+        # single-device to reduction-reorder noise. (Fake-quant mode is NOT a
+        # tight equality check — a 1-ulp psum reorder can flip a rounding
+        # boundary and cascade — so quant coverage is a finiteness run.)
+        ref, _, _ = fam.forward_fn(cfg, params, batch["tokens"],
+                                   batch.get("patches"), mode="fp", **extra)
+
+        mesh = make_mesh(8, tp=4)
+        sp = shard_params(params, mesh, vlm_param_specs(params))
+        # res/proj subsystems must be covered by the spec tree (not absent)
+        if "res" in params:
+            assert "res" in vlm_param_specs(params)
+        if "proj" in params:
+            assert "proj" in vlm_param_specs(params)
+        with jax.set_mesh(mesh):
+            out = jax.jit(lambda p, t, im: fam.forward_fn(
+                cfg, p, t, im, mode="fp", **extra)[0])(
+                    sp, batch["tokens"], batch.get("patches"))
+            qout = jax.jit(lambda p, t, im: fam.forward_fn(
+                cfg, p, t, im, specs=specs, mode="fake", **extra)[0])(
+                    sp, batch["tokens"], batch.get("patches"))
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-4, atol=2e-4)
+        assert np.isfinite(np.asarray(qout, np.float32)).all()
