@@ -137,6 +137,133 @@ def fwht_pallas(x: jax.Array, tile_t: int = 128, interpret: bool = False) -> jax
 
 
 # ---------------------------------------------------------------------------
+# fused hadamard → static int8 quantize (one VMEM pass; swiglu left to XLA,
+# which fuses it into the gate/up GEMM epilogue — and whose transcendental
+# (sigmoid) is exactly what made the fully-fused tail kernel lose)
+# ---------------------------------------------------------------------------
+
+
+def _had_quant_kernel(x_ref, a_ref, b_ref, s_ref, o_ref, *, K: int, m: int,
+                      qmin: int, qmax: int):
+    t = x_ref.shape[0]
+    xv = x_ref[:].astype(jnp.bfloat16).reshape(t * K, m)
+    xv = jax.lax.dot_general(  # minor-axis factor (B symmetric)
+        xv, b_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    xv = xv.reshape(t, K, m)
+    xv = jax.lax.dot_general(  # K-axis factor, batched over T
+        a_ref[:].astype(jnp.bfloat16), xv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (K, T, m)
+    had = jnp.swapaxes(xv, 0, 1).reshape(t, K * m)
+    inv = 1.0 / s_ref[0, 0]
+    q = jnp.clip(jnp.round(had * inv), qmin, qmax)
+    o_ref[:] = q.astype(jnp.int8)
+
+
+def had_quant(x: jax.Array, scale: jax.Array, qmin: int = -128,
+              qmax: int = 127, tile_t: int = 256,
+              interpret: bool = False) -> jax.Array:
+    """Orthonormal Hadamard (two-matmul Kronecker form) → static per-tensor
+    int8 quantize, in one Pallas VMEM pass: read bf16 once, write int8 once —
+    vs ≈4 HBM passes for the composable chain. x: (..., n); scale scalar.
+
+    MEASURED (v5e, T=1024, n=18944, chain-64): swiglu→had_quant→down chain
+    1.472 ms vs 1.349 ms for the unfused XLA chain — XLA's own fusion already
+    removes the intermediate HBM passes, so this kernel LOSES 0.12 ms and is
+    NOT wired into the serving path. Kept as the measured record for the
+    megakernel experiment (scripts/prefill_probe.py)."""
+    n = x.shape[-1]
+    A_np, B_np, K = _factors(n)
+    m = n // K
+    lead = x.shape[:-1]
+    tokens = int(math.prod(lead)) if lead else 1
+    x2 = x.reshape(tokens, n)
+    T = min(tile_t, max(8, tokens))
+    pad = (-tokens) % T
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    s2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_had_quant_kernel, K=K, m=m, qmin=qmin, qmax=qmax),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.int8),
+        grid=(x2.shape[0] // T,),
+        in_specs=[
+            pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=124 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, jnp.asarray(A_np), jnp.asarray(B_np), s2)
+    if pad:
+        out = out[:tokens]
+    return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# fused rmsnorm → static int8 quantize (one VMEM pass)
+# ---------------------------------------------------------------------------
+
+
+def _rms_quant_kernel(x_ref, w_ref, s_ref, o_ref, *, eps: float,
+                      qmin: int, qmax: int):
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+    inv = 1.0 / s_ref[0, 0]
+    q = jnp.clip(jnp.round(y * inv), qmin, qmax)
+    o_ref[:] = q.astype(jnp.int8)
+
+
+def rms_norm_quant(x: jax.Array, w: jax.Array, scale: jax.Array,
+                   eps: float = 1e-6, qmin: int = -128, qmax: int = 127,
+                   tile_t: int = 256, interpret: bool = False) -> jax.Array:
+    """RMSNorm → static per-tensor int8 quantize in one Pallas VMEM pass
+    (read bf16 once, write int8 once). Same math as
+    quantize(rms_norm(x, w), scale): f32 mean/rsqrt accumulation.
+
+    MEASURED (v5e, T=1024, n=3584, chain-64): fused 0.489 ms vs 0.467 ms
+    unfused — the XLA chain is already fusion-optimal here (int8 output write
+    is the only HBM traffic), so this kernel LOSES 0.02 ms and is NOT wired
+    into the serving path. Kept as the measured record."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    tokens = int(math.prod(lead)) if lead else 1
+    x2 = x.reshape(tokens, n)
+    T = min(tile_t, max(8, tokens))
+    pad = (-tokens) % T
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    s2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+    w2 = w.reshape(1, n)
+
+    out = pl.pallas_call(
+        functools.partial(_rms_quant_kernel, eps=eps, qmin=qmin, qmax=qmax),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.int8),
+        grid=(x2.shape[0] // T,),
+        in_specs=[
+            pl.BlockSpec((T, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x2, w2, s2)
+    if pad:
+        out = out[:tokens]
+    return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
 # fused MLP tail: swiglu → hadamard → static int8 quantize (one VMEM pass)
 # ---------------------------------------------------------------------------
 
