@@ -37,6 +37,10 @@ def parser_gen(model_default=None):
     p.add_argument("--no_rotate_llm", action="store_true",
                    help="vision-only rotation (inverse of ref --rotate_llm)")
     p.add_argument("--online_llm_hadamard", action="store_true")
+    p.add_argument("--online_had_mode", default="full",
+                   choices=["full", "block"],
+                   help="block: I ⊗ H_128 online transform (one MXU-perfect "
+                        "matmul at serve time; TPU TTFT fast path)")
     p.add_argument("--llm_split", action="store_true")
     p.add_argument("--online_visual_hadamard", action="store_true")
     p.add_argument("--visual_split", action="store_true")
@@ -104,6 +108,7 @@ def main(args=None):
         rotate_visual=not args.no_rotate_visual,
         rotate_llm=not args.no_rotate_llm,
         online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
+        online_had_mode=args.online_had_mode,
         online_visual_hadamard=args.online_visual_hadamard,
         visual_split=args.visual_split,
         visual_w_bits=args.visual_w_bits, llm_w_bits=args.llm_w_bits,

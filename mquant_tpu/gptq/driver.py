@@ -82,9 +82,9 @@ def make_stage_fn(cfg: DecoderConfig, specs: Dict[str, SiteSpec], stage: str):
         a = L.swiglu(g, u)
         dspec = site("down")
         if dspec is not None and dspec.online_had is not None:
-            from ..kernels.fwht import online_hadamard
+            from ..models.layers import _online_hadamard
 
-            a = online_hadamard(a)
+            a = _online_hadamard(a, dspec)  # full/head/block-aware
         if stage == "down":
             return a
         # full down (split-aware) via qlinear with the hadamard already applied
@@ -364,9 +364,9 @@ def make_vit_stage_fn(cfg, specs: Dict[str, SiteSpec], stage: str,
             # (ref: exam/quant_qwenvl.py:106-178 configures the visual wrappers
             # before GPTQ runs)
             if fspec is not None and fspec.online_had is not None:
-                from ..kernels.fwht import online_hadamard
+                from ..models.layers import _online_hadamard
 
-                y = online_hadamard(y)
+                y = _online_hadamard(y, fspec)  # full/head/block-aware
             return y
         y = qlinear(y, bp["fc2"], f"{prefix}.fc2", fspec, None, "fake", None)
         if cfg.layerscale and "ls2" in bp:

@@ -224,7 +224,8 @@ def qwen2vl_forward(
 def default_w4a8_specs(visual_w_bits: int = 8, llm_w_bits: int = 4,
                        a_bits: int = 8, a_static: bool = True,
                        online_had: bool = True, split: bool = True,
-                       observer: str = "minmax") -> Dict:
+                       observer: str = "minmax",
+                       online_had_mode: str = "full") -> Dict:
     """The reference's headline config: visual w8a8 (or w4a8) + LLM w4a8, static
     activations, online Hadamard on down_proj, RMS split
     (ref: docs/qwen2vl.md command lines)."""
@@ -243,6 +244,10 @@ def default_w4a8_specs(visual_w_bits: int = 8, llm_w_bits: int = 4,
         s[f"llm.{n}"] = SiteSpec(w_bits=llm_w_bits, a_bits=a_bits,
                                  a_static=a_static, observer=observer)
     if online_had:
-        s["llm.down"] = dataclasses.replace(
-            s["llm.down"], online_had="full", split=split)
+        if online_had_mode == "block":
+            s["llm.down"] = dataclasses.replace(
+                s["llm.down"], online_had="block", head_dim=128, split=split)
+        else:
+            s["llm.down"] = dataclasses.replace(
+                s["llm.down"], online_had="full", split=split)
     return s

@@ -58,6 +58,9 @@ class QuantizeConfig:
     rotate_visual: bool = True
     rotate_llm: bool = True  # ref --rotate_llm (vision-only rotation if off)
     online_llm_hadamard: bool = True
+    online_had_mode: str = "full"  # "full" | "block": I⊗H_128 online transform
+    # (one MXU-perfect matmul at serve time; √128-wide outlier spreading —
+    # quality-gated by tests/test_outlier_stress.py; TPU TTFT fast path)
     llm_split: bool = True
     online_visual_hadamard: bool = False  # ref: exam/quant_qwenvl.py --online_visual_hadamard
     visual_split: bool = False  # ref: --visual_split (fc2/c_proj RMS split)
@@ -115,8 +118,13 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
                 observer=q.act_observer)
     if ("llm.down" in specs and q.rotate and q.rotate_llm
             and q.online_llm_hadamard):
-        specs["llm.down"] = dataclasses.replace(
-            specs["llm.down"], online_had="full", split=q.llm_split)
+        if q.online_had_mode == "block":
+            specs["llm.down"] = dataclasses.replace(
+                specs["llm.down"], online_had="block", head_dim=128,
+                split=q.llm_split)
+        else:
+            specs["llm.down"] = dataclasses.replace(
+                specs["llm.down"], online_had="full", split=q.llm_split)
     if "vis.fc2" in specs and q.rotate and q.rotate_visual:
         # split and online-had are independent flags (ref --visual_split /
         # --online_visual_hadamard); the spec must mirror prepare_vlm, which
@@ -481,6 +489,7 @@ def run_pipeline(model: str, q: QuantizeConfig,
             rotate_visual=q.rotate_visual, rotate_llm=q.rotate_llm,
             mode=q.rotate_mode,
             online_had_down=q.online_llm_hadamard and q.rotate_llm,
+            online_had_mode=q.online_had_mode,
             split_down=q.llm_split and q.rotate_llm,
             online_had_visual=q.online_visual_hadamard,
             split_visual=q.visual_split)

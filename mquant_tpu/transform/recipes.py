@@ -62,6 +62,7 @@ class RotationInfo:
     hidden_rotated: bool = False
     ov_rotated: bool = False
     online_had_down: bool = False
+    online_had_mode: str = "full"  # "full" | "block" (I ⊗ H_128, TPU fast path)
     down_pad: int = 0  # padded intermediate size (0 = unpadded)
     mode: str = "hadamard"
     seed: int = 0
@@ -112,6 +113,8 @@ def rotate_decoder(
     mode: str = "hadamard",
     rotate_ov: bool = True,
     online_had_down: bool = False,
+    online_had_mode: str = "full",  # "block": I ⊗ H_128 (one MXU matmul at
+    # serve time; √128 outlier spreading — gated by the outlier-stress test)
     Q: Optional[np.ndarray] = None,
 ) -> tuple[Dict, RotationInfo]:
     """QuaRot-style offline rotation of the decoder's hidden stream (+ per-head
@@ -150,14 +153,28 @@ def rotate_decoder(
 
     if online_had_down:
         inter = lay["down"]["w"].shape[-2]
-        target = H.auto_pad_size(inter)
-        if target != inter:
-            lay["gate"] = R.pad_linear_output(lay["gate"], target)
-            lay["up"] = R.pad_linear_output(lay["up"], target)
-            lay["down"] = R.pad_linear_input(lay["down"], target)
-            info.down_pad = target
-        Hd = H.transform_matrix(target)
-        lay["down"] = R.fold_exact_hadamard_input(lay["down"], Hd)
+        if online_had_mode == "block":
+            # I_{n/128} ⊗ H_128: MXU-perfect runtime transform; pad the
+            # intermediate to a multiple of 128 if needed (Qwen2-VL 18944 =
+            # 148·128 needs none)
+            blk = 128
+            target = -(-inter // blk) * blk
+            if target != inter:
+                lay["gate"] = R.pad_linear_output(lay["gate"], target)
+                lay["up"] = R.pad_linear_output(lay["up"], target)
+                lay["down"] = R.pad_linear_input(lay["down"], target)
+                info.down_pad = target
+            lay["down"] = R.fold_exact_hadamard_input_block(lay["down"], blk)
+            info.online_had_mode = "block"
+        else:
+            target = H.auto_pad_size(inter)
+            if target != inter:
+                lay["gate"] = R.pad_linear_output(lay["gate"], target)
+                lay["up"] = R.pad_linear_output(lay["up"], target)
+                lay["down"] = R.pad_linear_input(lay["down"], target)
+                info.down_pad = target
+            Hd = H.transform_matrix(target)
+            lay["down"] = R.fold_exact_hadamard_input(lay["down"], Hd)
         info.online_had_down = True
 
     return _cast_like(p, params), info

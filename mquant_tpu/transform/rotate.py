@@ -130,6 +130,27 @@ def fold_exact_hadamard_input(linear: dict, M: np.ndarray) -> dict:
     return rotate_linear_input(linear, _f64(M).T)  # Qᵀ w with Q = Mᵀ → M w
 
 
+def fold_exact_hadamard_input_block(linear: dict, block: int) -> dict:
+    """Fold a BLOCK-diagonal Hadamard (I_{n/block} ⊗ H_block) into a linear's
+    input side: each ``block``-wide slice of the input dim gets w' = H w.
+
+    Function-preserving partner of the runtime ``online_had="block"`` path
+    (layers._online_hadamard), which applies x_blk @ Hᵀ per block. One
+    MXU-perfect (…,b)@(b,b) matmul at serve time instead of the full
+    Kronecker transform — the TPU-side trade of spreading width for speed."""
+    from .hadamard import transform_matrix
+
+    Hb = transform_matrix(block)  # symmetric orthonormal for pow2 sizes
+    w = _f64(linear["w"])
+    *lead, fin, fout = w.shape
+    assert fin % block == 0, (fin, block)
+    wr = np.einsum("ij,...kjo->...kio", _f64(Hb),
+                   w.reshape(*lead, fin // block, block, fout))
+    new = dict(linear)
+    new["w"] = wr.reshape(*lead, fin, fout)
+    return new
+
+
 def fold_exact_hadamard_output_per_head(linear: dict, head_dim: int) -> dict:
     """Fold an exact (unrandomized) head_dim-Hadamard into a linear's output in
     per-head blocks (the reference applies this to v_proj with ``had_dim=head_dim``,

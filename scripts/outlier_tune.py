@@ -26,23 +26,26 @@ from mquant_tpu.pipeline import (QuantizeConfig, run_pipeline,
                                  synthetic_calib_batches)
 
 
-def inject_outliers(params, channels, act_mag, key):
-    """Massive-activation channels: scale a few hidden channels of the
-    embedding + every down_proj output column → the residual stream carries
-    relative channel outliers that survive RMSNorm (the distributions MQuant's
-    rotation exists to suppress)."""
+def inject_glu_spikes(params, channels, mag):
+    """GLU intermediate spikes — the distribution the ONLINE Hadamard exists
+    to suppress (huge down_proj-input channels, LLaMA-family 'massive
+    activation' spikes). Scale a few ``up`` columns by M and the matching
+    ``down`` rows by 1/M: swiglu(g,u)=silu(g)·u is LINEAR in u, so the fp
+    function is EXACTLY unchanged — but the down_proj input now carries
+    token-varying channels M× the rest, with no normalization in between.
+    A static per-tensor int8 scale is then set by the spike and the
+    informative channels get ~127/M levels — unless the online Hadamard
+    spreads the spike's energy across the width first."""
     p = jax.tree.map(lambda x: x, params)
     llm = dict(p["llm"])
-    emb = llm["embed"]["w"]
-    scale = jnp.ones((emb.shape[1],), emb.dtype).at[jnp.asarray(channels)].set(act_mag)
-    llm["embed"] = {"w": emb * scale[None, :]}
-    layers = dict(llm["layers"])
-    down = dict(layers["down"])
-    down["w"] = down["w"] * scale[None, None, :]
-    o = dict(layers["o"])
-    o["w"] = o["w"] * scale[None, None, :]
-    layers["down"], layers["o"] = down, o
-    llm["layers"] = layers
+    lay = dict(llm["layers"])
+    up, down = dict(lay["up"]), dict(lay["down"])
+    inter = up["w"].shape[-1]
+    s = jnp.ones((inter,), up["w"].dtype).at[jnp.asarray(channels)].set(mag)
+    up["w"] = up["w"] * s[None, None, :]
+    down["w"] = down["w"] / s[None, :, None]
+    lay["up"], lay["down"] = up, down
+    llm["layers"] = lay
     p["llm"] = llm
     return p
 
@@ -54,11 +57,11 @@ def _fwd(fam, cfg, p, batch, specs=None, state=None, mode="fp"):
     return logits
 
 
-def ppl_ratio(fam, cfg, params, held, p_q, specs, state):
+def ppl_ratio(fam, cfg, params, held, p_q, specs, state, cfg_q=None):
     ds = []
     for b in held:
         lf = _fwd(fam, cfg, params, b)
-        lq = _fwd(fam, cfg, p_q, b, specs, state, mode="fake")
+        lq = _fwd(fam, cfg_q or cfg, p_q, b, specs, state, mode="fake")
         pf = jax.nn.softmax(lf, -1)
         ce_q = -jnp.sum(pf * jax.nn.log_softmax(lq, -1), -1)
         ce_f = -jnp.sum(pf * jax.nn.log_softmax(lf, -1), -1)
@@ -72,21 +75,24 @@ def main():
     params = fam.init_fn(cfg, jax.random.key(0))
     calib = synthetic_calib_batches(fam, cfg, 2, jax.random.key(5))
     held = synthetic_calib_batches(fam, cfg, 2, jax.random.key(77))
-    hidden = params["llm"]["embed"]["w"].shape[1]
-    print(f"hidden={hidden}")
+    inter = params["llm"]["layers"]["up"]["w"].shape[-1]
+    print(f"inter={inter}")
 
-    for act_mag in (10.0, 25.0, 50.0):
-        chans = [3, hidden // 2, hidden - 5]
-        p_out = inject_outliers(params, chans, act_mag, jax.random.key(9))
-        for rotate in (False, True):
+    for mag in (10.0, 100.0, 1000.0):
+        chans = [3, inter // 2, inter - 5]
+        p_out = inject_glu_spikes(params, chans, mag)
+        for variant, kw in (
+            ("bare", dict(rotate=False)),
+            ("full", dict(rotate=True, online_had_mode="full")),
+            ("block", dict(rotate=True, online_had_mode="block")),
+        ):
             q = QuantizeConfig(calib_num=16, nsamples=8, visual_w_bits=8,
-                               llm_w_bits=4, rotate=rotate)
-            _, pq, st, sp, _ = run_pipeline(
+                               llm_w_bits=4, **kw)
+            cfg_q, pq, st, sp, _ = run_pipeline(
                 fam.name, q, params=jax.tree.map(lambda x: x, p_out),
                 cfg=cfg, calib_batches=calib)
-            r = ppl_ratio(fam, cfg, p_out, held, pq, sp, st)
-            print(f"act_mag={act_mag} rotate={rotate}: ppl ratio {r:.4f}",
-                  flush=True)
+            r = ppl_ratio(fam, cfg, p_out, held, pq, sp, st, cfg_q=cfg_q)
+            print(f"mag={mag} {variant}: ppl ratio {r:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""Outlier-stress quality proxy: rotation must measurably RESCUE quantization.
+
+The random-weight quality gates (test_quality_proxy.py) prove the numerics;
+this test proves the MECHANISM. It injects the distribution MQuant's online
+Hadamard exists to suppress — GLU intermediate spikes (massive down_proj-input
+channels, the LLaMA-family "massive activations" phenomenon; ref: README.md:
+27-29, rotation machinery rotation_utils.py:519-641) — via an EXACTLY
+function-preserving construction: scale one ``up`` column by M and the
+matching ``down`` row by 1/M (swiglu(g,u)=silu(g)·u is linear in u). The fp
+model is unchanged, but the down_proj input now carries a token-varying
+channel M× the rest with no normalization in between, so a per-tensor static
+int8 scale gives the informative channels ~127/M levels.
+
+Assertions (tuned by scripts/outlier_tune.py sweeps):
+  (a) W4A8 WITHOUT rotation/online-Hadamard blows past the <1% gate;
+  (b) the full method (rotate + online Hadamard + RMS split + MSQ static
+      scales) pulls it back under the gate — for BOTH the full-width
+      transform and the TPU block-diagonal (I ⊗ H_128) fast path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.models.registry import get_family
+from mquant_tpu.pipeline import (QuantizeConfig, run_pipeline,
+                                 synthetic_calib_batches)
+
+MAG = 300.0  # spike magnitude: bare 1.015, full 1.005, block 1.005 (sweep)
+GATE = 1.01  # the reference's <1% degradation claim (ref README.md:29)
+
+
+def inject_glu_spike(params, channel, mag):
+    """up[:, :, c] *= M and down[:, c, :] /= M → fp function EXACTLY
+    unchanged; down_proj input channel c spikes M×."""
+    p = jax.tree.map(lambda x: x, params)
+    llm = dict(p["llm"])
+    lay = dict(llm["layers"])
+    up, down = dict(lay["up"]), dict(lay["down"])
+    inter = up["w"].shape[-1]
+    s = jnp.ones((inter,), up["w"].dtype).at[channel].set(mag)
+    up["w"] = up["w"] * s[None, None, :]
+    down["w"] = down["w"] / s[None, :, None]
+    lay["up"], lay["down"] = up, down
+    llm["layers"] = lay
+    p["llm"] = llm
+    return p
+
+
+def _fwd(fam, cfg, p, batch, specs=None, state=None, mode="fp"):
+    kw = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    logits, _, _ = fam.forward_fn(cfg, p, batch["tokens"], batch["patches"],
+                                  specs=specs, state=state, mode=mode, **kw)
+    return logits
+
+
+def ppl_ratio(fam, cfg, p_fp, held, p_q, specs, state, cfg_q):
+    """exp(mean CE(fp_softmax, quant) − CE(fp_softmax, fp)) over held batches
+    — the perplexity-degradation factor of quantization vs the fp teacher."""
+    ds = []
+    for b in held:
+        lf = _fwd(fam, cfg, p_fp, b)
+        lq = _fwd(fam, cfg_q, p_q, b, specs, state, mode="fake")
+        pf = jax.nn.softmax(lf, -1)
+        ce_q = -jnp.sum(pf * jax.nn.log_softmax(lq, -1), -1)
+        ce_f = -jnp.sum(pf * jax.nn.log_softmax(lf, -1), -1)
+        ds.append(float(jnp.mean(ce_q - ce_f)))
+    return float(np.exp(np.mean(ds)))
+
+
+@pytest.fixture(scope="module")
+def stress_setup():
+    # deeper/wider than tiny so the MLP path carries enough CE weight for the
+    # spike's damage to register at the logits (tuned: scripts/outlier_tune.py)
+    fam = get_family("qwen2vl")
+    cfg = fam.tiny_fn()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, n_layers=4, intermediate=256))
+    params = fam.init_fn(cfg, jax.random.key(0))
+    inter = params["llm"]["layers"]["up"]["w"].shape[-1]
+    p_out = inject_glu_spike(params, inter // 2, MAG)
+    calib = synthetic_calib_batches(fam, cfg, 2, jax.random.key(5))
+    held = synthetic_calib_batches(fam, cfg, 2, jax.random.key(77))
+    return fam, cfg, p_out, calib, held
+
+
+def _run(fam, cfg, p_out, calib, held, **kw):
+    q = QuantizeConfig(calib_num=16, nsamples=8, visual_w_bits=8,
+                       llm_w_bits=4, **kw)
+    cfg_q, pq, st, sp, _ = run_pipeline(
+        fam.name, q, params=jax.tree.map(lambda x: x, p_out), cfg=cfg,
+        calib_batches=calib)
+    return ppl_ratio(fam, cfg, p_out, held, pq, sp, st, cfg_q)
+
+
+class TestOutlierStress:
+    def test_bare_w4a8_blows_gate_and_rotation_rescues(self, stress_setup):
+        fam, cfg, p_out, calib, held = stress_setup
+        bare = _run(fam, cfg, p_out, calib, held, rotate=False)
+        full = _run(fam, cfg, p_out, calib, held, rotate=True,
+                    online_had_mode="full")
+        assert bare > GATE, f"bare W4A8 should fail the gate, got {bare:.4f}"
+        assert full < GATE, f"full method should rescue, got {full:.4f}"
+        # and the rescue must be substantial, not marginal
+        assert (bare - 1.0) > 2.0 * (full - 1.0), (bare, full)
+
+    def test_block_hadamard_rescues_too(self, stress_setup):
+        # the TPU fast path (I ⊗ H_128) must match the full transform's
+        # quality on this distribution (√128 spreading suffices)
+        fam, cfg, p_out, calib, held = stress_setup
+        block = _run(fam, cfg, p_out, calib, held, rotate=True,
+                     online_had_mode="block")
+        assert block < GATE, f"block mode should rescue, got {block:.4f}"

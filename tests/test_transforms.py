@@ -146,6 +146,55 @@ class TestRotate:
         out = fwd(cfg2, rotated, toks, specs=specs, mode="fake")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
+    def test_online_hadamard_block_invariance(self, setup):
+        # block mode: I ⊗ H_128 folded offline + per-block runtime transform.
+        # intermediate=96 → pads to 128 (one block)
+        params, toks, ref = setup
+        fused = RZ.fuse_decoder(CFG, params)
+        rotated, info = RZ.rotate_decoder(
+            CFG, fused, jax.random.key(7), online_had_down=True,
+            online_had_mode="block")
+        assert info.online_had_down and info.online_had_mode == "block"
+        assert info.down_pad == 128
+        cfg2 = DecoderConfig(**{**CFG.__dict__, "intermediate_pad": 128})
+        specs = {"llm.down": SiteSpec(online_had="block", head_dim=128)}
+        out = fwd(cfg2, rotated, toks, specs=specs, mode="fake")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_online_hadamard_block_no_pad_invariance(self):
+        # multiple-of-128 intermediate (the Qwen2-VL-7B 18944 = 148·128 case):
+        # no padding, multi-block transform
+        cfg = DecoderConfig(vocab=97, hidden=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=256, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(11))
+        toks = jax.random.randint(jax.random.key(12), (1, 8), 0, cfg.vocab)
+        ref = fwd(cfg, params, toks)
+        fused = RZ.fuse_decoder(cfg, params)
+        rotated, info = RZ.rotate_decoder(
+            cfg, fused, jax.random.key(13), online_had_down=True,
+            online_had_mode="block")
+        assert info.down_pad == 0 and info.online_had_mode == "block"
+        specs = {"llm.down": SiteSpec(online_had="block", head_dim=128)}
+        out = fwd(cfg, rotated, toks, specs=specs, mode="fake")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_online_hadamard_block_split_invariance(self, setup):
+        # block + RMS split compose (split pulls col 0 of the block-folded w)
+        params, toks, ref = setup
+        fused = RZ.fuse_decoder(CFG, params)
+        rotated, _ = RZ.rotate_decoder(
+            CFG, fused, jax.random.key(7), online_had_down=True,
+            online_had_mode="block")
+        split = RZ.split_decoder_down(rotated)
+        cfg2 = DecoderConfig(**{**CFG.__dict__, "intermediate_pad": 128})
+        specs = {"llm.down": SiteSpec(online_had="block", head_dim=128,
+                                      split=True)}
+        out = fwd(cfg2, split, toks, specs=specs, mode="fake")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
     def test_split_invariance(self, setup):
         params, toks, ref = setup
         fused = RZ.fuse_decoder(CFG, params)
