@@ -42,11 +42,17 @@ class EvalDataset:
 
 
 class TSVDataset(EvalDataset):
-    """VLMEvalKit-format TSV: columns index/question/answer/image (base64) and
-    optional category/A-D options."""
+    """VLMEvalKit-format TSV: columns index/question/answer/image (base64, or a
+    stringified LIST of base64 strings for multi-image rows) and optional
+    category/A-H options.
+
+    ``circular=True`` expands every MCQ row into K option-rotations sharing a
+    ``group`` id — the dataset-side MMBench circular protocol (ref:
+    third/VLMEvalKit/vlmeval/dataset/image_mcq.py MMBench construction; the
+    scorer's all-rotations-right consistency lives in scoring.score_mcq)."""
 
     def __init__(self, path: str, name: Optional[str] = None,
-                 scorer: Optional[str] = None):
+                 scorer: Optional[str] = None, circular: Optional[bool] = None):
         import csv
 
         self.rows = []
@@ -55,18 +61,58 @@ class TSVDataset(EvalDataset):
                 self.rows.append(row)
         self.name = name or os.path.basename(path).rsplit(".", 1)[0]
         self.scorer = scorer or _infer_scorer(self.name)
+        if circular is None:  # MMBench runs circular by protocol
+            circular = "mmbench" in self.name.lower()
+        self.circular = circular
+        if circular:
+            self.rows = self._expand_circular(self.rows)
+
+    @staticmethod
+    def _expand_circular(rows):
+        """Each MCQ row → one variant per cyclic rotation of its option
+        CONTENTS (letters stay A..; the answer letter moves with its content).
+        Non-MCQ rows pass through untouched."""
+        out = []
+        for row in rows:
+            letters = [k for k in "ABCDEFGH" if row.get(k)]
+            ans = row.get("answer", "")
+            if len(letters) < 2 or ans not in letters:
+                out.append(row)
+                continue
+            contents = [row[k] for k in letters]
+            gid = row.get("index", len(out))
+            for r in range(len(letters)):
+                v = dict(row)
+                rot = contents[r:] + contents[:r]  # rotation r
+                for k, c in zip(letters, rot):
+                    v[k] = c
+                # the answer's content moved from position i to (i - r) mod K
+                i = letters.index(ans)
+                v["answer"] = letters[(i - r) % len(letters)]
+                v["group"] = gid
+                v["index"] = f"{gid}_r{r}"
+                out.append(v)
+        return out
 
     def __len__(self):
         return len(self.rows)
 
-    def _decode_image(self, row) -> Optional[np.ndarray]:
-        b64 = row.get("image")
-        if not b64:
-            return None
+    @staticmethod
+    def _b64_to_arr(b64: str) -> np.ndarray:
         from PIL import Image
 
         img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
         return np.asarray(img, np.float32) / 255.0
+
+    def _decode_image(self, row):
+        b64 = row.get("image")
+        if not b64:
+            return None
+        if b64.lstrip().startswith("["):  # multi-image row: list of base64
+            import ast
+
+            return [self._b64_to_arr(s) for s in ast.literal_eval(b64)]
+        return self._b64_to_arr(b64)
 
     def build_prompt(self, i: int) -> Dict:
         row = self.rows[i]
@@ -81,6 +127,8 @@ class TSVDataset(EvalDataset):
             out["options"] = opts
         if row.get("category"):
             out["category"] = row["category"]
+        if row.get("group") is not None:
+            out["group"] = row["group"]
         if row.get("image_id") or row.get("image_path"):
             out["image_id"] = row.get("image_id") or row.get("image_path")
         return out

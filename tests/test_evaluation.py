@@ -114,6 +114,55 @@ class TestEvalLoop:
                           "prediction": ["Yes", "No"][i]} for i in range(2)])
         assert m["total"] == pytest.approx(200.0)
 
+    def test_tsv_circular_mcq(self, tmp_path):
+        # dataset-side MMBench circular construction (ref: VLMEvalKit
+        # image_mcq.py): each MCQ row → K rotations sharing a group id, the
+        # answer letter tracking its content
+        from mquant_tpu.evaluation.eval import TSVDataset
+
+        p = tmp_path / "MMBench_DEV_EN.tsv"
+        p.write_text("index\tquestion\tanswer\tA\tB\tC\tD\n"
+                     "0\tPick the fruit.\tB\tcar\tapple\tshoe\that\n")
+        ds = TSVDataset(str(p))
+        assert ds.circular and len(ds) == 4 and ds.scorer == "MCQ"
+        prompts = [ds.build_prompt(i) for i in range(4)]
+        assert all(pr["group"] == "0" or pr["group"] == 0 for pr in prompts)
+        # in every rotation the answer letter's content is "apple"
+        for pr in prompts:
+            assert pr["options"][pr["answer"]] == "apple"
+        # contents actually rotate (rotation 1 starts with B's content)
+        assert prompts[1]["options"]["A"] == "apple"
+        # all-right → circular acc 100; one wrong rotation → 0
+        right = [{**pr, "prediction": pr["answer"]} for pr in prompts]
+        m = ds.evaluate(right)
+        assert m["acc_circular"] == pytest.approx(100.0)
+        wrong1 = right[:3] + [{**prompts[3], "prediction": "C"
+                               if prompts[3]["answer"] != "C" else "D"}]
+        assert ds.evaluate(wrong1)["acc_circular"] == pytest.approx(0.0)
+
+    def test_tsv_multi_image_row(self, tmp_path):
+        import base64
+        import io
+
+        from PIL import Image
+
+        from mquant_tpu.evaluation.eval import TSVDataset
+
+        def b64(v):
+            img = Image.fromarray(np.full((8, 8, 3), v, np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        p = tmp_path / "TwoImageVQA.tsv"
+        p.write_text("index\tquestion\tanswer\timage\n"
+                     f"0\tSame?\tno\t['{b64(0)}', '{b64(255)}']\n")
+        ds = TSVDataset(str(p))
+        pr = ds.build_prompt(0)
+        assert isinstance(pr["image"], list) and len(pr["image"]) == 2
+        assert pr["image"][0].shape == (8, 8, 3)
+        assert float(pr["image"][1].mean()) == pytest.approx(1.0)
+
 
 class TestShardedEval:
     def test_shard_and_merge(self, tmp_path):
