@@ -265,6 +265,7 @@ def prepare_vlm(
     rotate_llm: bool = True,
     mode: str = "hadamard",
     online_had_down: bool = True,
+    online_had_mode: str = "full",  # "block": I ⊗ H_128 TPU fast path
     split_down: bool = False,
     online_had_visual: bool = False,
     split_visual: bool = False,
@@ -341,7 +342,8 @@ def prepare_vlm(
         return p, info
     Q_l = H.get_orthogonal_matrix(cfg.llm.hidden, mode, k_l)
     p["llm"], rinfo = rotate_decoder(cfg.llm, p["llm"], k_l, mode=mode,
-                                     online_had_down=online_had_down, Q=Q_l)
+                                     online_had_down=online_had_down,
+                                     online_had_mode=online_had_mode, Q=Q_l)
     info["llm"] = rinfo
     producer = {"qwen2vl": ("merger", "mlp2"), "qwenvl": ("res", "proj_fc"),
                 "minicpmv": ("res", "proj_fc"), "internvl": ("proj", "fc2"),
