@@ -226,9 +226,21 @@ def _layer_step(
         pos = jnp.asarray(cache_pos, jnp.int32)
         quantized = cache_kv["k"].dtype == jnp.int8  # int8 KV cache
 
-        def upd(buf, val):
-            return jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (z, pos) + (z,) * (buf.ndim - 2))
+        if pos.ndim == 1:
+            # per-row write offsets (continuous-batching slots: each row of
+            # the cache is an independent request at its own position)
+            def upd(buf, val):
+                val = val.astype(buf.dtype)
+
+                def one(b, v, p):
+                    return jax.lax.dynamic_update_slice(
+                        b, v, (p,) + (z,) * (b.ndim - 1))
+
+                return jax.vmap(one)(buf, val, pos)
+        else:
+            def upd(buf, val):
+                return jax.lax.dynamic_update_slice(
+                    buf, val.astype(buf.dtype), (z, pos) + (z,) * (buf.ndim - 2))
 
         new_cache = dict(cache_kv)
         if quantized:
@@ -328,7 +340,8 @@ def decoder_forward(
     specs: Optional[Dict[str, SiteSpec]] = None,
     state: Optional[Dict] = None,
     mode: str = "fp",
-    cache: Optional[Dict] = None,  # {"k": (L,B,S,KVH,hd), "v": ..., "pos": scalar}
+    cache: Optional[Dict] = None,  # {"k": (L,B,S,KVH,hd), "v": ..., "pos":
+    # scalar (aligned rows) or (B,) per-row write offsets (slot engine)}
     positions: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,  # (B, 1, T, S) bool
     collect_stats: bool = False,
@@ -354,8 +367,11 @@ def decoder_forward(
     B, T = h.shape[:2]
 
     if positions is None:
-        offset = cache["pos"] if cache is not None else 0
-        positions = jnp.arange(T)[None, :] + offset  # (B=1 broadcast, T)
+        offset = jnp.asarray(cache["pos"] if cache is not None else 0)
+        if offset.ndim == 1:  # per-row slot positions
+            positions = offset[:, None] + jnp.arange(T)[None, :]
+        else:
+            positions = jnp.arange(T)[None, :] + offset  # (B=1 broadcast, T)
         positions = jnp.broadcast_to(positions, (B, T))
         if cache is not None and "rope_delta" in cache:
             # M-RoPE decode: generated tokens continue at max(prefill
@@ -374,9 +390,15 @@ def decoder_forward(
 
     if attn_mask is None and cache is not None and not prefill_fresh:
         S = cache["k"].shape[2]
-        rows = cache["pos"] + jnp.arange(T)[:, None]
-        cols = jnp.arange(S)[None, :]
-        attn_mask = (cols <= rows)[None, None]
+        p = jnp.asarray(cache["pos"])
+        if p.ndim == 1:  # per-row slot positions → (B, 1, T, S) mask
+            rows = p[:, None, None] + jnp.arange(T)[None, :, None]
+            cols = jnp.arange(S)[None, None, :]
+            attn_mask = (cols <= rows)[:, None]
+        else:
+            rows = p + jnp.arange(T)[:, None]
+            cols = jnp.arange(S)[None, :]
+            attn_mask = (cols <= rows)[None, None]
     # no-cache + no mask → causal handled inside the attention (flash path)
 
     # split quant state: per-layer sites (stacked (L,...) leaves, scanned) vs

@@ -1,0 +1,308 @@
+"""Continuous-batching serving engine: slot-based KV cache, admit-on-the-fly.
+
+The reference serves requests one generate() call at a time (ref:
+vlmeval/vlm/base.py:99-121 — HF generate under VLMEvalKit, no batching, no
+scheduler; SURVEY §1 "no separate serving stack"). This engine is the
+TPU-native production counterpart: a fixed pool of B cache SLOTS over one
+compiled decode step, with vLLM-style continuous batching — requests join
+and leave the running batch at fused-block boundaries instead of waiting
+for the whole batch to finish.
+
+TPU-first design (everything static-shaped, two compiled programs total):
+
+  * The KV cache is one (L, B, S, KVH, hd) pytree whose ``pos`` is a (B,)
+    VECTOR: every row is an independent request at its own write offset
+    (``models/llm.py`` per-row ``dynamic_update_slice`` + per-row causal
+    mask). No re-padding, no cache shuffling when the batch composition
+    changes — admission writes one row, retirement just frees the slot id.
+  * Admission: the prompt is prefilled as a B=1 ``prefill_fresh`` call
+    (bucketed length → handful of compiles) and its cache row is inserted
+    into the pool with one ``dynamic_update_slice`` at the slot index;
+    ``pos[slot]`` and ``rope_delta[slot]`` are set functionally.
+  * Decode: ONE fused ``steps_per_block``-step ``fori_loop`` over the whole
+    pool per host round trip — the scheduler touches the host only at block
+    boundaries (admit/retire decisions), so tunnel/dispatch RTT is amortized
+    ``steps_per_block``× while latency to admit a new request is bounded by
+    one block.
+  * Finished rows freeze (their argmax is replaced by pad) and their ``pos``
+    stops advancing, so an idle slot costs attention-mask width but never
+    corrupts, and the row is fully overwritten at the next admission.
+
+Per-row NTK alpha is not representable in one compiled step (alpha reshapes
+the RoPE tables at trace time); like ``Generator.generate_batch`` the pool
+shares one alpha — exact for every family except Qwen-VL beyond its NTK
+band (document caveat, ref: modeling_qwen_opt.py:696-707).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llm import DecoderConfig, decoder_forward, init_cache
+from .generate import bucket_len
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    tokens_or_embeds: Any  # (T,) ids or (T, H) embeds
+    max_new_tokens: int
+    positions: Any = None  # optional (T,) or M-RoPE (3, T) position ids
+    out: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    slot: int = -1
+    next_tok: int = 0  # next token to feed (the last emitted one)
+
+
+class ServingEngine:
+    """Slot-based continuous-batching greedy server over one decoder.
+
+    >>> eng = ServingEngine(cfg, params, slots=4, max_len=256)
+    >>> ra = eng.submit(prompt_a, max_new_tokens=32)
+    >>> rb = eng.submit(prompt_b, max_new_tokens=8)
+    >>> outs = eng.run()          # {rid: [tok, ...]}, continuous batching
+    """
+
+    def __init__(self, cfg: DecoderConfig, params, specs=None, state=None,
+                 mode: str = "fp", slots: int = 4, max_len: int = 512,
+                 kv_quant: bool = False, eos_id: Optional[int] = None,
+                 steps_per_block: int = 8, ntk_alpha: float = 1.0):
+        self.cfg = cfg
+        self.params = params
+        self.specs = specs or {}
+        self.state = state
+        self.mode = mode
+        self.slots = slots
+        self.max_len = max_len
+        self.kv_quant = kv_quant
+        self.eos_id = eos_id
+        self.steps_per_block = steps_per_block
+        self.ntk_alpha = ntk_alpha
+        self._jit: Dict[Any, Any] = {}
+        self._queue: deque[_Request] = deque()
+        self._active: List[Optional[_Request]] = [None] * slots
+        self._next_rid = 0
+        self.cache = init_cache(cfg, slots, max_len, quantized=kv_quant)
+        self.cache["pos"] = jnp.zeros((slots,), jnp.int32)
+        self.cache["rope_delta"] = jnp.zeros((slots,), jnp.int32)
+        # decode blocks re-store W4 sites as native S4 INSIDE the block jit
+        # (same storage + kernel path as the serial fused loop, so outputs
+        # match `generate_on_device`; S4 cannot cross the jit boundary)
+        import os
+
+        self._s4 = (mode == "real" and bool(specs)
+                    and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
+               positions=None) -> int:
+        """Queue a request. ``tokens_or_embeds``: (T,) int ids or (T, H)
+        spliced embeds (VLM prompts). ``positions``: optional per-token
+        position ids — (T,) or M-RoPE (3, T)/(3, 1, T) (image prompts);
+        decode continues at max(position)+1 per row (HF rope_deltas parity).
+        Returns a request id."""
+        arr = np.asarray(tokens_or_embeds)
+        assert arr.ndim in (1, 2), arr.shape
+        T = arr.shape[0]
+        assert max(T + max_new_tokens, bucket_len(T, 16)) <= self.max_len, (
+            f"prompt {T} + decode {max_new_tokens} exceeds engine max_len "
+            f"{self.max_len}")
+        if positions is not None:
+            positions = np.asarray(positions)
+            if positions.ndim == 1:
+                positions = np.broadcast_to(positions[None], (3, T))
+            elif positions.ndim == 3:
+                positions = positions[:, 0]
+            assert positions.shape == (3, T), positions.shape
+        r = _Request(self._next_rid, arr, max_new_tokens, positions=positions)
+        self._next_rid += 1
+        self._queue.append(r)
+        return r.rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Serve until queue and pool are empty. Returns {rid: tokens}
+        (eos-trimmed). Requests submitted while running (e.g. from a
+        callback) are admitted at the next block boundary."""
+        finished: Dict[int, List[int]] = {}
+        while self._queue or any(self._active):
+            self._admit()
+            self._decode_block()
+            for i, r in enumerate(self._active):
+                if r is not None and r.done:
+                    finished[r.rid] = r.out
+                    self._active[i] = None
+        return finished
+
+    def step_block(self) -> Dict[int, List[int]]:
+        """One scheduler tick: admit what fits, run one fused decode block,
+        retire finished rows. Returns requests that finished this tick."""
+        self._admit()
+        if any(self._active):
+            self._decode_block()
+        finished = {}
+        for i, r in enumerate(self._active):
+            if r is not None and r.done:
+                finished[r.rid] = r.out
+                self._active[i] = None
+        return finished
+
+    # -- admission ----------------------------------------------------------
+
+    def _prefill_insert_fn(self, Tb: int, embeds: bool, has_pos: bool):
+        key = ("admit", Tb, embeds, has_pos)
+        if key not in self._jit:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            alpha = self.ntk_alpha
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def admit(params, prompt, length, cache, slot, pos=None,
+                      rope_delta=None):
+                row = init_cache(cfg, 1, self.max_len,
+                                 quantized=self.kv_quant)
+                logits, row, _ = decoder_forward(
+                    cfg, params, prompt, specs=specs, state=state, mode=mode,
+                    cache=row, prefill_fresh=True, ntk_alpha=alpha,
+                    positions=pos, last_index=length - 1)
+                z = jnp.zeros((), jnp.int32)
+                new = dict(cache)
+                for nm in ("k", "v", "k_scale", "v_scale"):
+                    if nm in cache:
+                        new[nm] = jax.lax.dynamic_update_slice(
+                            cache[nm], row[nm],
+                            (z, slot) + (z,) * (cache[nm].ndim - 2))
+                new["pos"] = cache["pos"].at[slot].set(length)
+                new["rope_delta"] = cache["rope_delta"].at[slot].set(
+                    jnp.int32(0) if rope_delta is None else rope_delta)
+                return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), new
+
+            self._jit[key] = admit
+        return self._jit[key]
+
+    def _admit(self):
+        free = [i for i, r in enumerate(self._active) if r is None]
+        while free and self._queue:
+            slot = free.pop(0)
+            r = self._queue.popleft()
+            arr = r.tokens_or_embeds
+            T = arr.shape[0]
+            Tb = bucket_len(T, minimum=16)
+            if arr.ndim == 1:
+                prompt = np.zeros((1, Tb), np.int64)
+                prompt[0, :T] = arr
+            else:
+                prompt = np.zeros((1, Tb, arr.shape[1]), np.float32)
+                prompt[0, :T] = arr
+            admit = self._prefill_insert_fn(Tb, arr.ndim == 2,
+                                            r.positions is not None)
+            extra = {}
+            if r.positions is not None:
+                # (3, 1, Tb) edge-padded M-RoPE ids; decode resumes at
+                # max(position)+1 via the slot's rope_delta
+                pos = np.pad(r.positions, ((0, 0), (0, Tb - T)), mode="edge")
+                extra["pos"] = jnp.asarray(pos[:, None])
+                extra["rope_delta"] = jnp.asarray(
+                    int(r.positions.max()) + 1 - T, jnp.int32)
+            first, self.cache = admit(
+                self.params, jnp.asarray(prompt),
+                jnp.asarray(T, jnp.int32), self.cache,
+                jnp.asarray(slot, jnp.int32), **extra)
+            tok = int(np.asarray(first)[0])
+            r.slot = slot
+            if self.eos_id is not None and tok == self.eos_id:
+                r.done = True  # eos-trimmed: empty output
+            else:
+                r.next_tok = tok
+                r.out.append(tok)
+                r.done = len(r.out) >= r.max_new_tokens
+            # done-at-admission rows hold the slot until the caller's retire
+            # sweep this same tick
+            self._active[slot] = r
+
+    # -- decode -------------------------------------------------------------
+
+    def _decode_block_fn(self, n_steps: int):
+        key = ("block", n_steps)
+        if key not in self._jit:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            alpha = self.ntk_alpha
+
+            s4 = self._s4
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def block(params, tok, active, cache):
+                if s4:
+                    # half the per-step weight stream (native-S4 storage; the
+                    # repack amortizes over the block's n_steps)
+                    from ..kernels.qmm import s4_squeeze_sites
+
+                    in_dims = {"q": cfg.hidden, "k": cfg.hidden,
+                               "v": cfg.hidden, "gate": cfg.hidden,
+                               "up": cfg.hidden,
+                               "o": cfg.n_heads * cfg.head_dim,
+                               "down": cfg.inter_eff}
+                    params = dict(params)
+                    params["layers"] = s4_squeeze_sites(
+                        params["layers"], specs, in_dims)
+                B = tok.shape[0]
+                out0 = jnp.zeros((B, n_steps), jnp.int32)
+
+                def body(i, carry):
+                    tok, cache, out = carry
+                    logits, cache2, _ = decoder_forward(
+                        cfg, params, tok, specs=specs, state=state,
+                        mode=mode, cache=cache, ntk_alpha=alpha)
+                    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                    nxt = jnp.where(active, nxt, jnp.int32(0))
+                    # frozen rows: pos does not advance (their cache row is
+                    # rewritten wholesale at the next admission anyway, but a
+                    # long-idle slot must not walk its pos off the cache end)
+                    cache2 = dict(cache2)
+                    cache2["pos"] = jnp.where(active, cache2["pos"],
+                                              cache["pos"])
+                    out = jax.lax.dynamic_update_slice(
+                        out, nxt[:, None],
+                        (jnp.int32(0), jnp.asarray(i, jnp.int32)))
+                    return nxt[:, None], cache2, out
+
+                _, cache, out = jax.lax.fori_loop(
+                    0, n_steps, body, (tok, cache, out0))
+                return out, cache
+
+            self._jit[key] = block
+        return self._jit[key]
+
+    def _decode_block(self):
+        n = self.steps_per_block
+        tok = np.zeros((self.slots, 1), np.int32)
+        active = np.zeros((self.slots,), bool)
+        for i, r in enumerate(self._active):
+            if r is not None and not r.done:
+                tok[i, 0] = r.next_tok
+                active[i] = True
+        if not active.any():
+            return
+        block = self._decode_block_fn(n)
+        out, self.cache = block(self.params, jnp.asarray(tok),
+                                jnp.asarray(active), self.cache)
+        out = np.asarray(out)
+        for i, r in enumerate(self._active):
+            if r is None or r.done:
+                continue
+            for t in out[i]:
+                t = int(t)
+                if self.eos_id is not None and t == self.eos_id:
+                    r.done = True
+                    break
+                r.out.append(t)
+                r.next_tok = t
+                if len(r.out) >= r.max_new_tokens:
+                    r.done = True
+                    break

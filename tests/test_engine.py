@@ -1,0 +1,136 @@
+"""Continuous-batching ServingEngine tests.
+
+The engine's correctness claim: a request decoded in a slot pool — admitted
+mid-run, next to unrelated rows at other positions — produces exactly the
+tokens the same prompt produces alone through ``Generator.generate`` (greedy,
+same cache semantics). Reference has no serving scheduler at all (SURVEY §1
+"no separate serving stack"); this subsumes its one-request-at-a-time HF
+generate loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+from mquant_tpu.serve.engine import ServingEngine
+from mquant_tpu.serve.generate import Generator
+
+
+def _cfg(**kw):
+    base = dict(vocab=96, hidden=48, n_layers=2, n_heads=4, n_kv_heads=2,
+                intermediate=64, dtype=jnp.float32)
+    base.update(kw)
+    return DecoderConfig(**base)
+
+
+def _solo(cfg, params, prompt, n, eos_id=None, positions=None, **gkw):
+    gen = Generator(cfg, params, max_len=128, **gkw)
+    pos = None if positions is None else jnp.asarray(
+        np.broadcast_to(np.asarray(positions), (3, len(prompt)))[:, None])
+    out = gen.generate(jnp.asarray(prompt)[None], max_new_tokens=n,
+                       eos_id=eos_id, positions=pos)
+    toks = [int(t) for t in np.asarray(out)[0]]
+    if eos_id is not None and eos_id in toks:
+        toks = toks[:toks.index(eos_id)]
+    return toks
+
+
+class TestEngine:
+    def test_pool_matches_solo(self):
+        """Three different-length prompts, fewer slots than requests →
+        continuous admission; every request matches its solo generation."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        prompts = [list(range(1, 6)), list(range(20, 29)),
+                   list(range(40, 43))]
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        rids = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        outs = eng.run()
+        assert set(outs) == set(rids)
+        for rid, p in zip(rids, prompts):
+            assert outs[rid] == _solo(cfg, params, p, 7), (rid, p)
+
+    def test_admission_mid_flight(self):
+        """A request submitted while others are decoding joins at a block
+        boundary and still matches its solo run."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2)
+        ra = eng.submit(list(range(1, 9)), max_new_tokens=9)
+        finished = {}
+        finished.update(eng.step_block())  # A decoding alone
+        rb = eng.submit(list(range(30, 34)), max_new_tokens=5)  # joins next tick
+        while eng._queue or any(eng._active):
+            finished.update(eng.step_block())
+        assert finished[ra] == _solo(cfg, params, list(range(1, 9)), 9)
+        assert finished[rb] == _solo(cfg, params, list(range(30, 34)), 5)
+
+    def test_eos_frees_slot_for_queue(self):
+        """eos retirement: a finished row's slot is reused by a queued
+        request; outputs still exact."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(2))
+        p1, p2 = list(range(1, 7)), list(range(50, 60))
+        solo1 = _solo(cfg, params, p1, 12)
+        eos = solo1[3]  # force an eos 4 tokens in
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            steps_per_block=4, eos_id=eos)
+        r1 = eng.submit(p1, max_new_tokens=12)
+        r2 = eng.submit(p2, max_new_tokens=6)
+        outs = eng.run()
+        assert outs[r1] == solo1[:3]
+        assert outs[r2] == _solo(cfg, params, p2, 6, eos_id=eos)
+
+    def test_kv_quant_pool(self):
+        """int8 KV cache slots work with per-row positions."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(3))
+        p = list(range(2, 12))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=4, kv_quant=True)
+        rid = eng.submit(p, max_new_tokens=6)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 6, kv_quant=True)
+
+    def test_mrope_positions(self):
+        """M-RoPE prompts (Qwen2-VL style): per-slot rope_delta makes decode
+        resume at max(position)+1, matching the solo path."""
+        cfg = _cfg(mrope_sections=(2, 2, 2), head_dim=12, n_heads=4,
+                   hidden=48)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(4))
+        T = 8
+        pos = np.broadcast_to(np.arange(T)[None], (3, T)).copy()
+        pos[1:, 2:6] = 2  # an "image span" with 2-d positions
+        prompt = list(range(5, 5 + T))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        rid = eng.submit(prompt, max_new_tokens=6, positions=pos)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, prompt, 6, positions=pos)
+
+    def test_embeds_request(self):
+        """(T, H) embeds prompts (spliced VLM inputs) serve through slots."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(5))
+        emb = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(9), (7, cfg.hidden)),
+            np.float32)
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=4)
+        rid = eng.submit(emb, max_new_tokens=5)
+        outs = eng.run()
+        gen = Generator(cfg, params, max_len=128)
+        ref = gen.generate_on_device(jnp.asarray(emb)[None],
+                                     max_new_tokens=5)
+        assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
+
+    def test_capacity_guard(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(6))
+        eng = ServingEngine(cfg, params, slots=1, max_len=32)
+        with pytest.raises(AssertionError):
+            eng.submit(list(range(30)), max_new_tokens=8)
