@@ -27,6 +27,12 @@ TPU-first design (everything static-shaped, two compiled programs total):
   * Finished rows freeze (their argmax is replaced by pad) and their ``pos``
     stops advancing, so an idle slot costs attention-mask width but never
     corrupts, and the row is fully overwritten at the next admission.
+  * Prefix caching: ``register_prefix`` prefills a shared system prompt once
+    and stores its KV row; matching requests prefill only their suffix
+    against a copy of that row (same causal-with-offset mask — exact).
+  * Chunked admission (``admit_chunk > 0``): a long prompt prefills in
+    fixed-size pieces, ONE piece per scheduler tick, so admitting it never
+    stalls the running pool's decode for more than one chunk's latency.
 
 Per-row NTK alpha is not representable in one compiled step (alpha reshapes
 the RoPE tables at trace time); like ``Generator.generate_batch`` the pool
@@ -61,6 +67,19 @@ class _Request:
     next_tok: int = 0  # next token to feed (the last emitted one)
 
 
+@dataclasses.dataclass
+class _Admitting:
+    """A long prompt mid-admission: its scratch cache row + prefill cursor.
+    One chunk advances per scheduler tick, so a long prompt never stalls the
+    decode pool for more than one chunk's latency (vLLM's chunked-prefill
+    admission policy, rebuilt on static shapes)."""
+    req: _Request
+    slot: int
+    row: Dict  # B=1 cache at engine max_len, pos = tokens prefilled so far
+    cursor: int  # next prompt index to feed
+    first_logits: Any = None  # last chunk's last-token logits
+
+
 class ServingEngine:
     """Slot-based continuous-batching greedy server over one decoder.
 
@@ -73,7 +92,8 @@ class ServingEngine:
     def __init__(self, cfg: DecoderConfig, params, specs=None, state=None,
                  mode: str = "fp", slots: int = 4, max_len: int = 512,
                  kv_quant: bool = False, eos_id: Optional[int] = None,
-                 steps_per_block: int = 8, ntk_alpha: float = 1.0):
+                 steps_per_block: int = 8, ntk_alpha: float = 1.0,
+                 admit_chunk: int = 0):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -85,9 +105,18 @@ class ServingEngine:
         self.eos_id = eos_id
         self.steps_per_block = steps_per_block
         self.ntk_alpha = ntk_alpha
+        # >0: prompts longer than this prefill in admit_chunk pieces, one
+        # piece per scheduler tick, so admission never stalls the decode
+        # pool longer than one chunk (chunked-prefill admission)
+        self.admit_chunk = admit_chunk
         self._jit: Dict[Any, Any] = {}
         self._queue: deque[_Request] = deque()
         self._active: List[Optional[_Request]] = [None] * slots
+        self._admitting: Optional[_Admitting] = None
+        # registered shared prefixes (system prompts): list of
+        # (ids tuple, device cache row with pos=len) — longest match wins
+        self._prefixes: List[Any] = []
+        self.prefix_hits = 0
         self._next_rid = 0
         self.cache = init_cache(cfg, slots, max_len, quantized=kv_quant)
         self.cache["pos"] = jnp.zeros((slots,), jnp.int32)
@@ -112,7 +141,11 @@ class ServingEngine:
         arr = np.asarray(tokens_or_embeds)
         assert arr.ndim in (1, 2), arr.shape
         T = arr.shape[0]
-        assert max(T + max_new_tokens, bucket_len(T, 16)) <= self.max_len, (
+        # chunked admission writes bounded pieces, so only the true rows
+        # must fit; whole-prompt admission also writes the padded bucket
+        need = (T + max_new_tokens if self.admit_chunk
+                else max(T + max_new_tokens, bucket_len(T, 16)))
+        assert need <= self.max_len, (
             f"prompt {T} + decode {max_new_tokens} exceeds engine max_len "
             f"{self.max_len}")
         if positions is not None:
@@ -127,12 +160,51 @@ class ServingEngine:
         self._queue.append(r)
         return r.rid
 
+    def register_prefix(self, tokens) -> None:
+        """Prefill a shared prompt prefix (a system prompt) ONCE and store
+        its KV row on device; later token-id requests that start with it
+        skip re-prefilling the prefix — admission cost drops from
+        O(prefix+suffix) to O(suffix) weight streams (automatic prefix
+        caching, the serving optimization the reference's one-shot HF
+        generate cannot express). Exactness: the suffix attends to the
+        stored prefix KV through the same causal-with-offset mask every
+        cache continuation uses. Longest registered match wins."""
+        arr = np.asarray(tokens, np.int64).reshape(-1)
+        Lp = int(arr.shape[0])
+        Tb = bucket_len(Lp, minimum=16)
+        assert Tb <= self.max_len, (Lp, self.max_len)
+        padded = np.zeros((1, Tb), np.int64)
+        padded[0, :Lp] = arr
+        key = ("prefix_fill", Tb)
+        if key not in self._jit:
+            cfg, specs, state, mode = (self.cfg, self.specs, self.state,
+                                       self.mode)
+            alpha = self.ntk_alpha
+
+            @jax.jit
+            def fill(params, prompt, length):
+                row = init_cache(cfg, 1, self.max_len,
+                                 quantized=self.kv_quant)
+                _, row, _ = decoder_forward(
+                    cfg, params, prompt, specs=specs, state=state, mode=mode,
+                    cache=row, prefill_fresh=True, ntk_alpha=alpha,
+                    last_index=length - 1)
+                row = dict(row)
+                row["pos"] = length  # TRUE length, not the padded bucket
+                return row
+
+            self._jit[key] = fill
+        row = self._jit[key](self.params, jnp.asarray(padded),
+                             jnp.asarray(Lp, jnp.int32))
+        self._prefixes.append((tuple(int(t) for t in arr), row))
+        self._prefixes.sort(key=lambda p: -len(p[0]))
+
     def run(self) -> Dict[int, List[int]]:
         """Serve until queue and pool are empty. Returns {rid: tokens}
         (eos-trimmed). Requests submitted while running (e.g. from a
         callback) are admitted at the next block boundary."""
         finished: Dict[int, List[int]] = {}
-        while self._queue or any(self._active):
+        while self._queue or any(self._active) or self._admitting:
             self._admit()
             self._decode_block()
             for i, r in enumerate(self._active):
@@ -186,13 +258,159 @@ class ServingEngine:
             self._jit[key] = admit
         return self._jit[key]
 
+    def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool):
+        """One admission piece: forward against the scratch row at its
+        current pos (causal-with-offset), pos advances by the TRUE piece
+        length (padded tail rows are overwritten by the next piece/decode)."""
+        key = ("row_step", Tp, embeds, has_pos)
+        if key not in self._jit:
+            cfg, specs, state, mode = (self.cfg, self.specs, self.state,
+                                       self.mode)
+            alpha = self.ntk_alpha
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def step(params, piece, row, piece_len, pos=None):
+                pos0 = row["pos"]
+                logits, row2, _ = decoder_forward(
+                    cfg, params, piece, specs=specs, state=state, mode=mode,
+                    cache=row, ntk_alpha=alpha, positions=pos,
+                    last_index=piece_len - 1)
+                row2 = dict(row2)
+                row2["pos"] = pos0 + piece_len
+                return logits, row2
+
+            self._jit[key] = step
+        return self._jit[key]
+
+    def _insert_fn(self):
+        """Insert a finished scratch row into the pool cache at a slot."""
+        if "insert" not in self._jit:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def insert(cache, row, slot, length, rope_delta):
+                z = jnp.zeros((), jnp.int32)
+                new = dict(cache)
+                for nm in ("k", "v", "k_scale", "v_scale"):
+                    if nm in cache:
+                        new[nm] = jax.lax.dynamic_update_slice(
+                            cache[nm], row[nm],
+                            (z, slot) + (z,) * (cache[nm].ndim - 2))
+                new["pos"] = cache["pos"].at[slot].set(length)
+                new["rope_delta"] = cache["rope_delta"].at[slot].set(
+                    rope_delta)
+                return new
+
+            self._jit["insert"] = insert
+        return self._jit["insert"]
+
+    def _match_prefix(self, r: _Request):
+        """Longest registered prefix this ids-request starts with (and is
+        strictly longer than), or None. Embeds/M-RoPE requests skip."""
+        if r.tokens_or_embeds.ndim != 1 or r.positions is not None:
+            return None
+        ids = tuple(int(t) for t in r.tokens_or_embeds)
+        for ptoks, row in self._prefixes:  # sorted longest-first
+            if len(ptoks) < len(ids) and ids[:len(ptoks)] == ptoks:
+                return ptoks, row
+        return None
+
+    def _begin_admission(self, r: _Request, slot: int, prefix):
+        """Start staged admission: scratch row = copied prefix row (or a
+        fresh one), cursor past the matched prefix."""
+        if prefix is not None:
+            ptoks, prow = prefix
+            if "copy" not in self._jit:
+                self._jit["copy"] = jax.jit(
+                    lambda t: jax.tree.map(jnp.copy, t))
+            row = self._jit["copy"](prow)  # donation must not eat the registry
+            cursor = len(ptoks)
+            self.prefix_hits += 1
+        else:
+            row = init_cache(self.cfg, 1, self.max_len,
+                             quantized=self.kv_quant)
+            row["pos"] = jnp.zeros((), jnp.int32)
+            cursor = 0
+        self._admitting = _Admitting(r, slot, row, cursor)
+
+    def _advance_admission(self):
+        """Feed ONE piece of the admitting prompt; insert into the pool when
+        the prompt is exhausted."""
+        a = self._admitting
+        arr = a.req.tokens_or_embeds
+        T = arr.shape[0]
+        chunk = self.admit_chunk or T
+        end = min(a.cursor + chunk, T)
+        plen = end - a.cursor
+        Tp = min(bucket_len(plen, minimum=16), max(chunk, 16))
+        # never write past the cache end (tail-bucket overhang): the piece
+        # writes at row pos == a.cursor
+        Tp = min(Tp, self.max_len - a.cursor)
+        if arr.ndim == 1:
+            piece = np.zeros((1, Tp), np.int64)
+            piece[0, :plen] = arr[a.cursor:end]
+        else:
+            piece = np.zeros((1, Tp, arr.shape[1]), np.float32)
+            piece[0, :plen] = arr[a.cursor:end]
+        extra = {}
+        if a.req.positions is not None:
+            p = a.req.positions[:, a.cursor:end]
+            p = np.pad(p, ((0, 0), (0, Tp - plen)), mode="edge")
+            extra["pos"] = jnp.asarray(p[:, None])
+        step = self._row_step_fn(Tp, arr.ndim == 2, a.req.positions is not None)
+        logits, a.row = step(self.params, jnp.asarray(piece), a.row,
+                             jnp.asarray(plen, jnp.int32), **extra)
+        a.cursor = end
+        if a.cursor < T:
+            return
+        # prompt exhausted: first token + insert into the pool
+        r = a.req
+        rope_delta = (0 if r.positions is None
+                      else int(r.positions.max()) + 1 - T)
+        self.cache = self._insert_fn()(
+            self.cache, a.row, jnp.asarray(a.slot, jnp.int32),
+            jnp.asarray(T, jnp.int32), jnp.asarray(rope_delta, jnp.int32))
+        first = int(np.asarray(jnp.argmax(logits[:, 0], axis=-1))[0])
+        self._admitting = None
+        self._finish_admit(r, a.slot, first)
+
+    def _finish_admit(self, r: _Request, slot: int, tok: int):
+        r.slot = slot
+        if self.eos_id is not None and tok == self.eos_id:
+            r.done = True  # eos-trimmed: empty output
+        else:
+            r.next_tok = tok
+            r.out.append(tok)
+            r.done = len(r.out) >= r.max_new_tokens
+        # done-at-admission rows hold the slot until the caller's retire
+        # sweep this same tick
+        self._active[slot] = r
+
     def _admit(self):
+        # an in-flight staged admission advances by exactly one piece per
+        # tick, so decode latency for the running pool is bounded by one
+        # chunk; nothing else admits until it lands (FIFO)
+        if self._admitting is not None:
+            self._advance_admission()
+            if self._admitting is not None:
+                return
         free = [i for i, r in enumerate(self._active) if r is None]
         while free and self._queue:
             slot = free.pop(0)
             r = self._queue.popleft()
             arr = r.tokens_or_embeds
             T = arr.shape[0]
+            prefix = self._match_prefix(r)
+            suffix_len = T - (len(prefix[0]) if prefix else 0)
+            if prefix is not None or (self.admit_chunk
+                                      and suffix_len > self.admit_chunk):
+                self._begin_admission(r, slot, prefix)
+                if self.admit_chunk and suffix_len > self.admit_chunk:
+                    self._advance_admission()  # one piece this tick
+                    if self._admitting is not None:
+                        return
+                else:
+                    while self._admitting is not None:
+                        self._advance_admission()
+                continue
             Tb = bucket_len(T, minimum=16)
             if arr.ndim == 1:
                 prompt = np.zeros((1, Tb), np.int64)
@@ -214,17 +432,7 @@ class ServingEngine:
                 self.params, jnp.asarray(prompt),
                 jnp.asarray(T, jnp.int32), self.cache,
                 jnp.asarray(slot, jnp.int32), **extra)
-            tok = int(np.asarray(first)[0])
-            r.slot = slot
-            if self.eos_id is not None and tok == self.eos_id:
-                r.done = True  # eos-trimmed: empty output
-            else:
-                r.next_tok = tok
-                r.out.append(tok)
-                r.done = len(r.out) >= r.max_new_tokens
-            # done-at-admission rows hold the slot until the caller's retire
-            # sweep this same tick
-            self._active[slot] = r
+            self._finish_admit(r, slot, int(np.asarray(first)[0]))
 
     # -- decode -------------------------------------------------------------
 

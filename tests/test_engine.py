@@ -134,3 +134,119 @@ class TestEngine:
         eng = ServingEngine(cfg, params, slots=1, max_len=32)
         with pytest.raises(AssertionError):
             eng.submit(list(range(30)), max_new_tokens=8)
+
+
+class TestPrefixCaching:
+    def test_prefix_reuse_matches_solo(self):
+        """Requests sharing a registered system prefix prefill only their
+        suffix against the stored KV row — outputs must equal solo runs of
+        the FULL prompt (exactness of prefix reuse)."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(10))
+        sys_p = list(range(30, 42))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        eng.register_prefix(sys_p)
+        prompts = [sys_p + [3, 1, 4], sys_p + list(range(60, 70)),
+                   [9, 8, 7, 6]]  # last one: no prefix match
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        outs = eng.run()
+        for rid, p in zip(rids, prompts):
+            assert outs[rid] == _solo(cfg, params, p, 6), p
+        assert eng.prefix_hits == 2
+
+    def test_longest_prefix_wins(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(11))
+        short = list(range(20, 26))
+        long = short + list(range(50, 58))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128)
+        eng.register_prefix(short)
+        eng.register_prefix(long)
+        p = long + [2, 4]
+        rid = eng.submit(p, max_new_tokens=5)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 5)
+        assert eng.prefix_hits == 1  # one admission, longest prefix used
+
+    def test_prefix_row_survives_reuse(self):
+        """The stored prefix row must not be consumed by donation: two
+        requests reusing the same prefix both match solo."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(12))
+        sys_p = list(range(10, 20))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128)
+        eng.register_prefix(sys_p)
+        a, b = sys_p + [5], sys_p + [7, 8]
+        ra = eng.submit(a, max_new_tokens=4)
+        rb = eng.submit(b, max_new_tokens=4)
+        outs = eng.run()
+        assert outs[ra] == _solo(cfg, params, a, 4)
+        assert outs[rb] == _solo(cfg, params, b, 4)
+        assert eng.prefix_hits == 2
+
+
+class TestChunkedAdmission:
+    def test_chunked_matches_solo(self):
+        """A long prompt admitted in pieces produces exactly the whole-
+        prompt result (causal-with-offset pieces == one-shot prefill)."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(13))
+        p = list(range(1, 38))  # 37 tokens, chunk 8 → 5 pieces
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3, admit_chunk=8)
+        rid = eng.submit(p, max_new_tokens=6)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 6)
+
+    def test_decode_proceeds_during_admission(self):
+        """While a long prompt admits chunk-by-chunk, already-running rows
+        keep decoding — the defining property of chunked-prefill admission."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(14))
+        short = list(range(5, 10))
+        long = list(range(1, 33))  # 32 tokens, chunk 8 → 4 pieces
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2, admit_chunk=8)
+        rs = eng.submit(short, max_new_tokens=12)
+        eng.step_block()  # admit + decode short
+        n0 = len(eng._active[0].out)
+        rl = eng.submit(long, max_new_tokens=4)
+        eng.step_block()  # starts the chunked admission + decodes short
+        assert eng._admitting is not None  # long still admitting...
+        assert len(eng._active[0].out) > n0  # ...and short kept decoding
+        outs = {}
+        while len(outs) < 2:  # finish everything; both match solo
+            outs.update(eng.step_block())
+        assert outs[rs] == _solo(cfg, params, short, 12)
+        assert outs[rl] == _solo(cfg, params, long, 4)
+
+    def test_prefix_plus_chunked(self):
+        """A registered prefix composes with chunked suffix admission."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(15))
+        sys_p = list(range(40, 50))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            admit_chunk=8)
+        eng.register_prefix(sys_p)
+        p = sys_p + list(range(1, 22))  # suffix 21 > chunk 8
+        rid = eng.submit(p, max_new_tokens=5)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 5)
+        assert eng.prefix_hits == 1
+
+    def test_chunked_embeds(self):
+        """Chunked admission for (T, H) embeds prompts (long VLM inputs)."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(16))
+        emb = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(17), (23, cfg.hidden)),
+            np.float32)
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            admit_chunk=8)
+        rid = eng.submit(emb, max_new_tokens=5)
+        outs = eng.run()
+        gen = Generator(cfg, params, max_len=128)
+        ref = gen.generate_on_device(jnp.asarray(emb)[None],
+                                     max_new_tokens=5)
+        assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
