@@ -93,7 +93,7 @@ class ServingEngine:
                  mode: str = "fp", slots: int = 4, max_len: int = 512,
                  kv_quant: bool = False, eos_id: Optional[int] = None,
                  steps_per_block: int = 8, ntk_alpha: float = 1.0,
-                 admit_chunk: int = 0):
+                 admit_chunk: int = 0, spec_k: int = 0):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -121,6 +121,21 @@ class ServingEngine:
         self.cache = init_cache(cfg, slots, max_len, quantized=kv_quant)
         self.cache["pos"] = jnp.zeros((slots,), jnp.int32)
         self.cache["rope_delta"] = jnp.zeros((slots,), jnp.int32)
+        # spec_k > 0: decode blocks run BATCHED self-speculative rounds —
+        # per-slot n-gram drafts over an on-device token history, one
+        # (B, k+1) verify forward, per-row acceptance + pos rollback. Each
+        # round emits 1..k+1 tokens per active row; outputs stay exactly
+        # the per-slot greedy sequences (see serve/speculative.py for the
+        # single-request form and the rollback-correctness argument).
+        self.spec_k = spec_k
+        if spec_k:
+            cap = max_len + spec_k + 1
+            self.hist = jnp.zeros((slots, cap), jnp.int32)
+            self.hist_len = jnp.zeros((slots,), jnp.int32)
+        self._force_accept = False  # ceiling instrument (bench only)
+        # acceptance accounting: emitted tokens / (active rows × rounds)
+        self.spec_emitted = 0
+        self.spec_row_rounds = 0
         # decode blocks re-store W4 sites as native S4 INSIDE the block jit
         # (same storage + kernel path as the serial fused loop, so outputs
         # match `generate_on_device`; S4 cannot cross the jit boundary)
@@ -142,9 +157,12 @@ class ServingEngine:
         assert arr.ndim in (1, 2), arr.shape
         T = arr.shape[0]
         # chunked admission writes bounded pieces, so only the true rows
-        # must fit; whole-prompt admission also writes the padded bucket
+        # must fit; whole-prompt admission also writes the padded bucket;
+        # speculation's verify windows overhang by up to spec_k rows before
+        # rollback (a clamped window write would corrupt valid rows)
         need = (T + max_new_tokens if self.admit_chunk
                 else max(T + max_new_tokens, bucket_len(T, 16)))
+        need += self.spec_k
         assert need <= self.max_len, (
             f"prompt {T} + decode {max_new_tokens} exceeds engine max_len "
             f"{self.max_len}")
@@ -212,6 +230,21 @@ class ServingEngine:
                     finished[r.rid] = r.out
                     self._active[i] = None
         return finished
+
+    def stats(self) -> Dict[str, Any]:
+        """Scheduler observability: queue depth, slot occupancy, prefix-cache
+        hits, speculation acceptance (tokens emitted per active row-round)."""
+        occ = sum(r is not None for r in self._active)
+        s = {"queued": len(self._queue), "active": occ,
+             "slots": self.slots, "occupancy": occ / self.slots,
+             "admitting": self._admitting is not None,
+             "prefix_hits": self.prefix_hits,
+             "prefixes_registered": len(self._prefixes)}
+        if self.spec_k:
+            s["spec_accept_per_round"] = (
+                self.spec_emitted / self.spec_row_rounds
+                if self.spec_row_rounds else float("nan"))
+        return s
 
     def step_block(self) -> Dict[int, List[int]]:
         """One scheduler tick: admit what fits, run one fused decode block,
@@ -380,6 +413,18 @@ class ServingEngine:
             r.next_tok = tok
             r.out.append(tok)
             r.done = len(r.out) >= r.max_new_tokens
+        if self.spec_k:
+            # seed the slot's draft history: prompt ids (when the prompt IS
+            # ids — embeds prompts draft from generated text only) + the
+            # first token
+            row = np.zeros((self.hist.shape[1],), np.int32)
+            n = 0
+            if r.tokens_or_embeds.ndim == 1:
+                n = r.tokens_or_embeds.shape[0]
+                row[:n] = r.tokens_or_embeds
+            row[n] = tok
+            self.hist = self.hist.at[slot].set(jnp.asarray(row))
+            self.hist_len = self.hist_len.at[slot].set(n + 1)
         # done-at-admission rows hold the slot until the caller's retire
         # sweep this same tick
         self._active[slot] = r
@@ -487,7 +532,127 @@ class ServingEngine:
             self._jit[key] = block
         return self._jit[key]
 
+    def _spec_block_fn(self, n_rounds: int):
+        """n_rounds of batched self-speculation: per-row n-gram draft from
+        the slot's history, ONE (B, k+1) verify forward, per-row acceptance
+        m_b ∈ [1, k+1] and per-row ``pos`` rollback. Frozen/done rows ride
+        along with m=0 (their pos never advances; their stale KV rows are
+        overwritten at the next admission). Emits per-row up to
+        n_rounds·(k+1) tokens per host round trip."""
+        key = ("spec_block", n_rounds, self._force_accept)
+        if key not in self._jit:
+            from .speculative import ngram_propose
+
+            cfg, specs, state, mode = (self.cfg, self.specs, self.state,
+                                       self.mode)
+            alpha, k, eos_id = self.ntk_alpha, self.spec_k, self.eos_id
+            force, s4 = self._force_accept, self._s4
+
+            @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+            def block(params, tok, active, cache, hist, hist_len, budget):
+                if s4:
+                    from ..kernels.qmm import s4_squeeze_sites
+
+                    in_dims = {"q": cfg.hidden, "k": cfg.hidden,
+                               "v": cfg.hidden, "gate": cfg.hidden,
+                               "up": cfg.hidden,
+                               "o": cfg.n_heads * cfg.head_dim,
+                               "down": cfg.inter_eff}
+                    params = dict(params)
+                    params["layers"] = s4_squeeze_sites(
+                        params["layers"], specs, in_dims)
+                B = tok.shape[0]
+                W = n_rounds * (k + 1)
+                out0 = jnp.zeros((B, W), jnp.int32)
+                done0 = ~active
+
+                def body(i, carry):
+                    tok, cache, hist, hist_len, out, cnt, done = carry
+                    draft = jax.vmap(
+                        lambda h, n: ngram_propose(h, n, k))(hist, hist_len)
+                    window = jnp.concatenate([tok, draft], axis=1)  # (B,k+1)
+                    pos0 = cache["pos"]
+                    logits, cache2, _ = decoder_forward(
+                        cfg, params, window, specs=specs, state=state,
+                        mode=mode, cache=cache, ntk_alpha=alpha)
+                    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    agree = jnp.cumprod(
+                        (draft == g[:, :-1]).astype(jnp.int32), axis=1)
+                    m = (1 + jnp.sum(agree, axis=1)).astype(jnp.int32)
+                    if force:  # ceiling instrument (never serve with it)
+                        m = jnp.full_like(m, k + 1)
+                    if eos_id is not None:
+                        pos_i = jnp.arange(k + 1, dtype=jnp.int32)[None]
+                        is_eos = (g == eos_id) & (pos_i < m[:, None])
+                        first = jnp.min(jnp.where(is_eos, pos_i, k + 1),
+                                        axis=1)
+                        m = jnp.minimum(m, first + 1).astype(jnp.int32)
+                        done_new = jnp.any(is_eos, axis=1)
+                    else:
+                        done_new = jnp.zeros((B,), bool)
+                    m = jnp.minimum(m, budget - cnt)
+                    m = jnp.where(done, 0, m).astype(jnp.int32)
+                    done = done | done_new | (cnt + m >= budget)
+                    # per-row writes at each row's own offset; rows with
+                    # m=0 write garbage past their count — ignored by cnt /
+                    # hist_len bounds and overwritten next round
+                    wrow = lambda buf, vals, at: jax.lax.dynamic_update_slice(
+                        buf, vals, (at,))
+                    out = jax.vmap(wrow)(out, g, cnt)
+                    hist = jax.vmap(wrow)(hist, g, hist_len)
+                    hist_len = hist_len + m
+                    cnt = cnt + m
+                    cache2 = dict(cache2)
+                    cache2["pos"] = (pos0 + m).astype(pos0.dtype)
+                    nxt = jnp.take_along_axis(
+                        g, jnp.clip(m - 1, 0, k)[:, None], axis=1)
+                    tok = jnp.where(m[:, None] > 0, nxt, tok)
+                    return tok, cache2, hist, hist_len, out, cnt, done
+
+                cnt0 = jnp.zeros((B,), jnp.int32)
+                _, cache, hist, hist_len, out, cnt, _ = jax.lax.fori_loop(
+                    0, n_rounds, body,
+                    (tok, cache, hist, hist_len, out0, cnt0, done0))
+                return out, cnt, cache, hist, hist_len
+
+            self._jit[key] = block
+        return self._jit[key]
+
+    def _spec_decode_block(self):
+        tok = np.zeros((self.slots, 1), np.int32)
+        active = np.zeros((self.slots,), bool)
+        budget = np.zeros((self.slots,), np.int32)
+        for i, r in enumerate(self._active):
+            if r is not None and not r.done:
+                tok[i, 0] = r.next_tok
+                active[i] = True
+                budget[i] = r.max_new_tokens - len(r.out)
+        if not active.any():
+            return
+        block = self._spec_block_fn(self.steps_per_block)
+        out, cnt, self.cache, self.hist, self.hist_len = block(
+            self.params, jnp.asarray(tok), jnp.asarray(active), self.cache,
+            self.hist, self.hist_len, jnp.asarray(budget))
+        out, cnt = np.asarray(out), np.asarray(cnt)
+        self.spec_emitted += int(cnt.sum())
+        self.spec_row_rounds += int(active.sum()) * self.steps_per_block
+        for i, r in enumerate(self._active):
+            if r is None or r.done:
+                continue
+            for t in out[i, :cnt[i]]:
+                t = int(t)
+                if self.eos_id is not None and t == self.eos_id:
+                    r.done = True
+                    break
+                r.out.append(t)
+                r.next_tok = t
+                if len(r.out) >= r.max_new_tokens:
+                    r.done = True
+                    break
+
     def _decode_block(self):
+        if self.spec_k:
+            return self._spec_decode_block()
         n = self.steps_per_block
         tok = np.zeros((self.slots, 1), np.int32)
         active = np.zeros((self.slots,), bool)

@@ -194,9 +194,17 @@ class Generator:
         Growth is sticky: one long request raises ``max_len`` for all later
         requests on this Generator (they then pay the wider decode-attention
         mask). For mixed long/short serving, use separate Generators per
-        length class or reset ``max_len`` explicitly between phases."""
+        length class, call :meth:`reset_capacity` between phases, or use the
+        slot-pool ``ServingEngine`` (fixed ``max_len`` by construction)."""
         if n > self.max_len:
             self.max_len = bucket_len(n)
+
+    def reset_capacity(self, n: int = 32):
+        """Shrink ``max_len`` back down (undo sticky growth) so later short
+        requests stop paying a long past request's decode-attention width.
+        Cached closures key on cache shapes, so subsequent calls simply
+        retrace at the smaller size; in-flight caches are unaffected."""
+        self.max_len = bucket_len(max(n, 32))
 
     def prefill(self, tokens_or_embeds: jax.Array, positions=None
                 ) -> Tuple[jax.Array, Dict]:

@@ -48,22 +48,21 @@ def main():
     params, state = init_w4a8_on_device(cfg, key)
     prefix = list(range(1, PREFIX + 1))
     suffix = list(range(3000, 3000 + SUFFIX))
-    mk = lambda: ServingEngine(cfg, params, specs=llm_specs(), state=state,
-                               mode="real", slots=2, max_len=2048)
-
-    eng = mk()
+    # ONE engine for both variants (a second engine's cache+jits OOM a 16G
+    # chip next to the 7B int8 weights): cold first, then register + warm
+    eng = ServingEngine(cfg, params, specs=llm_specs(), state=state,
+                        mode="real", slots=2, max_len=2048)
     cold = time_admission(eng, prefix, suffix)
     print(f"admission w/o prefix cache ({PREFIX}+{SUFFIX} tokens): "
           f"{cold * 1e3:.1f} ms", flush=True)
 
-    eng2 = mk()
     t0 = time.perf_counter()
-    eng2.register_prefix(prefix)
+    eng.register_prefix(prefix)
     reg = time.perf_counter() - t0
-    warm = time_admission(eng2, prefix, suffix)
+    warm = time_admission(eng, prefix, suffix)
     print(f"admission with prefix cache: {warm * 1e3:.1f} ms "
           f"(-{(1 - warm / cold) * 100:.1f}%; one-off register "
-          f"{reg * 1e3:.0f} ms incl. compile; hits={eng2.prefix_hits})",
+          f"{reg * 1e3:.0f} ms incl. compile; hits={eng.prefix_hits})",
           flush=True)
 
 

@@ -250,3 +250,58 @@ class TestChunkedAdmission:
         ref = gen.generate_on_device(jnp.asarray(emb)[None],
                                      max_new_tokens=5)
         assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
+
+
+class TestEngineSpeculative:
+    """Batched self-speculation in the slot pool (spec_k > 0): outputs must
+    equal the plain engine token-for-token — per-row acceptance and pos
+    rollback are invisible in the output, only in how many forwards ran."""
+
+    def _run_both(self, prompts, n, eos_id=None, seed=20, **kw):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(seed))
+        a = ServingEngine(cfg, params, slots=2, max_len=128,
+                          steps_per_block=3, eos_id=eos_id, **kw)
+        ra = [a.submit(p, max_new_tokens=n) for p in prompts]
+        outs_a = a.run()
+        b = ServingEngine(cfg, params, slots=2, max_len=128,
+                          steps_per_block=2, eos_id=eos_id, spec_k=4, **kw)
+        rb = [b.submit(p, max_new_tokens=n) for p in prompts]
+        outs_b = b.run()
+        for x, y in zip(ra, rb):
+            assert outs_a[x] == outs_b[y], (outs_a[x], outs_b[y])
+        return cfg, params, outs_a, ra
+
+    def test_spec_pool_matches_plain(self):
+        self._run_both([list(range(1, 8)), [5, 9, 2, 7, 5, 9, 2, 7],
+                        list(range(40, 51))], 9)
+
+    def test_spec_pool_continuous_admission(self):
+        # more requests than slots → admission into a mid-speculation pool
+        self._run_both([list(range(1, 6)), list(range(20, 29)),
+                        [30, 31, 32], [7, 7, 7, 7]], 6)
+
+    def test_spec_pool_eos(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(21))
+        p = [5, 9, 2, 7, 5, 9, 2, 7]
+        base = _solo(cfg, params, p, 12)
+        eos = base[len(base) // 2]  # mid-stream eos exercises the trim
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2, eos_id=eos, spec_k=4)
+        rid = eng.submit(p, max_new_tokens=12)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 12, eos_id=eos)
+
+    def test_spec_with_prefix_and_kvquant(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(22))
+        sys_p = list(range(10, 22))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2, spec_k=3, kv_quant=True)
+        eng.register_prefix(sys_p)
+        p = sys_p + [3, 1, 4]
+        rid = eng.submit(p, max_new_tokens=7)
+        outs = eng.run()
+        assert outs[rid] == _solo(cfg, params, p, 7, kv_quant=True)
+        assert eng.prefix_hits == 1

@@ -1,6 +1,7 @@
 """Chat templating + resolution bucketing tests."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -364,3 +365,42 @@ class TestFusedEosEarlyExit:
             ref = [int(t) for t in np.asarray(ref)[0]]
             ref = ref[:ref.index(eos)] if eos in ref else ref
             assert got == ref, (seq, got, ref)
+
+
+class TestCapacityReset:
+    def test_reset_capacity_shrinks_and_serves(self):
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=1, n_heads=4,
+                            n_kv_heads=2, intermediate=48, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        gen = Generator(cfg, params, max_len=64)
+        long_p = jnp.ones((1, 100), jnp.int32)
+        ref_long = gen.generate_on_device(long_p, max_new_tokens=4)
+        assert gen.max_len >= 128  # sticky growth happened
+        short = jnp.arange(1, 9)[None]
+        ref_short = gen.generate_on_device(short, max_new_tokens=4)
+        gen.reset_capacity(16)
+        assert gen.max_len == 32
+        out = gen.generate_on_device(short, max_new_tokens=4)
+        assert (np.asarray(out) == np.asarray(ref_short)).all()
+
+
+class TestEngineStats:
+    def test_stats_shape(self):
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.engine import ServingEngine
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=1, n_heads=4,
+                            n_kv_heads=2, intermediate=48, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+        eng = ServingEngine(cfg, params, slots=2, max_len=64, spec_k=3,
+                            steps_per_block=2)
+        eng.submit([1, 2, 3], max_new_tokens=40)
+        s0 = eng.stats()
+        assert s0["queued"] == 1 and s0["active"] == 0
+        eng.step_block()
+        s1 = eng.stats()  # 40 tokens can't finish in one 2-round block
+        assert s1["occupancy"] > 0 and s1["spec_accept_per_round"] >= 1.0
+        eng.run()
