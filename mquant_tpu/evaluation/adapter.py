@@ -185,6 +185,57 @@ class VLMRunner:
                                        positions=positions)
         return [self.tok.decode(o) for o in outs]
 
+    def serve_engine(self, prompts, max_new_tokens: Optional[int] = None,
+                     engine=None, slots: int = 4, steps_per_block: int = 8,
+                     spec_k: int = 0, admit_chunk: int = 0):
+        """Serve VLM prompts through the continuous-batching ``ServingEngine``
+        (the production path): per-prompt vision encode + splice here, then
+        each spliced embedding sequence is submitted as a pool request with
+        its M-RoPE positions — admissions/retirements happen at fused-block
+        boundaries, so mixed-length VLM workloads share the weight streams
+        without barrier-synchronizing on the slowest request. Pass
+        ``engine=`` to reuse a warm engine (with its prefix cache / compiled
+        blocks) across calls. Returns decoded strings in prompt order."""
+        from ..serve.engine import ServingEngine
+        from ..serve.generate import bucket_len
+
+        max_new = max_new_tokens or self.max_new_tokens
+        reqs = []
+        tmax = 0
+        for p in prompts:
+            toks, encoded = self.build_inputs(p)
+            mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
+            pos = None
+            if self.fam.name == "qwen2vl":
+                from ..models.qwen2vl import mrope_positions
+
+                grids = [g for g in mrope_grids if g is not None]
+                pos = mrope_positions(np.asarray(toks),
+                                      self.cfg.image_token_id,
+                                      grid_thw=grids or None)
+                pos = np.asarray(pos)[:, 0] if np.ndim(pos) == 3 else pos
+            emb = _embed_with_quant(
+                self.fam, self.cfg, self.params,
+                {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
+                self.specs, self.state, self.mode)
+            reqs.append((np.asarray(emb[0]), pos))
+            tmax = max(tmax, int(emb.shape[1]))
+        eos = getattr(self.tok, "eos_id", -1)
+        if engine is None:
+            engine = ServingEngine(
+                self.cfg.llm, self.params["llm"], specs=self.specs,
+                state=self.state, mode=self.mode, slots=slots,
+                # whole-prompt admission writes the padded prompt bucket;
+                # speculation overhangs by spec_k rows before rollback
+                max_len=bucket_len(bucket_len(tmax, 16) + max_new + spec_k),
+                eos_id=eos if eos >= 0 else None,
+                steps_per_block=steps_per_block, spec_k=spec_k,
+                admit_chunk=admit_chunk)
+        rids = [engine.submit(e, max_new_tokens=max_new, positions=pos)
+                for e, pos in reqs]
+        outs = engine.run()
+        return [self.tok.decode(outs[r]) for r in rids]
+
     def generate(self, prompt: Dict, max_new_tokens: Optional[int] = None) -> str:
         """prompt: {"text": str, "image": np.ndarray | None} → decoded text."""
         max_new = max_new_tokens or self.max_new_tokens

@@ -230,6 +230,43 @@ def score_chartqa(rows: List[dict]) -> Dict[str, float]:
     return {"score": 100.0 * total / max(len(rows), 1)}
 
 
+# ---------------------------------------------------------------------------
+# HallusionBench (aAcc / qAcc / fAcc)
+# ---------------------------------------------------------------------------
+
+
+def score_hallusion(rows: List[dict]) -> Dict[str, float]:
+    """HallusionBench protocol: per-row yes/no accuracy (aAcc) plus two
+    all-or-nothing group accuracies — a QUESTION counts only if every
+    visual variant of it is answered correctly (qAcc, grouped by
+    category/set/question), and a FIGURE counts only if every question
+    about it is correct (fAcc, grouped by category/set/figure). Row fields:
+    ``answer`` (yes/no or 1/0), ``prediction``, and the grouping ids
+    ``category``/``set_id``/``figure_id``/``question_id`` (the
+    HallusionBench TSV columns). Unparseable predictions are wrong."""
+    qa_groups: Dict[str, List[bool]] = {}
+    fig_groups: Dict[str, List[bool]] = {}
+    hits = []
+    for r in rows:
+        gt = str(r.get("answer", "")).strip().lower()
+        gt = {"1": "yes", "0": "no"}.get(gt, gt)
+        hit = extract_yes_no(r["prediction"]) == gt
+        hits.append(hit)
+        cat = r.get("l2-category", r.get("category", ""))
+        sid = r.get("set_id", "")
+        qa_groups.setdefault(
+            f"{cat}|{sid}|{r.get('question_id', '')}", []).append(hit)
+        fig_groups.setdefault(
+            f"{cat}|{sid}|{r.get('figure_id', '')}", []).append(hit)
+
+    def allacc(groups):
+        return 100.0 * sum(all(v) for v in groups.values()) / max(len(groups), 1)
+
+    return {"score": 100.0 * sum(hits) / max(len(hits), 1),
+            "aAcc": 100.0 * sum(hits) / max(len(hits), 1),
+            "qAcc": allacc(qa_groups), "fAcc": allacc(fig_groups)}
+
+
 SCORERS = {
     "MME": score_mme,
     "MMBench": score_mcq,
@@ -242,4 +279,5 @@ SCORERS = {
     "POPE": score_pope,
     "ChartQA_TEST": score_chartqa,
     "ChartQA": score_chartqa,
+    "HallusionBench": score_hallusion,
 }

@@ -456,3 +456,82 @@ class TestBatchedRunner:
         batched = r.generate_batch(prompts)
         serial = [r.generate(p) for p in prompts]
         assert batched == serial, (batched, serial)
+
+
+class TestEngineRunner:
+    """VLMRunner.serve_engine: VLM prompts through the continuous-batching
+    slot pool (vision encode + splice + M-RoPE per request) must match
+    serial generation exactly."""
+
+    def test_engine_matches_serial_qwen2vl(self):
+        import jax
+        import numpy as np
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        r = VLMRunner("qwen2vl", cfg, params, max_new_tokens=4, max_len=512)
+        rng = np.random.default_rng(2)
+        prompts = [
+            {"text": "one", "image": rng.random((16, 16, 3)).astype(np.float32)},
+            {"text": "what is in the picture?",
+             "image": rng.random((24, 24, 3)).astype(np.float32)},
+            {"text": "text only row", "image": None},
+        ]
+        served = r.serve_engine(prompts, slots=2, steps_per_block=2)
+        serial = [r.generate(p) for p in prompts]
+        assert served == serial, (served, serial)
+
+    def test_engine_spec_matches_serial(self):
+        """Pool speculation composes with the VLM path (embeds requests
+        draft from generated ids only)."""
+        import jax
+        import numpy as np
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.minicpmv import (MiniCPMVConfig,
+                                                init_minicpmv_params)
+
+        cfg = MiniCPMVConfig.tiny()
+        params = init_minicpmv_params(cfg, jax.random.key(0))
+        r = VLMRunner("minicpmv", cfg, params, max_new_tokens=6, max_len=512)
+        rng = np.random.default_rng(3)
+        prompts = [
+            {"text": "one", "image": rng.random((16, 16, 3)).astype(np.float32)},
+            {"text": "two", "image": None},
+        ]
+        served = r.serve_engine(prompts, slots=2, steps_per_block=2,
+                                spec_k=3)
+        serial = [r.generate(p) for p in prompts]
+        assert served == serial, (served, serial)
+
+
+class TestHallusionScorer:
+    def test_aAcc_qAcc_fAcc(self):
+        from mquant_tpu.evaluation.scoring import score_hallusion
+
+        # question q0 has two visual variants (fig 0 and 1): one wrong →
+        # qAcc for q0 fails. figure 0 has two questions: both right → fAcc
+        # counts it; figure 1's single question is wrong.
+        rows = [
+            dict(category="c", set_id=0, figure_id=0, question_id=0,
+                 answer="yes", prediction="Yes, it is."),
+            dict(category="c", set_id=0, figure_id=0, question_id=1,
+                 answer="no", prediction="no"),
+            dict(category="c", set_id=0, figure_id=1, question_id=0,
+                 answer="1", prediction="no"),
+        ]
+        s = score_hallusion(rows)
+        assert abs(s["aAcc"] - 100 * 2 / 3) < 1e-6
+        assert abs(s["qAcc"] - 50.0) < 1e-6   # q1 all-correct, q0 not
+        assert abs(s["fAcc"] - 50.0) < 1e-6   # fig0 all-correct, fig1 not
+
+    def test_unparseable_is_wrong(self):
+        from mquant_tpu.evaluation.scoring import score_hallusion
+
+        rows = [dict(category="c", set_id=0, figure_id=0, question_id=0,
+                     answer="yes", prediction="maybe??")]
+        assert score_hallusion(rows)["aAcc"] == 0.0
