@@ -131,6 +131,9 @@ class TSVDataset(EvalDataset):
             out["group"] = row["group"]
         if row.get("image_id") or row.get("image_path"):
             out["image_id"] = row.get("image_id") or row.get("image_path")
+        for k in ("l2-category", "set_id", "figure_id", "question_id"):
+            if row.get(k) is not None:  # HallusionBench grouping columns
+                out[k] = row[k]
         return out
 
 
@@ -144,7 +147,9 @@ def _infer_scorer(name: str) -> str:
         return "ANLS"
     if "ocr" in n:
         return "OCRBench"
-    if "pope" in n or "hallusion" in n:
+    if "hallusion" in n:
+        return "HallusionBench"
+    if "pope" in n:
         return "POPE"
     if "chartqa" in n:
         return "ChartQA"

@@ -535,3 +535,34 @@ class TestHallusionScorer:
         rows = [dict(category="c", set_id=0, figure_id=0, question_id=0,
                      answer="yes", prediction="maybe??")]
         assert score_hallusion(rows)["aAcc"] == 0.0
+
+
+class TestHallusionDataset:
+    def test_tsv_hallusion_end_to_end(self, tmp_path):
+        """HallusionBench TSV → grouping columns flow through build_prompt →
+        the dedicated scorer reports aAcc/qAcc/fAcc."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        from mquant_tpu.evaluation.eval import TSVDataset
+
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        p = tmp_path / "HallusionBench.tsv"
+        p.write_text(
+            "index\tquestion\tanswer\tcategory\tl2-category\tset_id\t"
+            "figure_id\tquestion_id\timage\n"
+            f"0\tIs A bigger?\t1\tVD\tillusion\t0\t0\t0\t{b64}\n"
+            f"1\tIs A bigger?\t0\tVD\tillusion\t0\t1\t0\t{b64}\n")
+        ds = TSVDataset(str(p))
+        assert ds.scorer == "HallusionBench"
+        pr = ds.build_prompt(0)
+        assert pr["set_id"] == "0" or pr["set_id"] == 0
+        m = ds.evaluate([{**ds.build_prompt(i), "prediction": "yes"}
+                         for i in range(2)])
+        assert m["aAcc"] == pytest.approx(50.0)
+        assert "qAcc" in m and "fAcc" in m
