@@ -218,7 +218,10 @@ class VLMRunner:
                 self.fam, self.cfg, self.params,
                 {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
                 self.specs, self.state, self.mode)
-            reqs.append((np.asarray(emb[0]), pos))
+            # token ids ride along for speculation (prompt-lookup drafts can
+            # then copy from the prompt — OCR/doc-QA answers quote context)
+            reqs.append((np.asarray(emb[0]), pos,
+                         np.asarray(toks).reshape(-1) if spec_k else None))
             tmax = max(tmax, int(emb.shape[1]))
         eos = getattr(self.tok, "eos_id", -1)
         if engine is None:
@@ -231,8 +234,9 @@ class VLMRunner:
                 eos_id=eos if eos >= 0 else None,
                 steps_per_block=steps_per_block, spec_k=spec_k,
                 admit_chunk=admit_chunk)
-        rids = [engine.submit(e, max_new_tokens=max_new, positions=pos)
-                for e, pos in reqs]
+        rids = [engine.submit(e, max_new_tokens=max_new, positions=pos,
+                              draft_ids=ids)
+                for e, pos, ids in reqs]
         outs = engine.run()
         return [self.tok.decode(outs[r]) for r in rids]
 

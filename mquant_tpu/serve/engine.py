@@ -65,6 +65,7 @@ class _Request:
     done: bool = False
     slot: int = -1
     next_tok: int = 0  # next token to feed (the last emitted one)
+    draft_ids: Any = None  # embeds prompts: known token ids for drafting
 
 
 @dataclasses.dataclass
@@ -147,11 +148,15 @@ class ServingEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
-               positions=None) -> int:
+               positions=None, draft_ids=None) -> int:
         """Queue a request. ``tokens_or_embeds``: (T,) int ids or (T, H)
         spliced embeds (VLM prompts). ``positions``: optional per-token
         position ids — (T,) or M-RoPE (3, T)/(3, 1, T) (image prompts);
         decode continues at max(position)+1 per row (HF rope_deltas parity).
+        ``draft_ids``: optional token ids of an embeds prompt (the VLM
+        runner knows them even though it submits embeds) — with ``spec_k``
+        they seed the slot's n-gram history so drafts can copy from the
+        prompt (OCR / document-QA answers largely quote their context).
         Returns a request id."""
         arr = np.asarray(tokens_or_embeds)
         assert arr.ndim in (1, 2), arr.shape
@@ -173,7 +178,9 @@ class ServingEngine:
             elif positions.ndim == 3:
                 positions = positions[:, 0]
             assert positions.shape == (3, T), positions.shape
-        r = _Request(self._next_rid, arr, max_new_tokens, positions=positions)
+        r = _Request(self._next_rid, arr, max_new_tokens, positions=positions,
+                     draft_ids=None if draft_ids is None
+                     else np.asarray(draft_ids, np.int32).reshape(-1))
         self._next_rid += 1
         self._queue.append(r)
         return r.rid
@@ -414,14 +421,17 @@ class ServingEngine:
             r.out.append(tok)
             r.done = len(r.out) >= r.max_new_tokens
         if self.spec_k:
-            # seed the slot's draft history: prompt ids (when the prompt IS
-            # ids — embeds prompts draft from generated text only) + the
-            # first token
+            # seed the slot's draft history: prompt ids (direct, or the
+            # caller-supplied draft_ids for embeds prompts — image-pad ids
+            # included: they never match generated text, so they only cost
+            # buffer space) + the first token
             row = np.zeros((self.hist.shape[1],), np.int32)
+            ids = (r.tokens_or_embeds if r.tokens_or_embeds.ndim == 1
+                   else r.draft_ids)
             n = 0
-            if r.tokens_or_embeds.ndim == 1:
-                n = r.tokens_or_embeds.shape[0]
-                row[:n] = r.tokens_or_embeds
+            if ids is not None:
+                n = min(int(ids.shape[0]), self.hist.shape[1] - 1)
+                row[:n] = ids[:n]
             row[n] = tok
             self.hist = self.hist.at[slot].set(jnp.asarray(row))
             self.hist_len = self.hist_len.at[slot].set(n + 1)

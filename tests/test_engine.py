@@ -305,3 +305,28 @@ class TestEngineSpeculative:
         outs = eng.run()
         assert outs[rid] == _solo(cfg, params, p, 7, kv_quant=True)
         assert eng.prefix_hits == 1
+
+
+class TestDraftIds:
+    def test_embeds_with_draft_ids_matches_and_seeds(self):
+        """Embeds requests with caller-supplied token ids: hist seeded with
+        the prompt so drafts can quote it; output unchanged (exactness is
+        draft-independent)."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(30))
+        ids = np.asarray(list(range(3, 10)), np.int64)
+        emb = np.asarray(params["embed"]["w"])[ids].astype(np.float32)
+        ref = Generator(cfg, params, max_len=128).generate_on_device(
+            jnp.asarray(emb)[None], max_new_tokens=6)
+        eng = ServingEngine(cfg, params, slots=1, max_len=128, spec_k=3,
+                            steps_per_block=2)
+        rid = eng.submit(emb, max_new_tokens=6, draft_ids=ids)
+        # step_block = admit + one decode block: hist starts from the seeded
+        # prompt ids (+ first token + the block's emissions)
+        eng.step_block()
+        assert int(np.asarray(eng.hist_len)[0]) >= len(ids) + 1
+        assert list(np.asarray(eng.hist)[0, :len(ids)]) == list(ids)
+        outs = eng.step_block()
+        while rid not in outs:
+            outs.update(eng.step_block())
+        assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]

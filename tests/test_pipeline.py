@@ -169,3 +169,42 @@ class TestNsamplesBound:
         monkeypatch.setattr(D, "gptq_quantize_decoder", spy)
         PL.quantize_weights(fam, cfg, params, specs, q, batches)
         assert seen["rows"] == 2
+
+
+class TestArtifactServing:
+    def test_artifact_into_engine(self, tmp_path):
+        """The persisted quantization artifact (params + static scales +
+        specs) loads straight into the ServingEngine — the deploy path:
+        quantize once, serve from the artifact."""
+        import jax
+        import numpy as np
+
+        from mquant_tpu.core.quant import QuantParams
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           init_decoder_params)
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.generate import Generator
+        from mquant_tpu.utils.checkpoint import load_artifact, save_artifact
+
+        cfg = DecoderConfig(vocab=96, hidden=48, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(40))
+        specs = {f"llm.{n}": SiteSpec(w_bits=8, a_bits=8, a_static=True)
+                 for n in LLM_SITES}
+        state = {f"llm.{n}": {"act": QuantParams(
+            scale=jnp.full((2,), 0.05, jnp.float32))} for n in LLM_SITES}
+        art = str(tmp_path / "art")
+        save_artifact(art, {"llm": params}, state=state, specs=specs,
+                      meta={"family": "test"})
+        p2, s2, specs2, _ = load_artifact(art)
+
+        prompt = list(range(1, 9))
+        ref = Generator(cfg, params, specs=specs, state=state, mode="fake",
+                        max_len=128).generate(
+            jnp.asarray(prompt)[None], max_new_tokens=6)
+        eng = ServingEngine(cfg, p2["llm"], specs=specs2, state=s2,
+                            mode="fake", slots=2, max_len=128)
+        rid = eng.submit(prompt, max_new_tokens=6)
+        outs = eng.run()
+        assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
