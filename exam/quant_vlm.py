@@ -44,6 +44,9 @@ def parser_gen(model_default=None):
     p.add_argument("--llm_split", action="store_true")
     p.add_argument("--online_visual_hadamard", action="store_true")
     p.add_argument("--visual_split", action="store_true")
+    p.add_argument("--smooth_alpha", type=float, default=0.0,
+                   help="SmoothQuant-style migration before rotation "
+                        "(0 = off; beyond the reference)")
     p.add_argument("--fp32_had", action="store_true",
                    help="accepted for flag parity; the online Hadamard always "
                         "accumulates in fp32 on TPU")
@@ -110,6 +113,7 @@ def main(args=None):
         online_llm_hadamard=args.online_llm_hadamard, llm_split=args.llm_split,
         online_had_mode=args.online_had_mode,
         online_visual_hadamard=args.online_visual_hadamard,
+        smooth_alpha=args.smooth_alpha,
         visual_split=args.visual_split,
         visual_w_bits=args.visual_w_bits, llm_w_bits=args.llm_w_bits,
         visual_w_rtn=args.visual_w_rtn and not args.visual_w_gptq,

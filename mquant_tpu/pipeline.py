@@ -64,6 +64,8 @@ class QuantizeConfig:
     llm_split: bool = True
     online_visual_hadamard: bool = False  # ref: exam/quant_qwenvl.py --online_visual_hadamard
     visual_split: bool = False  # ref: --visual_split (fc2/c_proj RMS split)
+    smooth_alpha: float = 0.0  # >0: SmoothQuant-style migration before
+    # rotation (transform/smooth.py — beyond the reference)
     # weight quantization
     visual_w_bits: int = 8
     llm_w_bits: int = 4
@@ -481,27 +483,11 @@ def run_pipeline(model: str, q: QuantizeConfig,
     specs = build_specs(fam, q)
 
     info = {}
-    if q.rotate:
-        from .transform.vlm_recipes import prepare_vlm
-
-        params, info = prepare_vlm(
-            fam.name, cfg, params, jax.random.fold_in(key, 1),
-            rotate_visual=q.rotate_visual, rotate_llm=q.rotate_llm,
-            mode=q.rotate_mode,
-            online_had_down=q.online_llm_hadamard and q.rotate_llm,
-            online_had_mode=q.online_had_mode,
-            split_down=q.llm_split and q.rotate_llm,
-            online_had_visual=q.online_visual_hadamard,
-            split_visual=q.visual_split)
-        pad = getattr(info.get("llm"), "down_pad", 0)
-        if pad:
-            cfg = dataclasses.replace(
-                cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
-        log.info(f"fuse+rotate done: {info}")
-
     if calib_batches is None and calib_dataset:
         # real multimodal-prompt calibration (ref: calib_vqa_plus) — rows go
-        # through the SAME chat-template + bucket construction as serving
+        # through the SAME chat-template + bucket construction as serving.
+        # Built before any transform: batch content (tokens/patches) does
+        # not depend on weight values.
         from .evaluation.adapter import VLMRunner, calib_batches_from_dataset
         from .evaluation.eval import build_dataset
 
@@ -513,6 +499,36 @@ def run_pipeline(model: str, q: QuantizeConfig,
     if calib_batches is None:
         calib_batches = synthetic_calib_batches(
             fam, cfg, max(1, q.calib_num // 16), jax.random.fold_in(key, 2))
+
+    if q.smooth_alpha > 0:
+        # migration must precede rotation (rotation mixes channels)
+        from .transform.smooth import (collect_llm_channel_amax,
+                                       smooth_decoder)
+
+        amax = collect_llm_channel_amax(fam, cfg, params, calib_batches)
+        params = dict(params)
+        params["llm"] = smooth_decoder(params["llm"], amax, q.smooth_alpha)
+        info["smooth_alpha"] = q.smooth_alpha
+        log.info(f"smoothquant migration applied (alpha={q.smooth_alpha})")
+
+    if q.rotate:
+        from .transform.vlm_recipes import prepare_vlm
+
+        params, rinfo = prepare_vlm(
+            fam.name, cfg, params, jax.random.fold_in(key, 1),
+            rotate_visual=q.rotate_visual, rotate_llm=q.rotate_llm,
+            mode=q.rotate_mode,
+            online_had_down=q.online_llm_hadamard and q.rotate_llm,
+            online_had_mode=q.online_had_mode,
+            split_down=q.llm_split and q.rotate_llm,
+            online_had_visual=q.online_visual_hadamard,
+            split_visual=q.visual_split)
+        info.update(rinfo)
+        pad = getattr(info.get("llm"), "down_pad", 0)
+        if pad:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
+        log.info(f"fuse+rotate done: {info}")
 
     params, wqps = quantize_weights(fam, cfg, params, specs, q, calib_batches)
     log.info("weight quantization done")

@@ -44,22 +44,42 @@ def main():
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     key = jax.random.key(0)
 
-    cfg = make_cfg(DEPTH)
-    params = init_bf16_on_device(cfg, key)
-    gen = Generator(cfg, params, mode="fp", max_len=T + 16)
-    tb = time_chunked(gen, T, chunk)
-    print(f"bf16  chunked prefill T={T} chunk={chunk}: {tb * 1e3:.1f} ms",
-          flush=True)
-    del params, gen
+    # bf16 7B at long context does not fit one 16G chip (params ~15.1G +
+    # 16k KV ~0.94G + activations → measured 18.67G requested). Report the
+    # capacity fact rather than a latency bf16 can't produce.
+    tb = None
+    if os.environ.get("TRY_BF16", "1") == "1":
+        params = gen = None
+        try:
+            cfg = make_cfg(DEPTH)
+            params = init_bf16_on_device(cfg, key)
+            gen = Generator(cfg, params, mode="fp", max_len=T + 16)
+            tb = time_chunked(gen, T, chunk)
+            print(f"bf16  chunked prefill T={T} chunk={chunk}: "
+                  f"{tb * 1e3:.1f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001 — report OOM as the datapoint
+            print(f"bf16  chunked prefill T={T}: DOES NOT FIT one 16G chip "
+                  f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+            tb = None
+        finally:
+            # free the bf16 weights even on the OOM path, or they poison
+            # the quantized run below
+            del params, gen
+            import gc
+
+            gc.collect()
 
     pad = auto_pad_size(make_cfg(DEPTH).intermediate)
     cfgq = make_cfg(DEPTH, intermediate_pad=pad)
     params, state = init_w4a8_on_device(cfgq, key)
-    gen = Generator(cfgq, params, specs=llm_specs(), state=state,
-                    mode="real", max_len=T + 16)
-    tq = time_chunked(gen, T, chunk)
-    print(f"w4a8  chunked prefill T={T} chunk={chunk}: {tq * 1e3:.1f} ms "
-          f"(-{(1 - tq / tb) * 100:.1f}%)", flush=True)
+    for Tq in (T, 2 * T):
+        gen = Generator(cfgq, params, specs=llm_specs(), state=state,
+                        mode="real", max_len=Tq + 16)
+        tq = time_chunked(gen, Tq, chunk)
+        extra = (f" (-{(1 - tq / tb) * 100:.1f}% vs bf16)"
+                 if tb is not None and Tq == T else "")
+        print(f"w4a8  chunked prefill T={Tq} chunk={chunk}: "
+              f"{tq * 1e3:.1f} ms{extra}", flush=True)
 
 
 if __name__ == "__main__":
