@@ -119,6 +119,7 @@ class ServingEngine:
         self._prefixes: List[Any] = []
         self.prefix_hits = 0
         self._next_rid = 0
+        self._requests: Dict[int, _Request] = {}  # rid → request (all states)
         self.cache = init_cache(cfg, slots, max_len, quantized=kv_quant)
         self.cache["pos"] = jnp.zeros((slots,), jnp.int32)
         self.cache["rope_delta"] = jnp.zeros((slots,), jnp.int32)
@@ -183,7 +184,15 @@ class ServingEngine:
                      else np.asarray(draft_ids, np.int32).reshape(-1))
         self._next_rid += 1
         self._queue.append(r)
+        self._requests[r.rid] = r
         return r.rid
+
+    def partial_output(self, rid: int) -> List[int]:
+        """Tokens emitted so far for a request (streaming observability).
+        Safe to call between ``step_block`` ticks; eos never appears (it is
+        dropped before appending), so snapshots are prefixes of the final
+        output."""
+        return list(self._requests[rid].out)
 
     def register_prefix(self, tokens) -> None:
         """Prefill a shared prompt prefix (a system prompt) ONCE and store

@@ -1,0 +1,346 @@
+"""HTTP serving front-end: an OpenAI-style API over the continuous-batching
+engine.
+
+The reference has no serving stack at all (SURVEY §1: inference is the
+fake-quantized model inside VLMEvalKit's eval loop); this module is the
+production-deployment surface a quantization framework needs to be usable:
+one scheduler thread owns the :class:`~mquant_tpu.serve.engine.ServingEngine`
+(JAX dispatch stays single-threaded), HTTP handler threads submit requests
+and block on per-request events, and streaming responses relay tokens at
+fused-block boundaries (``steps_per_block`` tokens per SSE chunk — the
+scheduler's natural host-visible granularity).
+
+Endpoints (JSON bodies, stdlib-only — no web framework):
+
+- ``POST /v1/completions``  — {"prompt": "text" | [ids], "max_tokens": N,
+  "stream": bool}. Text prompts need a tokenizer (``encode``/``decode``);
+  id prompts work bare and return ``{"tokens": [...]}``.
+- ``POST /v1/chat/completions`` — {"messages": [{"role","content"},...]}.
+  Rendered through the family chat template (serve/chat.py).
+- ``GET /v1/models`` · ``GET /health`` · ``GET /metrics`` (Prometheus text:
+  queue depth, slot occupancy, prefix hits, token/request counters,
+  speculation acceptance).
+
+Threading model: ``EngineWorker`` drains a thread-safe submission queue into
+the engine and calls ``engine.step_block()`` while any request is in flight;
+everything that touches device state happens on that one thread. Handlers
+never see the engine — only ``_Pending`` objects resolved by the worker.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+from .engine import ServingEngine
+
+
+class _Pending:
+    """One in-flight request as seen by an HTTP handler thread."""
+
+    def __init__(self, submit_kwargs: Dict[str, Any]):
+        self.submit_kwargs = submit_kwargs
+        self.rid: Optional[int] = None
+        self.done = threading.Event()
+        self.tokens: List[int] = []
+        self.error: Optional[str] = None
+        # streaming: worker appends per-block deltas; handler drains
+        self.deltas: "queue.Queue[Optional[List[int]]]" = queue.Queue()
+        self._sent = 0  # tokens already pushed as deltas
+
+    def push_progress(self, out: List[int], final: bool):
+        if len(out) > self._sent:
+            self.deltas.put(out[self._sent:])
+            self._sent = len(out)
+        if final:
+            self.tokens = out
+            self.deltas.put(None)  # stream sentinel
+            self.done.set()
+
+
+class EngineWorker:
+    """Owns the engine; the only thread that touches JAX state.
+
+    submit() is thread-safe and returns a :class:`_Pending`; the worker
+    admits queued submissions at block boundaries (the engine's own
+    continuous-batching semantics) and resolves them when they retire.
+    """
+
+    def __init__(self, engine: ServingEngine, poll_s: float = 0.005):
+        self.engine = engine
+        self.poll_s = poll_s
+        self._inbox: "queue.Queue[_Pending]" = queue.Queue()
+        self._inflight: Dict[int, _Pending] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self.requests_total = 0
+        self.tokens_total = 0
+        self.started = time.time()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mquant-engine-worker")
+        self._thread.start()
+
+    # -- handler-thread API --------------------------------------------------
+
+    def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
+               **kw) -> _Pending:
+        p = _Pending(dict(tokens_or_embeds=tokens_or_embeds,
+                          max_new_tokens=max_new_tokens, **kw))
+        self._inbox.put(p)
+        self._wake.set()
+        return p
+
+    def shutdown(self, timeout: float = 10.0):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout)
+
+    def stats(self) -> Dict[str, Any]:
+        s = self.engine.stats()
+        s.update(requests_total=self.requests_total,
+                 tokens_total=self.tokens_total,
+                 uptime_s=time.time() - self.started,
+                 inflight=len(self._inflight))
+        return s
+
+    # -- the scheduler thread -------------------------------------------------
+
+    def _drain_inbox(self):
+        while True:
+            try:
+                p = self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                p.rid = self.engine.submit(**p.submit_kwargs)
+            except Exception as e:  # noqa: BLE001 — surfaced as HTTP 400
+                p.error = str(e)
+                p.deltas.put(None)
+                p.done.set()
+                continue
+            self._inflight[p.rid] = p
+            self.requests_total += 1
+
+    def _loop(self):
+        while not self._stop:
+            self._drain_inbox()
+            if not self._inflight:
+                self._wake.wait(timeout=0.25)
+                self._wake.clear()
+                continue
+            finished = self.engine.step_block()
+            for rid, toks in finished.items():
+                p = self._inflight.pop(rid, None)
+                if p is not None:
+                    self.tokens_total += len(toks)
+                    p.push_progress(toks, final=True)
+            for rid, p in self._inflight.items():
+                p.push_progress(self.engine.partial_output(rid), final=False)
+            # a tiny yield so handler threads get the GIL between blocks
+            time.sleep(self.poll_s)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+
+def _prometheus(stats: Dict[str, Any]) -> str:
+    lines = []
+    for k, v in stats.items():
+        if isinstance(v, bool):
+            v = int(v)
+        if isinstance(v, (int, float)) and v == v:  # drop NaNs
+            lines.append(f"mquant_{k} {v}")
+    return "\n".join(lines) + "\n"
+
+
+class InferenceServer:
+    """Bundle of worker + tokenizer + HTTP server.
+
+    ``tokenizer``: optional object with ``encode(str) -> List[int]`` and
+    ``decode(List[int]) -> str``. Without one, only integer-id prompts are
+    accepted and responses carry raw token ids.
+    ``chat_family``: family name for serve/chat.py templates (text-only
+    messages; VLM image traffic goes through VLMRunner.serve_engine, which
+    feeds the same engine programmatically).
+    """
+
+    def __init__(self, engine: ServingEngine, tokenizer=None,
+                 chat_family: str = "qwen2vl", model_name: str = "mquant-tpu",
+                 host: str = "127.0.0.1", port: int = 0):
+        self.worker = EngineWorker(engine)
+        self.tokenizer = tokenizer
+        self.chat_family = chat_family
+        self.model_name = model_name
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            # -- helpers ------------------------------------------------------
+            def _json(self, code: int, obj: Dict[str, Any]):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> Dict[str, Any]:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            # -- routes -------------------------------------------------------
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/v1/models":
+                    self._json(200, {"object": "list", "data": [
+                        {"id": server.model_name, "object": "model"}]})
+                elif self.path == "/metrics":
+                    body = _prometheus(server.worker.stats()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    req = self._body()
+                except (ValueError, json.JSONDecodeError):
+                    return self._json(400, {"error": "invalid JSON"})
+                if self.path == "/v1/completions":
+                    return self._generate(req, chat=False)
+                if self.path == "/v1/chat/completions":
+                    return self._generate(req, chat=True)
+                self._json(404, {"error": "not found"})
+
+            def _generate(self, req: Dict[str, Any], chat: bool):
+                try:
+                    ids = server._prompt_ids(req, chat)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                max_tokens = int(req.get("max_tokens", 32))
+                pending = server.worker.submit(ids, max_new_tokens=max_tokens)
+                if req.get("stream"):
+                    return self._stream(pending, chat)
+                pending.done.wait()
+                if pending.error:
+                    return self._json(400, {"error": pending.error})
+                self._json(200, server._response(pending.tokens, chat))
+
+            def _stream(self, pending: "_Pending", chat: bool):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: str):
+                    payload = f"data: {data}\n\n".encode()
+                    self.wfile.write(hex(len(payload))[2:].encode()
+                                     + b"\r\n" + payload + b"\r\n")
+                    self.wfile.flush()
+
+                while True:
+                    delta = pending.deltas.get()
+                    if delta is None:
+                        break
+                    chunk(json.dumps(server._delta(delta, chat)))
+                if pending.error:
+                    chunk(json.dumps({"error": pending.error}))
+                chunk("[DONE]")
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._http_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True,
+            name="mquant-http")
+        self._http_thread.start()
+
+    # -- request/response shaping --------------------------------------------
+
+    def _prompt_ids(self, req: Dict[str, Any], chat: bool) -> List[int]:
+        if chat:
+            msgs = req.get("messages")
+            if not isinstance(msgs, list) or not msgs:
+                raise ValueError("messages required")
+            text = self._render_chat(msgs)
+            if self.tokenizer is None:
+                raise ValueError("chat endpoint requires a tokenizer")
+            return list(self.tokenizer.encode(text))
+        prompt = req.get("prompt")
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("text prompt requires a tokenizer; "
+                                 "send token ids instead")
+            return list(self.tokenizer.encode(prompt))
+        if isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
+            if not prompt:
+                raise ValueError("empty prompt")
+            return prompt
+        raise ValueError("prompt must be a string or a list of token ids")
+
+    def _render_chat(self, msgs: List[Dict[str, str]]) -> str:
+        from .chat import build_chat_prompt
+
+        system = "\n".join(m.get("content", "") for m in msgs
+                           if m.get("role") == "system") or None
+        turns = [m for m in msgs if m.get("role") != "system"]
+        if not turns:
+            raise ValueError("no user message")
+        # multi-turn: history folded into the question text, final turn
+        # rendered through the family template (ChatML et al.)
+        history = "".join(
+            f"{m.get('role', 'user')}: {m.get('content', '')}\n"
+            for m in turns[:-1])
+        question = history + turns[-1].get("content", "")
+        pieces = build_chat_prompt(self.chat_family, question,
+                                   n_image_tokens=0, system=system)
+        return pieces["text_before"] + pieces["text_after"]
+
+    def _response(self, tokens: List[int], chat: bool) -> Dict[str, Any]:
+        out: Dict[str, Any] = {"model": self.model_name,
+                               "usage": {"completion_tokens": len(tokens)}}
+        text = (self.tokenizer.decode(tokens)
+                if self.tokenizer is not None else None)
+        if chat:
+            out["object"] = "chat.completion"
+            out["choices"] = [{"index": 0, "finish_reason": "stop",
+                               "message": {"role": "assistant",
+                                           "content": text},
+                               "tokens": tokens}]
+        else:
+            out["object"] = "text_completion"
+            out["choices"] = [{"index": 0, "finish_reason": "stop",
+                               "text": text, "tokens": tokens}]
+        return out
+
+    def _delta(self, tokens: List[int], chat: bool) -> Dict[str, Any]:
+        text = (self.tokenizer.decode(tokens)
+                if self.tokenizer is not None else None)
+        if chat:
+            return {"object": "chat.completion.chunk",
+                    "choices": [{"index": 0,
+                                 "delta": {"content": text},
+                                 "tokens": tokens}]}
+        return {"object": "text_completion.chunk",
+                "choices": [{"index": 0, "text": text, "tokens": tokens}]}
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.worker.shutdown()
