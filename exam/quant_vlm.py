@@ -87,7 +87,8 @@ def parser_gen(model_default=None):
     p.add_argument("--realize_int", action="store_true",
                    help="store real INT4/INT8 weights for the serving kernels")
     p.add_argument("--k_bits", "--v_bits", dest="kv_bits", type=int, default=None,
-                   help="quantize the KV cache (8 → int8 cache)")
+                   help="quantize the KV cache (8 → int8 per-token-head "
+                        "symmetric; 4 → nibble-packed uint4 asymmetric)")
     p.add_argument("--artifact", default=None, help="artifact output dir")
     p.add_argument("--dataset_name", default=None,
                    help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
@@ -151,7 +152,8 @@ def main(args=None):
 
         runner = VLMRunner(args.model, cfg, params, specs=specs, state=state,
                            mode="real" if args.realize_int else "fake",
-                           tokenizer=tokenizer)
+                           tokenizer=tokenizer,
+                           kv_quant=args.kv_bits or False)
         ds = build_dataset(args.dataset_name)
         eval_dataset(runner.generate, ds, out_dir=args.output_dir,
                      model_name=args.model, limit=args.eval_limit)

@@ -51,7 +51,8 @@ class VLMRunner:
                  mode: str = "fp", tokenizer=None, max_len: int = 512,
                  image_size: Optional[int] = None, max_new_tokens: int = 24,
                  bucket_spec=None, use_chat_template: bool = True,
-                 pad_to_max: bool = False, on_device_decode: bool = True):
+                 pad_to_max: bool = False, on_device_decode: bool = True,
+                 kv_quant=False):
         from ..models.buckets import BucketSpec
 
         self.fam: ModelFamily = get_family(family_name)
@@ -73,7 +74,8 @@ class VLMRunner:
         assert all(bh % merge == 0 and bw % merge == 0
                    for bh, bw in self.buckets.buckets)
         self.gen = Generator(cfg.llm, params["llm"], specs=self.specs,
-                             state=state, mode=mode, max_len=max_len)
+                             state=state, mode=mode, max_len=max_len,
+                             kv_quant=kv_quant)
 
     # -- multimodal input construction ------------------------------------
 

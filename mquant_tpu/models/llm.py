@@ -224,7 +224,10 @@ def _layer_step(
     if cache_kv is not None:
         z = jnp.zeros((), jnp.int32)
         pos = jnp.asarray(cache_pos, jnp.int32)
-        quantized = cache_kv["k"].dtype == jnp.int8  # int8 KV cache
+        # cache dtype is the (jit-static) type tag: int8 ⇒ int8 KV,
+        # uint8 ⇒ nibble-packed uint4 KV, else fp
+        quantized = cache_kv["k"].dtype == jnp.int8
+        packed4 = cache_kv["k"].dtype == jnp.uint8
 
         if pos.ndim == 1:
             # per-row write offsets (continuous-batching slots: each row of
@@ -243,7 +246,16 @@ def _layer_step(
                     buf, val.astype(buf.dtype), (z, pos) + (z,) * (buf.ndim - 2))
 
         new_cache = dict(cache_kv)
-        if quantized:
+        if packed4:
+            kq, ks, kz = _kv_pack4(k)
+            vq, vs, vz = _kv_pack4(v)
+            new_cache["k"] = upd(cache_kv["k"], kq)
+            new_cache["v"] = upd(cache_kv["v"], vq)
+            new_cache["k_scale"] = upd(cache_kv["k_scale"], ks)
+            new_cache["v_scale"] = upd(cache_kv["v_scale"], vs)
+            new_cache["k_zp"] = upd(cache_kv["k_zp"], kz)
+            new_cache["v_zp"] = upd(cache_kv["v_zp"], vz)
+        elif quantized:
             # per-token-per-head symmetric int8 (halves KV memory + decode
             # attention bandwidth; the reference's parsed-but-unwired
             # --k_bits/--v_bits capability, ref: fake_quant/utils.py:221-267)
@@ -269,6 +281,11 @@ def _layer_step(
                 causal = True
             # else: caller supplied a (B,1,T,T) mask (e.g. left-padded ragged
             # batches: causal AND col≥row_start) — honored over plain causal
+        elif packed4:
+            k_all = _kv_unpack4(new_cache["k"], new_cache["k_scale"],
+                                new_cache["k_zp"], h.dtype)
+            v_all = _kv_unpack4(new_cache["v"], new_cache["v_scale"],
+                                new_cache["v_zp"], h.dtype)
         elif quantized:
             k_all = (new_cache["k"].astype(jnp.float32)
                      * new_cache["k_scale"][..., None]).astype(h.dtype)
@@ -455,12 +472,33 @@ def decoder_forward(
 
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
-               quantized: bool = False) -> Dict:
-    """KV cache. ``quantized=True`` stores int8 values + per-token-per-head
-    scales — half the memory/bandwidth of bf16 (the k/v-cache quantization the
-    reference only parses flags for)."""
+               quantized=False) -> Dict:
+    """KV cache. ``quantized`` ∈ {False, True/8, 4}:
+
+    - True/8: int8 values + per-token-per-head symmetric scales — half the
+      memory/bandwidth of bf16 (the k/v-cache quantization the reference only
+      parses flags for, ref: fake_quant/utils.py:221-267).
+    - 4: nibble-packed uint4 values (two per uint8 byte along head_dim) +
+      per-token-per-head ASYMMETRIC scale/zero-point — quarter memory. The
+      asymmetric grid matters at 4 bits: per-(token, head) K/V slices are
+      not zero-centred, and symmetric int4 (-7..7) wastes half its codes on
+      one side.
+
+    Dtype is the type tag (static under jit): uint8 k/v ⇒ int4-packed,
+    int8 ⇒ int8, else fp."""
     dtype = dtype or cfg.dtype
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if int(quantized) == 4:
+        assert cfg.head_dim % 2 == 0, cfg.head_dim
+        return {
+            "k": jnp.zeros(shape[:-1] + (cfg.head_dim // 2,), jnp.uint8),
+            "v": jnp.zeros(shape[:-1] + (cfg.head_dim // 2,), jnp.uint8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "k_zp": jnp.zeros(shape[:-1], jnp.float32),
+            "v_zp": jnp.zeros(shape[:-1], jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+        }
     if quantized:
         return {
             "k": jnp.zeros(shape, jnp.int8),
@@ -474,3 +512,23 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
+
+
+def _kv_pack4(val: jax.Array):
+    """(…, hd) fp → nibble-packed uint4 with per-(…,) asym scale/zp."""
+    v32 = val.astype(jnp.float32)
+    mn, mx = v32.min(axis=-1), v32.max(axis=-1)
+    scale = jnp.maximum((mx - mn) / 15.0, 1e-8)
+    zp = jnp.clip(jnp.round(-mn / scale), 0, 15)
+    q = jnp.clip(jnp.round(v32 / scale[..., None]) + zp[..., None],
+                 0, 15).astype(jnp.uint8)
+    return q[..., 0::2] | (q[..., 1::2] << 4), scale, zp
+
+
+def _kv_unpack4(packed: jax.Array, scale: jax.Array, zp: jax.Array,
+                out_dtype) -> jax.Array:
+    """Inverse of :func:`_kv_pack4`: (…, hd/2) uint8 → (…, hd) fp."""
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    q = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return ((q - zp[..., None]) * scale[..., None]).astype(out_dtype)

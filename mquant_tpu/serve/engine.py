@@ -294,7 +294,7 @@ class ServingEngine:
                     positions=pos, last_index=length - 1)
                 z = jnp.zeros((), jnp.int32)
                 new = dict(cache)
-                for nm in ("k", "v", "k_scale", "v_scale"):
+                for nm in ("k", "v", "k_scale", "v_scale", "k_zp", "v_zp"):
                     if nm in cache:
                         new[nm] = jax.lax.dynamic_update_slice(
                             cache[nm], row[nm],
@@ -338,7 +338,7 @@ class ServingEngine:
             def insert(cache, row, slot, length, rope_delta):
                 z = jnp.zeros((), jnp.int32)
                 new = dict(cache)
-                for nm in ("k", "v", "k_scale", "v_scale"):
+                for nm in ("k", "v", "k_scale", "v_scale", "k_zp", "v_zp"):
                     if nm in cache:
                         new[nm] = jax.lax.dynamic_update_slice(
                             cache[nm], row[nm],

@@ -42,7 +42,7 @@ class Generator:
         self.mode = mode
         self.max_len = max_len
         self.batch = batch
-        self.kv_quant = kv_quant  # int8 KV cache
+        self.kv_quant = kv_quant  # KV cache quant: False | True/8 (int8) | 4
         self._prefill_cache: Dict[Any, Any] = {}
         self._ntk_alpha = 1.0  # set by prefill(); decode reuses it (ref parity)
 

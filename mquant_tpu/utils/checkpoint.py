@@ -52,7 +52,7 @@ def _to_serializable(tree):
 # bf16's 8-bit mantissa would degrade the real-int path's dequant accuracy and
 # defeat the point of keeping col0 in fp.
 _NO_CAST_KEYS = frozenset({"w_scale", "scale", "zero_point", "w_col0",
-                           "k_scale", "v_scale"})
+                           "k_scale", "v_scale", "k_zp", "v_zp"})
 
 
 def _from_serializable(t, dtype=None):

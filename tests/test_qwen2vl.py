@@ -243,3 +243,76 @@ class TestMRopeDecodeDelta:
             positions=jnp.asarray(wrong))
         assert not np.allclose(np.asarray(step_logits[:, 0]),
                                np.asarray(wrong_logits[:, -1]), atol=1e-4)
+
+
+class TestKV4CacheQuant:
+    """Nibble-packed uint4 KV (quarter memory, asym per-token-head grid)."""
+
+    def test_pack_unpack_roundtrip_on_grid(self):
+        from mquant_tpu.models.llm import _kv_pack4, _kv_unpack4
+
+        # values ON a 4-bit asym grid whose rows span the full 0..15 range
+        # (so the minmax grid is recovered exactly) reconstruct exactly
+        rng = np.random.default_rng(0)
+        scale = 0.37
+        q = rng.integers(0, 16, (2, 5, 3, 8))
+        q[..., 0], q[..., 1] = 0, 15  # pin the per-row extremes
+        vals = jnp.asarray((q - 6) * scale, jnp.float32)
+        packed, s, z = _kv_pack4(vals)
+        assert packed.dtype == jnp.uint8 and packed.shape == (2, 5, 3, 4)
+        rec = _kv_unpack4(packed, s, z, jnp.float32)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(vals),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_int4_cache_shapes_and_closeness(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        seq = toks[:, :8]
+        g_fp = Generator(cfg.llm, params["llm"], max_len=32)
+        g_q = Generator(cfg.llm, params["llm"], max_len=32, kv_quant=4)
+        last_fp, cache_fp = g_fp.prefill(seq)
+        last_q, cache_q = g_q.prefill(seq)
+        assert cache_q["k"].dtype == jnp.uint8
+        assert cache_q["k"].shape[-1] == cfg.llm.head_dim // 2
+        assert "k_zp" in cache_q
+        np.testing.assert_allclose(np.asarray(last_q), np.asarray(last_fp),
+                                   rtol=2e-3, atol=2e-3)
+        # a decode step reads back through the packed cache
+        s_fp, _ = g_fp._decode()(params["llm"], seq[:, :1], cache_fp)
+        s_q, _ = g_q._decode()(params["llm"], seq[:, :1], cache_q)
+        rel = float(jnp.linalg.norm(s_q - s_fp) / (jnp.linalg.norm(s_fp) + 1e-9))
+        assert rel < 0.15, rel
+
+    def test_generation_completes_and_first_token_matches(self, tiny):
+        from mquant_tpu.serve.generate import Generator
+
+        cfg, params, toks, patches, grid = tiny
+        g_fp = Generator(cfg.llm, params["llm"], max_len=64)
+        g_q = Generator(cfg.llm, params["llm"], max_len=64, kv_quant=4)
+        a = g_fp.generate(toks[:, :4], max_new_tokens=5)
+        b = g_q.generate(toks[:, :4], max_new_tokens=5)
+        assert int(a[0, 0]) == int(b[0, 0])
+
+    def test_engine_pool_with_int4_cache(self):
+        """Continuous-batching pool over a packed-uint4 cache: requests
+        retire, slot isolation holds (outputs equal the same engine serving
+        each prompt alone)."""
+        from mquant_tpu.models.llm import DecoderConfig, init_decoder_params
+        from mquant_tpu.serve.engine import ServingEngine
+
+        cfg = DecoderConfig(vocab=96, hidden=48, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(7))
+        prompts = [list(range(1, 6)), list(range(20, 30))]
+
+        def serve(ps):
+            eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                                steps_per_block=3, kv_quant=4)
+            rids = [eng.submit(p, max_new_tokens=6) for p in ps]
+            outs = eng.run()
+            return [outs[r] for r in rids]
+
+        together = serve(prompts)
+        solo = [serve([p])[0] for p in prompts]
+        assert together == solo
