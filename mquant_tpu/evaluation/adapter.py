@@ -187,6 +187,33 @@ class VLMRunner:
                                        positions=positions)
         return [self.tok.decode(o) for o in outs]
 
+    def engine_request(self, prompt: Dict, spec_k: int = 0) -> Dict:
+        """One VLM prompt → ``ServingEngine.submit`` kwargs: vision encode +
+        splice into (T, H) embeds, per-plane M-RoPE positions (qwen2vl), and
+        the prompt's token ids as speculation draft seeds. Device work happens
+        here — callers that own a scheduler thread (serve/server.py) must call
+        this on that thread."""
+        toks, encoded = self.build_inputs(prompt)
+        mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
+        pos = None
+        if self.fam.name == "qwen2vl":
+            from ..models.qwen2vl import mrope_positions
+
+            grids = [g for g in mrope_grids if g is not None]
+            pos = mrope_positions(np.asarray(toks),
+                                  self.cfg.image_token_id,
+                                  grid_thw=grids or None)
+            pos = np.asarray(pos)[:, 0] if np.ndim(pos) == 3 else pos
+        emb = _embed_with_quant(
+            self.fam, self.cfg, self.params,
+            {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
+            self.specs, self.state, self.mode)
+        # token ids ride along for speculation (prompt-lookup drafts can
+        # then copy from the prompt — OCR/doc-QA answers quote context)
+        return {"tokens_or_embeds": np.asarray(emb[0]), "positions": pos,
+                "draft_ids": (np.asarray(toks).reshape(-1)
+                              if spec_k else None)}
+
     def serve_engine(self, prompts, max_new_tokens: Optional[int] = None,
                      engine=None, slots: int = 4, steps_per_block: int = 8,
                      spec_k: int = 0, admit_chunk: int = 0):
@@ -205,26 +232,10 @@ class VLMRunner:
         reqs = []
         tmax = 0
         for p in prompts:
-            toks, encoded = self.build_inputs(p)
-            mrope_grids = [e.pop("mrope_grid", None) for _, e, _ in encoded]
-            pos = None
-            if self.fam.name == "qwen2vl":
-                from ..models.qwen2vl import mrope_positions
-
-                grids = [g for g in mrope_grids if g is not None]
-                pos = mrope_positions(np.asarray(toks),
-                                      self.cfg.image_token_id,
-                                      grid_thw=grids or None)
-                pos = np.asarray(pos)[:, 0] if np.ndim(pos) == 3 else pos
-            emb = _embed_with_quant(
-                self.fam, self.cfg, self.params,
-                {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
-                self.specs, self.state, self.mode)
-            # token ids ride along for speculation (prompt-lookup drafts can
-            # then copy from the prompt — OCR/doc-QA answers quote context)
-            reqs.append((np.asarray(emb[0]), pos,
-                         np.asarray(toks).reshape(-1) if spec_k else None))
-            tmax = max(tmax, int(emb.shape[1]))
+            r = self.engine_request(p, spec_k=spec_k)
+            reqs.append((r["tokens_or_embeds"], r["positions"],
+                         r["draft_ids"]))
+            tmax = max(tmax, int(r["tokens_or_embeds"].shape[0]))
         eos = getattr(self.tok, "eos_id", -1)
         if engine is None:
             engine = ServingEngine(

@@ -40,9 +40,14 @@ from .engine import ServingEngine
 
 
 class _Pending:
-    """One in-flight request as seen by an HTTP handler thread."""
+    """One in-flight request as seen by an HTTP handler thread.
 
-    def __init__(self, submit_kwargs: Dict[str, Any]):
+    ``submit_kwargs`` may instead be a zero-arg callable returning the
+    kwargs — the worker invokes it on the scheduler thread, so preparation
+    that touches device state (VLM vision encode + splice) stays off the
+    handler threads."""
+
+    def __init__(self, submit_kwargs):
         self.submit_kwargs = submit_kwargs
         self.rid: Optional[int] = None
         self.done = threading.Event()
@@ -94,6 +99,15 @@ class EngineWorker:
         self._wake.set()
         return p
 
+    def submit_lazy(self, make_kwargs) -> _Pending:
+        """Queue a request whose submit kwargs are built ON the scheduler
+        thread (for preparation that runs device code, e.g. the VLM vision
+        tower)."""
+        p = _Pending(make_kwargs)
+        self._inbox.put(p)
+        self._wake.set()
+        return p
+
     def shutdown(self, timeout: float = 10.0):
         self._stop = True
         self._wake.set()
@@ -116,7 +130,9 @@ class EngineWorker:
             except queue.Empty:
                 return
             try:
-                p.rid = self.engine.submit(**p.submit_kwargs)
+                kw = (p.submit_kwargs() if callable(p.submit_kwargs)
+                      else p.submit_kwargs)
+                p.rid = self.engine.submit(**kw)
             except Exception as e:  # noqa: BLE001 — surfaced as HTTP 400
                 p.error = str(e)
                 p.deltas.put(None)
@@ -172,11 +188,18 @@ class InferenceServer:
 
     def __init__(self, engine: ServingEngine, tokenizer=None,
                  chat_family: str = "qwen2vl", model_name: str = "mquant-tpu",
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0, vlm_runner=None):
         self.worker = EngineWorker(engine)
         self.tokenizer = tokenizer
         self.chat_family = chat_family
         self.model_name = model_name
+        # a VLMRunner enables OpenAI-vision-style image parts in chat
+        # messages: the handler thread decodes base64 → array (CPU), the
+        # scheduler thread runs vision encode + splice (device) via
+        # engine_request, then the spliced embeds join the same slot pool
+        self.vlm_runner = vlm_runner
+        if vlm_runner is not None and tokenizer is None:
+            self.tokenizer = vlm_runner.tok
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -227,11 +250,28 @@ class InferenceServer:
                 self._json(404, {"error": "not found"})
 
             def _generate(self, req: Dict[str, Any], chat: bool):
+                max_tokens = int(req.get("max_tokens", 32))
                 try:
+                    if chat and server._has_image(req):
+                        prompt = server._vlm_prompt(req)
+                        runner = server.vlm_runner
+
+                        def make_kwargs(prompt=prompt):
+                            kw = runner.engine_request(prompt)
+                            kw["max_new_tokens"] = max_tokens
+                            return kw
+
+                        pending = server.worker.submit_lazy(make_kwargs)
+                        if req.get("stream"):
+                            return self._stream(pending, chat)
+                        pending.done.wait()
+                        if pending.error:
+                            return self._json(400, {"error": pending.error})
+                        return self._json(
+                            200, server._response(pending.tokens, chat))
                     ids = server._prompt_ids(req, chat)
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
-                max_tokens = int(req.get("max_tokens", 32))
                 pending = server.worker.submit(ids, max_new_tokens=max_tokens)
                 if req.get("stream"):
                     return self._stream(pending, chat)
@@ -271,7 +311,81 @@ class InferenceServer:
             name="mquant-http")
         self._http_thread.start()
 
+    @classmethod
+    def for_vlm(cls, runner, slots: int = 4, max_len: int = 512,
+                model_name: str = "mquant-tpu", host: str = "127.0.0.1",
+                port: int = 0, **engine_kw):
+        """Build a server around a :class:`VLMRunner`: the engine inherits
+        the runner's quantization state (specs/state/mode), text requests
+        tokenize through the runner's tokenizer, and image requests go
+        through its vision tower."""
+        eos = getattr(runner.tok, "eos_id", -1)
+        engine = ServingEngine(
+            runner.cfg.llm, runner.params["llm"], specs=runner.specs,
+            state=runner.state, mode=runner.mode, slots=slots,
+            max_len=max_len, eos_id=eos if eos >= 0 else None, **engine_kw)
+        return cls(engine, tokenizer=runner.tok, chat_family=runner.fam.name,
+                   model_name=model_name, host=host, port=port,
+                   vlm_runner=runner)
+
     # -- request/response shaping --------------------------------------------
+
+    @staticmethod
+    def _has_image(req: Dict[str, Any]) -> bool:
+        for m in req.get("messages") or []:
+            c = m.get("content")
+            if isinstance(c, list) and any(
+                    isinstance(p, dict) and p.get("type") == "image_url"
+                    for p in c):
+                return True
+        return False
+
+    def _vlm_prompt(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        """OpenAI-vision messages → VLMRunner prompt dict. The runner applies
+        the family chat template itself (build_inputs), so only raw question
+        text + decoded image arrays are extracted here."""
+        if self.vlm_runner is None:
+            raise ValueError("image content requires a VLM-configured server")
+        import base64
+        import io
+
+        msgs = req.get("messages") or []
+        system = "\n".join(m.get("content", "") for m in msgs
+                           if m.get("role") == "system"
+                           and isinstance(m.get("content"), str)) or None
+        texts: List[str] = []
+        images: List[Any] = []
+        for m in msgs:
+            if m.get("role") == "system":
+                continue
+            c = m.get("content")
+            if isinstance(c, str):
+                texts.append(c)
+                continue
+            for part in c or []:
+                if part.get("type") == "text":
+                    texts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = (part.get("image_url") or {}).get("url", "")
+                    b64 = url.split(",", 1)[1] if url.startswith("data:") else url
+                    try:
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(
+                            base64.b64decode(b64))).convert("RGB")
+                        import numpy as np
+
+                        images.append(np.asarray(img, np.uint8))
+                    except Exception as e:  # noqa: BLE001
+                        raise ValueError(f"bad image: {e}") from e
+        if not texts and not images:
+            raise ValueError("no user content")
+        prompt: Dict[str, Any] = {"text": "\n".join(t for t in texts if t)}
+        if system:
+            prompt["system"] = system
+        if images:
+            prompt["image"] = images if len(images) > 1 else images[0]
+        return prompt
 
     def _prompt_ids(self, req: Dict[str, Any], chat: bool) -> List[int]:
         if chat:
@@ -294,10 +408,18 @@ class InferenceServer:
             return prompt
         raise ValueError("prompt must be a string or a list of token ids")
 
-    def _render_chat(self, msgs: List[Dict[str, str]]) -> str:
+    def _render_chat(self, msgs: List[Dict[str, Any]]) -> str:
         from .chat import build_chat_prompt
 
-        system = "\n".join(m.get("content", "") for m in msgs
+        def text_of(m):
+            c = m.get("content", "")
+            if isinstance(c, list):  # content-part arrays without images
+                return "\n".join(p.get("text", "") for p in c
+                                 if isinstance(p, dict)
+                                 and p.get("type") == "text")
+            return c
+
+        system = "\n".join(text_of(m) for m in msgs
                            if m.get("role") == "system") or None
         turns = [m for m in msgs if m.get("role") != "system"]
         if not turns:
@@ -305,9 +427,9 @@ class InferenceServer:
         # multi-turn: history folded into the question text, final turn
         # rendered through the family template (ChatML et al.)
         history = "".join(
-            f"{m.get('role', 'user')}: {m.get('content', '')}\n"
+            f"{m.get('role', 'user')}: {text_of(m)}\n"
             for m in turns[:-1])
-        question = history + turns[-1].get("content", "")
+        question = history + text_of(turns[-1])
         pieces = build_chat_prompt(self.chat_family, question,
                                    n_image_tokens=0, system=system)
         return pieces["text_before"] + pieces["text_after"]

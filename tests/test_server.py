@@ -193,3 +193,69 @@ class TestChatAndOps:
         _, _, srv = served
         status, _ = _get(srv.port, "/nope")
         assert status == 404
+
+
+class TestVLMServer:
+    """Image chat requests: base64 image part → vision encode + splice on the
+    scheduler thread → slot pool; output equals VLMRunner.serve_engine."""
+
+    @pytest.fixture(scope="class")
+    def vlm_served(self):
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(0))
+        runner = VLMRunner("qwen2vl", cfg, params, max_len=128,
+                           max_new_tokens=6)
+        srv = InferenceServer.for_vlm(runner, slots=2, max_len=512)
+        yield runner, srv
+        srv.shutdown()
+
+    @staticmethod
+    def _png_b64(rng_seed=0, size=24):
+        import base64
+        import io
+
+        from PIL import Image
+
+        arr = (np.random.default_rng(rng_seed)
+               .random((size, size, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode()), arr
+
+    def test_image_chat_matches_serve_engine(self, vlm_served):
+        runner, srv = vlm_served
+        url, arr = self._png_b64()
+        status, out = _post(srv.port, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "what is this?"},
+                {"type": "image_url", "image_url": {"url": url}},
+            ]}],
+            "max_tokens": 6})
+        assert status == 200, out
+        want = runner.serve_engine(
+            [{"text": "what is this?", "image": arr}], max_new_tokens=6)[0]
+        assert out["choices"][0]["message"]["content"] == want
+
+    def test_text_only_chat_still_works(self, vlm_served):
+        runner, srv = vlm_served
+        status, out = _post(srv.port, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 4})
+        assert status == 200, out
+        assert isinstance(out["choices"][0]["message"]["content"], str)
+
+    def test_bad_image_is_400(self, vlm_served):
+        _, srv = vlm_served
+        status, out = _post(srv.port, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": [
+                {"type": "image_url",
+                 "image_url": {"url": "data:image/png;base64,notbase64!!"}},
+            ]}],
+            "max_tokens": 4})
+        assert status == 400 and "error" in out
