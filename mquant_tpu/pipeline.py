@@ -550,10 +550,11 @@ def run_pipeline(model: str, q: QuantizeConfig,
         log.info("realized int weights for the LLM serving path")
 
     if artifact_dir:
-        from .utils.checkpoint import save_artifact
+        from .utils.checkpoint import config_to_dict, save_artifact
 
         save_artifact(artifact_dir, params, state, specs,
                       meta={"model": model, "config": str(cfg),
+                            "config_dict": config_to_dict(cfg),
                             "quantize_config": dataclasses.asdict(q),
                             "rotation": str(info)})
         log.info(f"artifact saved to {artifact_dir}")

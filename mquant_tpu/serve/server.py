@@ -466,3 +466,100 @@ class InferenceServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.worker.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# deploy path: artifact directory → running server
+# ---------------------------------------------------------------------------
+
+
+def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
+                               tokenizer=None, slots: int = 4,
+                               max_len: int = 512, port: int = 0,
+                               host: str = "127.0.0.1",
+                               **engine_kw) -> InferenceServer:
+    """Quantize once (``run_pipeline(..., artifact_dir=...)``), serve forever:
+    the artifact is self-describing (params + static scales + specs + config),
+    so deployment needs no Python-side model object. ``mode`` defaults to
+    "real" when the artifact was realized to int storage, else "fake"."""
+    from ..evaluation.adapter import VLMRunner
+    from ..utils.checkpoint import config_from_dict, load_artifact
+
+    params, state, specs, meta = load_artifact(artifact_dir)
+    if "config_dict" not in meta:
+        raise ValueError(f"artifact at {artifact_dir} predates config_dict "
+                         "meta; re-export with run_pipeline")
+    cfg = config_from_dict(meta["config_dict"])
+    if mode is None:
+        mode = ("real" if (meta.get("quantize_config") or {}).get(
+            "realize_int") else "fake")
+    runner = VLMRunner(meta["model"], cfg, params, specs=specs, state=state,
+                       mode=mode, tokenizer=tokenizer, max_len=max_len)
+    return InferenceServer.for_vlm(
+        runner, slots=slots, max_len=max_len, host=host, port=port,
+        model_name=meta.get("model", "mquant-tpu"), **engine_kw)
+
+
+def main(argv=None):
+    """CLI: ``python -m mquant_tpu.serve.server --artifact DIR --port 8000``
+    (or ``--model qwen2vl --tiny`` for a random-weight demo server)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--artifact", default=None,
+                   help="quantization artifact dir (from exam/quant_vlm.py "
+                        "--artifact)")
+    p.add_argument("--model", default="qwen2vl",
+                   help="family for --tiny demo mode")
+    p.add_argument("--tiny", action="store_true",
+                   help="serve a tiny random-weight model (smoke/demo)")
+    p.add_argument("--mode", default=None, choices=["fp", "fake", "real"])
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--kv_bits", type=int, default=None)
+    p.add_argument("--spec_k", type=int, default=0)
+    p.add_argument("--steps_per_block", type=int, default=8)
+    args = p.parse_args(argv)
+
+    tokenizer = None
+    if args.tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_dir,
+                                                  trust_remote_code=True)
+    engine_kw = dict(spec_k=args.spec_k,
+                     steps_per_block=args.steps_per_block,
+                     kv_quant=args.kv_bits or False)
+    if args.artifact:
+        srv = build_server_from_artifact(
+            args.artifact, mode=args.mode, tokenizer=tokenizer,
+            slots=args.slots, max_len=args.max_len, host=args.host,
+            port=args.port, **engine_kw)
+    else:
+        assert args.tiny, "--artifact or --tiny required"
+        import jax
+
+        from ..evaluation.adapter import VLMRunner
+        from ..models.registry import get_family
+
+        fam = get_family(args.model)
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        runner = VLMRunner(fam.name, cfg, params, tokenizer=tokenizer,
+                           max_len=args.max_len, mode=args.mode or "fp")
+        srv = InferenceServer.for_vlm(runner, slots=args.slots,
+                                      max_len=args.max_len, host=args.host,
+                                      port=args.port, **engine_kw)
+    print(f"serving {srv.model_name} on http://{args.host}:{srv.port} "
+          f"(slots={args.slots}, max_len={args.max_len})", flush=True)
+    try:
+        srv._http_thread.join()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

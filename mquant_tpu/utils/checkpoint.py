@@ -116,3 +116,61 @@ def load_artifact(path: str, dtype=None) -> Tuple[Dict, Optional[Dict], Dict, Di
                 v[fk] = int(v[fk])
         specs[k] = SiteSpec(**v)
     return params, state, specs, meta
+
+
+# ---------------------------------------------------------------------------
+# model-config (de)serialization — artifacts must be self-describing so the
+# deploy path (artifact → HTTP server) needs no Python-side config object
+# ---------------------------------------------------------------------------
+
+_CONFIG_MODULES = ("llm", "vision", "resampler", "projectors", "qwen2vl",
+                   "qwenvl", "internvl", "minicpmv", "glm4v", "buckets")
+
+
+def config_to_dict(cfg) -> Dict:
+    """Nested config dataclass → JSON-safe dict (class names by value,
+    dtypes by name, tuples tagged so they survive the round trip)."""
+
+    def enc(v):
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            return {"__class__": type(v).__name__,
+                    "fields": {f.name: enc(getattr(v, f.name))
+                               for f in dataclasses.fields(v)}}
+        if isinstance(v, tuple):
+            return {"__tuple__": [enc(x) for x in v]}
+        if isinstance(v, list):
+            return [enc(x) for x in v]
+        if isinstance(v, (type, np.dtype)):  # jnp.float32 / ml_dtypes.bfloat16
+            return {"__dtype__": np.dtype(v).name}
+        return v
+
+    return enc(cfg)
+
+
+def _config_class(name: str):
+    import importlib
+
+    for m in _CONFIG_MODULES:
+        mod = importlib.import_module(f"mquant_tpu.models.{m}")
+        c = getattr(mod, name, None)
+        if c is not None and dataclasses.is_dataclass(c):
+            return c
+    raise KeyError(f"unknown config class {name!r}")
+
+
+def config_from_dict(d: Dict):
+    """Inverse of :func:`config_to_dict`."""
+
+    def dec(v):
+        if isinstance(v, dict) and "__class__" in v:
+            cls = _config_class(v["__class__"])
+            return cls(**{k: dec(x) for k, x in v["fields"].items()})
+        if isinstance(v, dict) and "__tuple__" in v:
+            return tuple(dec(x) for x in v["__tuple__"])
+        if isinstance(v, dict) and "__dtype__" in v:
+            return np.dtype(v["__dtype__"])
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
+    return dec(d)

@@ -259,3 +259,53 @@ class TestVLMServer:
             ]}],
             "max_tokens": 4})
         assert status == 400 and "error" in out
+
+
+class TestDeployFromArtifact:
+    """Quantize once → artifact → HTTP server, no Python config object."""
+
+    def test_config_roundtrip_all_families(self):
+        import json
+
+        from mquant_tpu.models.registry import get_family
+        from mquant_tpu.utils.checkpoint import (config_from_dict,
+                                                 config_to_dict)
+
+        for name in ("qwen2vl", "qwenvl", "internvl", "minicpmv", "glm4v"):
+            cfg = get_family(name).tiny_fn()
+            d = json.loads(json.dumps(config_to_dict(cfg)))  # through JSON
+            assert config_from_dict(d) == cfg, name
+
+    def test_artifact_to_server(self, tmp_path):
+        from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
+        from mquant_tpu.serve.server import build_server_from_artifact
+
+        art = str(tmp_path / "art")
+        q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=16,
+                           nsamples=8, realize_int=False)
+        run_pipeline("qwen2vl", q, tiny=True, artifact_dir=art)
+
+        srv = build_server_from_artifact(art, slots=2, max_len=256, port=0)
+        try:
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": list(range(1, 9)),
+                                 "max_tokens": 5})
+            assert status == 200, out
+            toks = out["choices"][0]["tokens"]
+            assert len(toks) == 5 and all(isinstance(t, int) for t in toks)
+            # the server runs the QUANTIZED model: same artifact through a
+            # direct fake-quant generator gives the same tokens
+            from mquant_tpu.models.registry import get_family
+            from mquant_tpu.serve.generate import Generator
+            from mquant_tpu.utils.checkpoint import (config_from_dict,
+                                                     load_artifact)
+
+            params, state, specs, meta = load_artifact(art)
+            cfg = config_from_dict(meta["config_dict"])
+            gen = Generator(cfg.llm, params["llm"], specs=specs, state=state,
+                            mode="fake", max_len=256)
+            ref = gen.generate(jnp.asarray(list(range(1, 9)))[None],
+                               max_new_tokens=5)
+            assert toks == [int(t) for t in np.asarray(ref)[0]]
+        finally:
+            srv.shutdown()
