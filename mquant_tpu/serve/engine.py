@@ -187,6 +187,26 @@ class ServingEngine:
         self._requests[r.rid] = r
         return r.rid
 
+    def cancel(self, rid: int) -> bool:
+        """Abort a request wherever it is: queued (dropped), mid-admission
+        (scratch row abandoned), or active (marked done — its slot frees at
+        the next retirement sweep; the pool's other rows are untouched, the
+        same isolation argument as eos retirement). Returns False for
+        unknown/already-finished ids."""
+        r = self._requests.get(rid)
+        if r is None or r.done:
+            return False
+        if r in self._queue:
+            self._queue.remove(r)
+            r.done = True
+            return True
+        if self._admitting is not None and self._admitting.req is r:
+            self._admitting = None
+            r.done = True
+            return True
+        r.done = True  # active: retired (and slot freed) next sweep
+        return True
+
     def partial_output(self, rid: int) -> List[int]:
         """Tokens emitted so far for a request (streaming observability).
         Safe to call between ``step_block`` ticks; eos never appears (it is

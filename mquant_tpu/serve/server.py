@@ -56,13 +56,25 @@ class _Pending:
         # streaming: worker appends per-block deltas; handler drains
         self.deltas: "queue.Queue[Optional[List[int]]]" = queue.Queue()
         self._sent = 0  # tokens already pushed as deltas
+        self.cancelled = False  # set by handler (client gone); worker acts
+        self.t_submit = time.time()
+        self.t_first: Optional[float] = None  # first token visible (TTFT)
+        self.t_done: Optional[float] = None
+
+    def cancel(self):
+        """Handler-side: request abort (e.g. the streaming client hung up).
+        The worker thread performs the actual engine cancellation."""
+        self.cancelled = True
 
     def push_progress(self, out: List[int], final: bool):
+        if out and self.t_first is None:
+            self.t_first = time.time()
         if len(out) > self._sent:
             self.deltas.put(out[self._sent:])
             self._sent = len(out)
         if final:
             self.tokens = out
+            self.t_done = time.time()
             self.deltas.put(None)  # stream sentinel
             self.done.set()
 
@@ -84,6 +96,12 @@ class EngineWorker:
         self._stop = False
         self.requests_total = 0
         self.tokens_total = 0
+        self.cancelled_total = 0
+        # running sums for /metrics (Prometheus summary convention)
+        self.ttft_seconds_sum = 0.0
+        self.ttft_count = 0
+        self.request_seconds_sum = 0.0
+        self.request_count = 0
         self.started = time.time()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mquant-engine-worker")
@@ -117,9 +135,23 @@ class EngineWorker:
         s = self.engine.stats()
         s.update(requests_total=self.requests_total,
                  tokens_total=self.tokens_total,
+                 cancelled_total=self.cancelled_total,
+                 ttft_seconds_sum=self.ttft_seconds_sum,
+                 ttft_count=self.ttft_count,
+                 request_seconds_sum=self.request_seconds_sum,
+                 request_count=self.request_count,
                  uptime_s=time.time() - self.started,
                  inflight=len(self._inflight))
         return s
+
+    def _finish(self, p: "_Pending", toks: List[int]):
+        self.tokens_total += len(toks)
+        self.request_count += 1
+        self.request_seconds_sum += time.time() - p.t_submit
+        if p.t_first is not None:
+            self.ttft_count += 1
+            self.ttft_seconds_sum += p.t_first - p.t_submit
+        p.push_progress(toks, final=True)
 
     # -- the scheduler thread -------------------------------------------------
 
@@ -148,12 +180,19 @@ class EngineWorker:
                 self._wake.wait(timeout=0.25)
                 self._wake.clear()
                 continue
+            # handler-requested cancellations (client disconnects) first,
+            # so the freed slots admit queued work this very tick
+            for rid, p in list(self._inflight.items()):
+                if p.cancelled:
+                    self.engine.cancel(rid)
+                    self.cancelled_total += 1
+                    self._inflight.pop(rid)
+                    self._finish(p, self.engine.partial_output(rid))
             finished = self.engine.step_block()
             for rid, toks in finished.items():
                 p = self._inflight.pop(rid, None)
                 if p is not None:
-                    self.tokens_total += len(toks)
-                    p.push_progress(toks, final=True)
+                    self._finish(p, toks)
             for rid, p in self._inflight.items():
                 p.push_progress(self.engine.partial_output(rid), final=False)
             # a tiny yield so handler threads get the GIL between blocks
@@ -287,22 +326,45 @@ class InferenceServer:
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
+                import select
+                import socket as _socket
+
+                def gone() -> bool:
+                    # a streaming client sends nothing more; readability
+                    # means EOF (clean close) or RST — either way it's gone.
+                    # Writes into a dead localhost socket can succeed for
+                    # the whole response, so poll the read side instead.
+                    r, _, _ = select.select([self.connection], [], [], 0)
+                    if not r:
+                        return False
+                    try:
+                        return not self.connection.recv(1, _socket.MSG_PEEK)
+                    except OSError:
+                        return True
+
                 def chunk(data: str):
+                    if gone():
+                        raise BrokenPipeError("client disconnected")
                     payload = f"data: {data}\n\n".encode()
                     self.wfile.write(hex(len(payload))[2:].encode()
                                      + b"\r\n" + payload + b"\r\n")
                     self.wfile.flush()
 
-                while True:
-                    delta = pending.deltas.get()
-                    if delta is None:
-                        break
-                    chunk(json.dumps(server._delta(delta, chat)))
-                if pending.error:
-                    chunk(json.dumps({"error": pending.error}))
-                chunk("[DONE]")
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                try:
+                    while True:
+                        delta = pending.deltas.get()
+                        if delta is None:
+                            break
+                        chunk(json.dumps(server._delta(delta, chat)))
+                    if pending.error:
+                        chunk(json.dumps({"error": pending.error}))
+                    chunk("[DONE]")
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    # client hung up mid-stream: stop decoding for this
+                    # request so its slot serves someone else
+                    pending.cancel()
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

@@ -309,3 +309,71 @@ class TestDeployFromArtifact:
             assert toks == [int(t) for t in np.asarray(ref)[0]]
         finally:
             srv.shutdown()
+
+
+class TestCancellation:
+    def test_engine_cancel_states(self):
+        """Cancel in each lifecycle state; surviving requests still exact."""
+        from mquant_tpu.serve.engine import ServingEngine
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(3))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            steps_per_block=2)
+        ra = eng.submit(list(range(1, 6)), max_new_tokens=8)
+        rb = eng.submit(list(range(20, 26)), max_new_tokens=6)  # queued
+        assert eng.cancel(rb)           # cancel while queued
+        eng.step_block()                 # A decoding
+        assert eng.cancel(ra)            # cancel while active
+        finished = {}
+        while eng._queue or any(eng._active):
+            finished.update(eng.step_block())
+        assert rb not in finished or finished[rb] == []
+        # a fresh request after cancellations is unaffected
+        rc = eng.submit(list(range(40, 45)), max_new_tokens=6)
+        outs = eng.run()
+        assert outs[rc] == _solo(cfg, params, list(range(40, 45)), 6)
+        assert not eng.cancel(rc)        # already finished → False
+
+    def test_stream_disconnect_frees_slot(self, served):
+        """A streaming client that hangs up mid-response gets cancelled by
+        the worker; the engine keeps serving others and /metrics counts it."""
+        import time as _time
+
+        cfg, params, srv = served
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": list(range(1, 7)),
+                                 "max_tokens": 64, "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read(40)          # first bytes arrive → request is decoding
+        import socket as _socket
+
+        # plain close() would not close the OS socket (the response's
+        # makefile holds a reference) — shutdown() forces the FIN
+        conn.sock.shutdown(_socket.SHUT_RDWR)
+        conn.sock.close()      # hang up mid-stream
+        # another request proceeds normally while the dead one unwinds
+        status, out = _post(srv.port, "/v1/completions",
+                            {"prompt": list(range(8, 14)), "max_tokens": 5})
+        assert status == 200
+        assert out["choices"][0]["tokens"] == _solo(
+            cfg, params, list(range(8, 14)), 5)
+        for _ in range(200):   # worker notices on its next write attempt
+            if srv.worker.cancelled_total >= 1:
+                break
+            _time.sleep(0.05)
+        assert srv.worker.cancelled_total >= 1
+
+    def test_latency_metrics_exposed(self, served):
+        _, _, srv = served
+        _post(srv.port, "/v1/completions",
+              {"prompt": [5, 6, 7], "max_tokens": 3})
+        status, body = _get(srv.port, "/metrics")
+        text = body.decode()
+        assert "mquant_ttft_seconds_sum" in text
+        assert "mquant_request_count" in text
+        s = srv.worker.stats()
+        assert s["request_count"] >= 1 and s["ttft_count"] >= 1
+        assert s["request_seconds_sum"] > 0
