@@ -66,6 +66,8 @@ class _Request:
     slot: int = -1
     next_tok: int = 0  # next token to feed (the last emitted one)
     draft_ids: Any = None  # embeds prompts: known token ids for drafting
+    temperature: float = 0.0  # 0 = greedy; >0 samples (needs sample_top_k)
+    top_p: float = 1.0
 
 
 @dataclasses.dataclass
@@ -94,7 +96,8 @@ class ServingEngine:
                  mode: str = "fp", slots: int = 4, max_len: int = 512,
                  kv_quant: bool = False, eos_id: Optional[int] = None,
                  steps_per_block: int = 8, ntk_alpha: float = 1.0,
-                 admit_chunk: int = 0, spec_k: int = 0):
+                 admit_chunk: int = 0, spec_k: int = 0,
+                 sample_top_k: int = 0, seed: int = 0):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -134,6 +137,16 @@ class ServingEngine:
             cap = max_len + spec_k + 1
             self.hist = jnp.zeros((slots, cap), jnp.int32)
             self.hist_len = jnp.zeros((slots,), jnp.int32)
+        # sample_top_k > 0 compiles the sampling epilogue into admissions and
+        # decode blocks: per-row temperature/top_p (a pool can mix greedy and
+        # sampled rows), Gumbel-max over the static top-k slice, seed-keyed
+        # determinism. Mutually exclusive with spec_k (the draft-verify
+        # exactness argument is greedy-specific).
+        self.sample_top_k = sample_top_k
+        self.seed = seed
+        assert not (sample_top_k and spec_k), \
+            "sampling and speculative decoding are mutually exclusive"
+        self._block_ctr = 0
         self._force_accept = False  # ceiling instrument (bench only)
         # acceptance accounting: emitted tokens / (active rows × rounds)
         self.spec_emitted = 0
@@ -149,7 +162,8 @@ class ServingEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
-               positions=None, draft_ids=None) -> int:
+               positions=None, draft_ids=None, temperature: float = 0.0,
+               top_p: float = 1.0) -> int:
         """Queue a request. ``tokens_or_embeds``: (T,) int ids or (T, H)
         spliced embeds (VLM prompts). ``positions``: optional per-token
         position ids — (T,) or M-RoPE (3, T)/(3, 1, T) (image prompts);
@@ -179,9 +193,13 @@ class ServingEngine:
             elif positions.ndim == 3:
                 positions = positions[:, 0]
             assert positions.shape == (3, T), positions.shape
+        if temperature > 0:
+            assert self.sample_top_k > 0, \
+                "temperature > 0 needs ServingEngine(sample_top_k=...)"
         r = _Request(self._next_rid, arr, max_new_tokens, positions=positions,
                      draft_ids=None if draft_ids is None
-                     else np.asarray(draft_ids, np.int32).reshape(-1))
+                     else np.asarray(draft_ids, np.int32).reshape(-1),
+                     temperature=float(temperature), top_p=float(top_p))
         self._next_rid += 1
         self._queue.append(r)
         self._requests[r.rid] = r
@@ -302,6 +320,7 @@ class ServingEngine:
         if key not in self._jit:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             alpha = self.ntk_alpha
+            topk = self.sample_top_k
 
             @functools.partial(jax.jit, donate_argnums=(3,))
             def admit(params, prompt, length, cache, slot, pos=None,
@@ -322,7 +341,10 @@ class ServingEngine:
                 new["pos"] = cache["pos"].at[slot].set(length)
                 new["rope_delta"] = cache["rope_delta"].at[slot].set(
                     jnp.int32(0) if rope_delta is None else rope_delta)
-                return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), new
+                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                if topk:  # sampling engines also get the top-k logit slice
+                    return (tok, *jax.lax.top_k(logits[:, 0], topk)), new
+                return tok, new
 
             self._jit[key] = admit
         return self._jit[key]
@@ -438,10 +460,22 @@ class ServingEngine:
             self.cache, a.row, jnp.asarray(a.slot, jnp.int32),
             jnp.asarray(T, jnp.int32), jnp.asarray(rope_delta, jnp.int32))
         first = int(np.asarray(jnp.argmax(logits[:, 0], axis=-1))[0])
+        topk = None
+        if self.sample_top_k:
+            vals, idx = jax.lax.top_k(logits[:, 0], self.sample_top_k)
+            topk = (np.asarray(vals)[0], np.asarray(idx)[0])
         self._admitting = None
-        self._finish_admit(r, a.slot, first)
+        self._finish_admit(r, a.slot, first, topk=topk)
 
-    def _finish_admit(self, r: _Request, slot: int, tok: int):
+    def _req_rng(self, r: _Request) -> np.random.Generator:
+        return np.random.default_rng((self.seed << 17) ^ (r.rid * 1000003))
+
+    def _finish_admit(self, r: _Request, slot: int, tok: int, topk=None):
+        if topk is not None and r.temperature > 0:
+            from .sampling import host_sample_first
+
+            tok = host_sample_first(topk[0], topk[1], r.temperature,
+                                    r.top_p, self._req_rng(r))
         r.slot = slot
         if self.eos_id is not None and tok == self.eos_id:
             r.done = True  # eos-trimmed: empty output
@@ -516,7 +550,13 @@ class ServingEngine:
                 self.params, jnp.asarray(prompt),
                 jnp.asarray(T, jnp.int32), self.cache,
                 jnp.asarray(slot, jnp.int32), **extra)
-            self._finish_admit(r, slot, int(np.asarray(first)[0]))
+            if self.sample_top_k:
+                tok, vals, idx = first
+                self._finish_admit(
+                    r, slot, int(np.asarray(tok)[0]),
+                    topk=(np.asarray(vals)[0], np.asarray(idx)[0]))
+            else:
+                self._finish_admit(r, slot, int(np.asarray(first)[0]))
 
     # -- decode -------------------------------------------------------------
 
@@ -525,11 +565,13 @@ class ServingEngine:
         if key not in self._jit:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             alpha = self.ntk_alpha
+            topk = self.sample_top_k
 
             s4 = self._s4
 
             @functools.partial(jax.jit, donate_argnums=(3,))
-            def block(params, tok, active, cache):
+            def block(params, tok, active, cache, bkey=None, temp=None,
+                      top_p=None):
                 if s4:
                     # half the per-step weight stream (native-S4 storage; the
                     # repack amortizes over the block's n_steps)
@@ -551,7 +593,14 @@ class ServingEngine:
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state,
                         mode=mode, cache=cache, ntk_alpha=alpha)
-                    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                    if topk:
+                        from .sampling import sample_tokens
+
+                        nxt = sample_tokens(logits[:, -1],
+                                            jax.random.fold_in(bkey, i),
+                                            temp, top_p, topk)
+                    else:
+                        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                     nxt = jnp.where(active, nxt, jnp.int32(0))
                     # frozen rows: pos does not advance (their cache row is
                     # rewritten wholesale at the next admission anyway, but a
@@ -702,8 +751,22 @@ class ServingEngine:
         if not active.any():
             return
         block = self._decode_block_fn(n)
-        out, self.cache = block(self.params, jnp.asarray(tok),
-                                jnp.asarray(active), self.cache)
+        if self.sample_top_k:
+            temp = np.zeros((self.slots,), np.float32)
+            top_p = np.ones((self.slots,), np.float32)
+            for i, r in enumerate(self._active):
+                if r is not None and not r.done:
+                    temp[i], top_p[i] = r.temperature, r.top_p
+            self._block_ctr += 1
+            bkey = jax.random.fold_in(jax.random.key(self.seed),
+                                      self._block_ctr)
+            out, self.cache = block(self.params, jnp.asarray(tok),
+                                    jnp.asarray(active), self.cache,
+                                    bkey=bkey, temp=jnp.asarray(temp),
+                                    top_p=jnp.asarray(top_p))
+        else:
+            out, self.cache = block(self.params, jnp.asarray(tok),
+                                    jnp.asarray(active), self.cache)
         out = np.asarray(out)
         for i, r in enumerate(self._active):
             if r is None or r.done:

@@ -1,0 +1,63 @@
+"""Token sampling for the serving path (temperature / top-k / top-p).
+
+The reference (and this framework's eval harness) is greedy-only — benchmark
+protocols pin ``do_sample=False``. Production serving needs stochastic
+decoding, so the engine's fused decode blocks support it natively:
+
+- a static ``top_k`` cap bounds the categorical to a ``lax.top_k`` slice
+  (vocab-sized Gumbel noise + sort per step would waste decode bandwidth;
+  beyond ~64 candidates the tail mass is negligible at serving temperatures),
+- per-row ``temperature`` and ``top_p`` ride in as arrays, so one compiled
+  block serves a pool mixing greedy (t=0) and sampled rows,
+- the Gumbel-max trick picks the token (no CDF inversion, one argmax — VPU
+  friendly, and exactly categorical over the kept candidates).
+
+Determinism: the engine folds its seed into the per-block PRNG key and each
+step folds the loop index, so a fixed (seed, admission order) replays the
+same tokens.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_tokens(logits: jax.Array, key: jax.Array, temp: jax.Array,
+                  top_p: jax.Array, top_k: int) -> jax.Array:
+    """One sampled token per row. logits (B, V); temp/top_p (B,);
+    ``top_k`` static. Rows with temp == 0 get exact argmax (greedy rows in a
+    mixed pool pay the top_k slice but not its result)."""
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    l32 = logits.astype(jnp.float32)
+    t = jnp.maximum(temp, 1e-6)[:, None]
+    vals, idx = jax.lax.top_k(l32 / t, top_k)  # (B, K) descending
+    # nucleus mask over the kept candidates: drop a candidate when the
+    # cumulative probability BEFORE it already reaches top_p (the first
+    # candidate always survives)
+    probs = jax.nn.softmax(vals, -1)
+    cum = jnp.cumsum(probs, -1)
+    vals = jnp.where(cum - probs < top_p[:, None], vals, -jnp.inf)
+    g = -jnp.log(-jnp.log(jax.random.uniform(
+        key, vals.shape, jnp.float32, 1e-20, 1.0)))
+    choice = jnp.argmax(vals + g, -1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], -1)[:, 0]
+    return jnp.where(temp > 0, sampled.astype(jnp.int32), greedy)
+
+
+def host_sample_first(vals: np.ndarray, idx: np.ndarray, temperature: float,
+                      top_p: float, rng: np.random.Generator) -> int:
+    """Sample the ADMISSION token on the host from the prefill logits' top-k
+    slice (vals/idx, descending). One token per request — numpy is fine."""
+    if temperature <= 0:
+        return int(idx[0])
+    v = np.asarray(vals, np.float64) / max(temperature, 1e-6)
+    v -= v.max()
+    p = np.exp(v)
+    p /= p.sum()
+    cum = np.cumsum(p)
+    keep = (cum - p) < top_p
+    p = np.where(keep, p, 0.0)
+    p /= p.sum()
+    return int(idx[rng.choice(len(p), p=p)])

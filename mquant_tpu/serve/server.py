@@ -290,6 +290,9 @@ class InferenceServer:
 
             def _generate(self, req: Dict[str, Any], chat: bool):
                 max_tokens = int(req.get("max_tokens", 32))
+                sample_kw = dict(
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)))
                 try:
                     if chat and server._has_image(req):
                         prompt = server._vlm_prompt(req)
@@ -298,6 +301,7 @@ class InferenceServer:
                         def make_kwargs(prompt=prompt):
                             kw = runner.engine_request(prompt)
                             kw["max_new_tokens"] = max_tokens
+                            kw.update(sample_kw)
                             return kw
 
                         pending = server.worker.submit_lazy(make_kwargs)
@@ -311,7 +315,8 @@ class InferenceServer:
                     ids = server._prompt_ids(req, chat)
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
-                pending = server.worker.submit(ids, max_new_tokens=max_tokens)
+                pending = server.worker.submit(ids, max_new_tokens=max_tokens,
+                                               **sample_kw)
                 if req.get("stream"):
                     return self._stream(pending, chat)
                 pending.done.wait()
@@ -584,7 +589,13 @@ def main(argv=None):
     p.add_argument("--kv_bits", type=int, default=None)
     p.add_argument("--spec_k", type=int, default=0)
     p.add_argument("--steps_per_block", type=int, default=8)
+    p.add_argument("--sample_top_k", type=int, default=64,
+                   help="top-k cap for sampled requests (0 = greedy-only "
+                        "engine; mutually exclusive with --spec_k)")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.spec_k:
+        args.sample_top_k = 0  # speculation is greedy-exact only
 
     tokenizer = None
     if args.tokenizer_dir:
@@ -594,7 +605,8 @@ def main(argv=None):
                                                   trust_remote_code=True)
     engine_kw = dict(spec_k=args.spec_k,
                      steps_per_block=args.steps_per_block,
-                     kv_quant=args.kv_bits or False)
+                     kv_quant=args.kv_bits or False,
+                     sample_top_k=args.sample_top_k, seed=args.seed)
     if args.artifact:
         srv = build_server_from_artifact(
             args.artifact, mode=args.mode, tokenizer=tokenizer,
