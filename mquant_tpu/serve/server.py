@@ -57,6 +57,8 @@ class _Pending:
         self.deltas: "queue.Queue[Optional[List[int]]]" = queue.Queue()
         self._sent = 0  # tokens already pushed as deltas
         self.cancelled = False  # set by handler (client gone); worker acts
+        self.stop: List[str] = []  # stop strings (checked per block)
+        self.stop_text: Optional[str] = None  # text truncated at the stop
         self.t_submit = time.time()
         self.t_first: Optional[float] = None  # first token visible (TTFT)
         self.t_done: Optional[float] = None
@@ -87,9 +89,11 @@ class EngineWorker:
     continuous-batching semantics) and resolves them when they retire.
     """
 
-    def __init__(self, engine: ServingEngine, poll_s: float = 0.005):
+    def __init__(self, engine: ServingEngine, poll_s: float = 0.005,
+                 decode=None):
         self.engine = engine
         self.poll_s = poll_s
+        self.decode = decode  # tokens → text, needed for stop strings
         self._inbox: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight: Dict[int, _Pending] = {}
         self._wake = threading.Event()
@@ -110,18 +114,21 @@ class EngineWorker:
     # -- handler-thread API --------------------------------------------------
 
     def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
-               **kw) -> _Pending:
+               stop: Optional[List[str]] = None, **kw) -> _Pending:
         p = _Pending(dict(tokens_or_embeds=tokens_or_embeds,
                           max_new_tokens=max_new_tokens, **kw))
+        p.stop = stop or []
         self._inbox.put(p)
         self._wake.set()
         return p
 
-    def submit_lazy(self, make_kwargs) -> _Pending:
+    def submit_lazy(self, make_kwargs,
+                    stop: Optional[List[str]] = None) -> _Pending:
         """Queue a request whose submit kwargs are built ON the scheduler
         thread (for preparation that runs device code, e.g. the VLM vision
         tower)."""
         p = _Pending(make_kwargs)
+        p.stop = stop or []
         self._inbox.put(p)
         self._wake.set()
         return p
@@ -143,6 +150,21 @@ class EngineWorker:
                  uptime_s=time.time() - self.started,
                  inflight=len(self._inflight))
         return s
+
+    def _check_stop(self, p: "_Pending") -> bool:
+        """Stop-string scan (per block, host-side): decode the tokens so far
+        and truncate at the first stop match. Needs a decode fn; granularity
+        is the fused block, so a few post-stop tokens may have been decoded
+        (and are trimmed from the text)."""
+        if self.decode is None or p.rid is None:
+            return False
+        text = self.decode(self.engine.partial_output(p.rid))
+        cut = min((i for i in (text.find(s) for s in p.stop) if i >= 0),
+                  default=-1)
+        if cut < 0:
+            return False
+        p.stop_text = text[:cut]
+        return True
 
     def _finish(self, p: "_Pending", toks: List[int]):
         self.tokens_total += len(toks)
@@ -180,14 +202,18 @@ class EngineWorker:
                 self._wake.wait(timeout=0.25)
                 self._wake.clear()
                 continue
-            # handler-requested cancellations (client disconnects) first,
-            # so the freed slots admit queued work this very tick
+            # handler-requested cancellations (client disconnects) and stop-
+            # string hits first, so the freed slots admit queued work this
+            # very tick
             for rid, p in list(self._inflight.items()):
+                stop_hit = bool(p.stop) and self._check_stop(p)
+                if not (p.cancelled or stop_hit):
+                    continue
                 if p.cancelled:
-                    self.engine.cancel(rid)
                     self.cancelled_total += 1
-                    self._inflight.pop(rid)
-                    self._finish(p, self.engine.partial_output(rid))
+                self.engine.cancel(rid)
+                self._inflight.pop(rid)
+                self._finish(p, self.engine.partial_output(rid))
             finished = self.engine.step_block()
             for rid, toks in finished.items():
                 p = self._inflight.pop(rid, None)
@@ -228,10 +254,7 @@ class InferenceServer:
     def __init__(self, engine: ServingEngine, tokenizer=None,
                  chat_family: str = "qwen2vl", model_name: str = "mquant-tpu",
                  host: str = "127.0.0.1", port: int = 0, vlm_runner=None):
-        self.worker = EngineWorker(engine)
         self.tokenizer = tokenizer
-        self.chat_family = chat_family
-        self.model_name = model_name
         # a VLMRunner enables OpenAI-vision-style image parts in chat
         # messages: the handler thread decodes base64 → array (CPU), the
         # scheduler thread runs vision encode + splice (device) via
@@ -239,6 +262,11 @@ class InferenceServer:
         self.vlm_runner = vlm_runner
         if vlm_runner is not None and tokenizer is None:
             self.tokenizer = vlm_runner.tok
+        self.worker = EngineWorker(
+            engine, decode=(self.tokenizer.decode
+                            if self.tokenizer is not None else None))
+        self.chat_family = chat_family
+        self.model_name = model_name
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -293,6 +321,9 @@ class InferenceServer:
                 sample_kw = dict(
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)))
+                stop = req.get("stop") or []
+                if isinstance(stop, str):
+                    stop = [stop]
                 try:
                     if chat and server._has_image(req):
                         prompt = server._vlm_prompt(req)
@@ -304,25 +335,26 @@ class InferenceServer:
                             kw.update(sample_kw)
                             return kw
 
-                        pending = server.worker.submit_lazy(make_kwargs)
+                        pending = server.worker.submit_lazy(make_kwargs,
+                                                            stop=stop)
                         if req.get("stream"):
                             return self._stream(pending, chat)
                         pending.done.wait()
                         if pending.error:
                             return self._json(400, {"error": pending.error})
                         return self._json(
-                            200, server._response(pending.tokens, chat))
+                            200, server._response(pending, chat))
                     ids = server._prompt_ids(req, chat)
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
                 pending = server.worker.submit(ids, max_new_tokens=max_tokens,
-                                               **sample_kw)
+                                               stop=stop, **sample_kw)
                 if req.get("stream"):
                     return self._stream(pending, chat)
                 pending.done.wait()
                 if pending.error:
                     return self._json(400, {"error": pending.error})
-                self._json(200, server._response(pending.tokens, chat))
+                self._json(200, server._response(pending, chat))
 
             def _stream(self, pending: "_Pending", chat: bool):
                 self.send_response(200)
@@ -501,20 +533,24 @@ class InferenceServer:
                                    n_image_tokens=0, system=system)
         return pieces["text_before"] + pieces["text_after"]
 
-    def _response(self, tokens: List[int], chat: bool) -> Dict[str, Any]:
+    def _response(self, pending, chat: bool) -> Dict[str, Any]:
+        tokens = pending.tokens
         out: Dict[str, Any] = {"model": self.model_name,
                                "usage": {"completion_tokens": len(tokens)}}
         text = (self.tokenizer.decode(tokens)
                 if self.tokenizer is not None else None)
+        reason = "length"
+        if pending.stop_text is not None:  # stop-string hit: truncated text
+            text, reason = pending.stop_text, "stop"
         if chat:
             out["object"] = "chat.completion"
-            out["choices"] = [{"index": 0, "finish_reason": "stop",
+            out["choices"] = [{"index": 0, "finish_reason": reason,
                                "message": {"role": "assistant",
                                            "content": text},
                                "tokens": tokens}]
         else:
             out["object"] = "text_completion"
-            out["choices"] = [{"index": 0, "finish_reason": "stop",
+            out["choices"] = [{"index": 0, "finish_reason": reason,
                                "text": text, "tokens": tokens}]
         return out
 

@@ -455,3 +455,32 @@ class TestSampling:
                             {"prompt": [1, 2, 3], "max_tokens": 3,
                              "temperature": 0})
         assert status == 200
+
+
+class TestStopStrings:
+    def test_stop_truncates_and_frees_slot(self, served):
+        """A stop string ends the request early: finish_reason "stop", text
+        truncated before the match, far fewer tokens than max_tokens."""
+        cfg, params, srv = served
+        # find what the model says greedily, pick a substring as the stop
+        full = _solo(cfg, params, list(range(1, 7)), 24)
+        text = ToyTokenizer().decode(full)
+        stop = text[8:11]
+        status, out = _post(srv.port, "/v1/completions",
+                            {"prompt": list(range(1, 7)), "max_tokens": 24,
+                             "stop": stop})
+        assert status == 200
+        c = out["choices"][0]
+        assert c["finish_reason"] == "stop"
+        assert stop not in c["text"]
+        assert c["text"] == text[:text.find(stop)]
+        assert len(c["tokens"]) < 24  # ended early (block granularity)
+
+    def test_no_stop_hit_runs_to_length(self, served):
+        _, _, srv = served
+        status, out = _post(srv.port, "/v1/completions",
+                            {"prompt": [3, 4, 5], "max_tokens": 5,
+                             "stop": ["@@@never@@@"]})
+        assert status == 200
+        c = out["choices"][0]
+        assert c["finish_reason"] == "length" and len(c["tokens"]) == 5
