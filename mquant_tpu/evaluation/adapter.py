@@ -208,11 +208,12 @@ class VLMRunner:
             self.fam, self.cfg, self.params,
             {"tokens": toks, "images": [(pp, e, n) for pp, e, n in encoded]},
             self.specs, self.state, self.mode)
-        # token ids ride along for speculation (prompt-lookup drafts can
-        # then copy from the prompt — OCR/doc-QA answers quote context)
+        # token ids always ride along: speculation uses them as the n-gram
+        # history seed (prompt-lookup drafts quote the prompt) and prefix
+        # caching matches registered system prompts through them
+        del spec_k  # kept for signature stability
         return {"tokens_or_embeds": np.asarray(emb[0]), "positions": pos,
-                "draft_ids": (np.asarray(toks).reshape(-1)
-                              if spec_k else None)}
+                "draft_ids": np.asarray(toks).reshape(-1)}
 
     def serve_engine(self, prompts, max_new_tokens: Optional[int] = None,
                      engine=None, slots: int = 4, steps_per_block: int = 8,

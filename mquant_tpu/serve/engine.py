@@ -395,12 +395,29 @@ class ServingEngine:
 
     def _match_prefix(self, r: _Request):
         """Longest registered prefix this ids-request starts with (and is
-        strictly longer than), or None. Embeds/M-RoPE requests skip."""
-        if r.tokens_or_embeds.ndim != 1 or r.positions is not None:
+        strictly longer than), or None.
+
+        Embeds (VLM) requests match through their ``draft_ids``: a text
+        prefix that precedes every image token has embeds equal to the
+        embedding-table lookups of its ids (splice only replaces image-pad
+        positions), and — for M-RoPE — per-plane positions equal to arange
+        (text before the first image), so its KV rows are identical to the
+        registered token-id prefill. Both conditions are checked."""
+        if r.tokens_or_embeds.ndim == 1 and r.positions is None:
+            ids = tuple(int(t) for t in r.tokens_or_embeds)
+        elif (r.tokens_or_embeds.ndim == 2 and r.draft_ids is not None
+              and r.draft_ids.shape[0] == r.tokens_or_embeds.shape[0]):
+            ids = tuple(int(t) for t in r.draft_ids)
+        else:
             return None
-        ids = tuple(int(t) for t in r.tokens_or_embeds)
         for ptoks, row in self._prefixes:  # sorted longest-first
             if len(ptoks) < len(ids) and ids[:len(ptoks)] == ptoks:
+                if r.positions is not None:
+                    L = len(ptoks)
+                    if not np.array_equal(
+                            np.asarray(r.positions)[:, :L],
+                            np.broadcast_to(np.arange(L), (3, L))):
+                        continue
                 return ptoks, row
         return None
 

@@ -330,3 +330,62 @@ class TestDraftIds:
         while rid not in outs:
             outs.update(eng.step_block())
         assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
+
+
+class TestVLMPrefixCaching:
+    """Embeds (VLM) requests match registered text prefixes through their
+    draft_ids: the system-prompt KV row is reused, outputs unchanged."""
+
+    def test_vlm_prefix_hit_outputs_exact(self):
+        import numpy as np
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.PRNGKey(5))
+        runner = VLMRunner("qwen2vl", cfg, params, max_len=256,
+                           max_new_tokens=6)
+        img = np.random.default_rng(0).random((24, 24, 3)).astype(np.float32)
+        prompts = [{"text": "what is this?", "image": img},
+                   {"text": "describe the scene", "image": img}]
+
+        # baseline: no prefix registered
+        base = runner.serve_engine(prompts, max_new_tokens=6)
+
+        # the common leading text span (chat template system part) ends at
+        # the first image token
+        toks, _ = runner.build_inputs(prompts[0])
+        ids = np.asarray(toks)[0]
+        first_img = int(np.argmax(ids == cfg.image_token_id))
+        assert first_img > 4  # the template really has a text prefix
+        prefix = [int(t) for t in ids[:first_img]]
+
+        eng = ServingEngine(cfg.llm, params["llm"], slots=2, max_len=512,
+                            steps_per_block=4)
+        eng.register_prefix(prefix)
+        got = runner.serve_engine(prompts, max_new_tokens=6, engine=eng)
+        assert eng.prefix_hits == 2
+        assert got == base
+
+    def test_mrope_mismatched_positions_skip(self):
+        """An embeds request whose prefix-region positions are not arange
+        (image inside the would-be prefix) must NOT match."""
+        import numpy as np
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(6))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            steps_per_block=2)
+        prefix = list(range(1, 9))
+        eng.register_prefix(prefix)
+        # embeds request with matching draft_ids but shifted positions
+        emb = np.random.default_rng(1).random((12, cfg.hidden)).astype(
+            np.float32)
+        pos = np.broadcast_to(np.arange(12), (3, 12)).copy()
+        pos[:, :8] += 1  # not arange over the prefix region
+        rid = eng.submit(emb, max_new_tokens=4,
+                         positions=pos, draft_ids=list(range(1, 13)))
+        eng.run()
+        assert eng.prefix_hits == 0
