@@ -240,7 +240,15 @@ class ServingEngine:
         caching, the serving optimization the reference's one-shot HF
         generate cannot express). Exactness: the suffix attends to the
         stored prefix KV through the same causal-with-offset mask every
-        cache continuation uses. Longest registered match wins."""
+        cache continuation uses. Longest registered match wins.
+
+        With a LOSSY KV cache (kv_quant), whole-prompt prefill and prefix
+        continuation are different numerical semantics: fresh prefill
+        attends its own fp K/V locally, while a continuation reads the
+        dequantized rows. The stored rows themselves are bit-exact; the
+        suffix's K/V carries the cache's quantization noise. At int8 this
+        does not flip greedy tokens in practice; at int4 it can — same
+        trade-off as chunked prefill over a quantized cache."""
         arr = np.asarray(tokens, np.int64).reshape(-1)
         Lp = int(arr.shape[0])
         Tb = bucket_len(Lp, minimum=16)

@@ -389,3 +389,61 @@ class TestVLMPrefixCaching:
                          positions=pos, draft_ids=list(range(1, 13)))
         eng.run()
         assert eng.prefix_hits == 0
+
+
+class TestSpecWithInt4KV:
+    def test_spec_int4_cache_exact(self):
+        """Speculation over the nibble-packed uint4 cache: rollback handles
+        the extra zp arrays; outputs equal the plain int4-KV generator."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(23))
+        p = list(range(10, 22)) + [3, 1, 4]
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2, spec_k=3, kv_quant=4)
+        rid = eng.submit(p, max_new_tokens=7)
+        assert eng.run()[rid] == _solo(cfg, params, p, 7, kv_quant=4)
+
+    def test_prefix_int4_deterministic_and_rows_exact(self):
+        """Prefix caching + int4 KV. A lossy cache makes whole-prefill and
+        cache-continuation DIFFERENT numerical semantics (fresh prefill
+        attends its own fp K/V; a continuation reads the dequantized rows),
+        so token-for-token equality with the no-prefix pool is NOT the
+        contract at 4 bits (at 8 bits the noise doesn't flip tokens — tested
+        above). What IS guaranteed: the stored prefix rows are bit-exact vs
+        a fresh prefill, and the served output is deterministic."""
+        import numpy as np
+
+        from mquant_tpu.models.llm import (_kv_unpack4, decoder_forward,
+                                           init_cache)
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(23))
+        sys_p = list(range(10, 22))
+        p = sys_p + [3, 1, 4]
+
+        def run():
+            eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                                steps_per_block=2, spec_k=3, kv_quant=4)
+            eng.register_prefix(sys_p)
+            rid = eng.submit(p, max_new_tokens=7)
+            out = eng.run()[rid]
+            assert eng.prefix_hits == 1
+            return out, eng
+
+        out1, eng = run()
+        out2, _ = run()
+        assert out1 == out2 and len(out1) == 7
+        # stored prefix rows == fresh-prefill rows, bit-exact
+        row = eng._prefixes[0][1]
+        fresh = init_cache(cfg, 1, 128, quantized=4)
+        _, fresh, _ = decoder_forward(
+            cfg, params, jnp.asarray(sys_p)[None], cache=fresh,
+            prefill_fresh=True, last_index=jnp.asarray(11, jnp.int32))
+        L = len(sys_p)
+        for nm in ("k", "v"):
+            a = _kv_unpack4(row[nm][:, :, :L], row[nm + "_scale"][:, :, :L],
+                            row[nm + "_zp"][:, :, :L], jnp.float32)
+            b = _kv_unpack4(fresh[nm][:, :, :L],
+                            fresh[nm + "_scale"][:, :, :L],
+                            fresh[nm + "_zp"][:, :, :L], jnp.float32)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
