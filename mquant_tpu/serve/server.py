@@ -90,10 +90,13 @@ class EngineWorker:
     """
 
     def __init__(self, engine: ServingEngine, poll_s: float = 0.005,
-                 decode=None):
+                 decode=None, mesh=None):
         self.engine = engine
         self.poll_s = poll_s
         self.decode = decode  # tokens → text, needed for stop strings
+        # TP serving: the scheduler thread owns all engine dispatch, so the
+        # device mesh must be entered THERE (jax.set_mesh is thread-local)
+        self.mesh = mesh
         self._inbox: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight: Dict[int, _Pending] = {}
         self._wake = threading.Event()
@@ -196,6 +199,14 @@ class EngineWorker:
             self.requests_total += 1
 
     def _loop(self):
+        if self.mesh is not None:
+            import jax
+
+            with jax.set_mesh(self.mesh):
+                return self._loop_inner()
+        return self._loop_inner()
+
+    def _loop_inner(self):
         while not self._stop:
             self._drain_inbox()
             if not self._inflight:
@@ -253,7 +264,8 @@ class InferenceServer:
 
     def __init__(self, engine: ServingEngine, tokenizer=None,
                  chat_family: str = "qwen2vl", model_name: str = "mquant-tpu",
-                 host: str = "127.0.0.1", port: int = 0, vlm_runner=None):
+                 host: str = "127.0.0.1", port: int = 0, vlm_runner=None,
+                 mesh=None):
         self.tokenizer = tokenizer
         # a VLMRunner enables OpenAI-vision-style image parts in chat
         # messages: the handler thread decodes base64 → array (CPU), the
@@ -264,7 +276,8 @@ class InferenceServer:
             self.tokenizer = vlm_runner.tok
         self.worker = EngineWorker(
             engine, decode=(self.tokenizer.decode
-                            if self.tokenizer is not None else None))
+                            if self.tokenizer is not None else None),
+            mesh=mesh)
         self.chat_family = chat_family
         self.model_name = model_name
         server = self

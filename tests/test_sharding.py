@@ -274,3 +274,51 @@ class TestShardedServingStack:
             out = speculative_generate(Generator(cfg, sp, max_len=128),
                                        toks, max_new_tokens=12, k=3)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestServerUnderTP:
+    def test_http_server_over_tp_mesh_matches_unsharded(self):
+        """The full HTTP deploy surface under tensor parallelism: params
+        sharded Megatron-style over a (1,4) mesh, the scheduler thread
+        enters the mesh, requests over real HTTP match the unsharded
+        server token-for-token."""
+        import http.client
+        import json
+
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=4, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(5))
+        prompts = [list(range(1, 7)), list(range(10, 20))]
+
+        def post(port, body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/v1/completions", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            return resp.status, out
+
+        def serve_all(params, mesh=None):
+            eng = ServingEngine(cfg, params, slots=2, max_len=64,
+                                steps_per_block=2)
+            srv = InferenceServer(eng, port=0, mesh=mesh)
+            try:
+                outs = []
+                for p in prompts:
+                    status, out = post(srv.port,
+                                       {"prompt": p, "max_tokens": 5})
+                    assert status == 200, out
+                    outs.append(out["choices"][0]["tokens"])
+                return outs
+            finally:
+                srv.shutdown()
+
+        ref = serve_all(params)
+        mesh = make_mesh(8, tp=4)
+        sp = shard_params(params, mesh, decoder_param_specs(params))
+        got = serve_all(sp, mesh=mesh)
+        assert got == ref
