@@ -205,6 +205,46 @@ class ServingEngine:
         self._requests[r.rid] = r
         return r.rid
 
+    def warmup(self, prompt_lens=(16, 64, 256), embeds: bool = False,
+               with_positions: bool = False) -> None:
+        """Precompile (admission buckets + decode block) so the first real
+        requests don't pay XLA compile latency (seconds on TPU). Executes
+        the jits once on THROWAWAY cache copies (jit caches populate on
+        call; the functions donate their cache arguments), then discards
+        every result — engine state is untouched."""
+        z = jnp.zeros((), jnp.int32)
+        for T in prompt_lens:
+            Tb = bucket_len(int(T), minimum=16)
+            if Tb + self.spec_k > self.max_len:
+                continue
+            admit = self._prefill_insert_fn(Tb, embeds, with_positions)
+            prompt = (jnp.zeros((1, Tb, self.cfg.hidden), jnp.float32)
+                      if embeds else jnp.zeros((1, Tb), jnp.int64))
+            kw = {}
+            if with_positions:
+                kw["pos"] = jnp.zeros((3, 1, Tb), jnp.int32)
+                kw["rope_delta"] = z
+            scratch = jax.tree.map(jnp.copy, self.cache)
+            admit(self.params, prompt, jnp.ones((), jnp.int32), scratch,
+                  z, **kw)
+        tok = jnp.zeros((self.slots, 1), jnp.int32)
+        active = jnp.zeros((self.slots,), bool).at[0].set(True)
+        scratch = jax.tree.map(jnp.copy, self.cache)
+        if self.spec_k:
+            blk = self._spec_block_fn(self.steps_per_block)
+            blk(self.params, tok, active, scratch, jnp.copy(self.hist),
+                jnp.copy(self.hist_len),
+                jnp.full((self.slots,), 4, jnp.int32))
+        elif self.sample_top_k:
+            blk = self._decode_block_fn(self.steps_per_block)
+            blk(self.params, tok, active, scratch,
+                bkey=jax.random.key(0),
+                temp=jnp.zeros((self.slots,), jnp.float32),
+                top_p=jnp.ones((self.slots,), jnp.float32))
+        else:
+            blk = self._decode_block_fn(self.steps_per_block)
+            blk(self.params, tok, active, scratch)
+
     def cancel(self, rid: int) -> bool:
         """Abort a request wherever it is: queued (dropped), mid-admission
         (scratch row abandoned), or active (marked done — its slot frees at

@@ -447,3 +447,36 @@ class TestSpecWithInt4KV:
                             fresh[nm + "_scale"][:, :, :L],
                             fresh[nm + "_zp"][:, :, :L], jnp.float32)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestWarmup:
+    def test_warmup_compiles_without_touching_state(self):
+        """warmup precompiles admissions + the block; engine outputs after
+        warmup equal a cold engine's."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(30))
+        p = list(range(1, 9))
+
+        cold = ServingEngine(cfg, params, slots=2, max_len=128,
+                             steps_per_block=3)
+        rid = cold.submit(p, max_new_tokens=6)
+        want = cold.run()[rid]
+
+        warm = ServingEngine(cfg, params, slots=2, max_len=128,
+                             steps_per_block=3)
+        warm.warmup(prompt_lens=(8, 16))
+        n_compiled = len(warm._jit)
+        assert n_compiled >= 2  # admission bucket(s) + block
+        rid = warm.submit(p, max_new_tokens=6)
+        assert warm.run()[rid] == want
+        # the run reused the warmed jits for this shape (bucket 16 + block)
+        assert ("admit", 16, False, False) in warm._jit
+        assert ("block", 3) in warm._jit
+
+    def test_warmup_sampling_and_spec_variants(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(31))
+        ServingEngine(cfg, params, slots=2, max_len=64, sample_top_k=8
+                      ).warmup(prompt_lens=(8,))
+        ServingEngine(cfg, params, slots=2, max_len=64, spec_k=3
+                      ).warmup(prompt_lens=(8,))
