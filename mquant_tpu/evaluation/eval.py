@@ -141,9 +141,13 @@ def _infer_scorer(name: str) -> str:
     n = name.lower()
     if "mme" in n:
         return "MME"
-    if "mmbench" in n or "mcq" in n or "mmmu" in n:
+    if ("mmbench" in n or "mcq" in n or "mmmu" in n or "mmstar" in n
+            or "ai2d" in n or "seedbench" in n or "scienceqa" in n
+            or "realworldqa" in n or "mathvista" in n or "ccbench" in n):
+        # letter-option protocols all score through the (circular-aware)
+        # MCQ scorer — VLMEvalKit routes these the same way
         return "MCQ"
-    if "docvqa" in n or "infovqa" in n:
+    if "docvqa" in n or "infovqa" in n or "sroie" in n:
         return "ANLS"
     if "ocr" in n:
         return "OCRBench"
