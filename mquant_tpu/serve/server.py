@@ -337,37 +337,48 @@ class InferenceServer:
                 stop = req.get("stop") or []
                 if isinstance(stop, str):
                     stop = [stop]
+                n = int(req.get("n", 1))
+                if not 1 <= n <= 8:
+                    return self._json(400, {"error": "n must be in [1, 8]"})
+                if n > 1 and req.get("stream"):
+                    return self._json(
+                        400, {"error": "streaming supports n=1 only"})
+                if n > 1 and sample_kw["temperature"] <= 0:
+                    return self._json(
+                        400, {"error": "n > 1 needs temperature > 0 "
+                                       "(greedy copies are identical)"})
                 try:
                     if chat and server._has_image(req):
                         prompt = server._vlm_prompt(req)
                         runner = server.vlm_runner
 
                         def make_kwargs(prompt=prompt):
+                            # n > 1 re-runs the vision tower per copy —
+                            # simple and correct; the tower is a small
+                            # fraction of an n-way sampled decode
                             kw = runner.engine_request(prompt)
                             kw["max_new_tokens"] = max_tokens
                             kw.update(sample_kw)
                             return kw
 
-                        pending = server.worker.submit_lazy(make_kwargs,
-                                                            stop=stop)
-                        if req.get("stream"):
-                            return self._stream(pending, chat)
-                        pending.done.wait()
-                        if pending.error:
-                            return self._json(400, {"error": pending.error})
-                        return self._json(
-                            200, server._response(pending, chat))
-                    ids = server._prompt_ids(req, chat)
+                        pendings = [server.worker.submit_lazy(make_kwargs,
+                                                              stop=stop)
+                                    for _ in range(n)]
+                    else:
+                        ids = server._prompt_ids(req, chat)
+                        pendings = [server.worker.submit(
+                            ids, max_new_tokens=max_tokens, stop=stop,
+                            **sample_kw) for _ in range(n)]
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
-                pending = server.worker.submit(ids, max_new_tokens=max_tokens,
-                                               stop=stop, **sample_kw)
                 if req.get("stream"):
-                    return self._stream(pending, chat)
-                pending.done.wait()
-                if pending.error:
-                    return self._json(400, {"error": pending.error})
-                self._json(200, server._response(pending, chat))
+                    return self._stream(pendings[0], chat)
+                for pending in pendings:
+                    pending.done.wait()
+                errs = [p.error for p in pendings if p.error]
+                if errs:
+                    return self._json(400, {"error": errs[0]})
+                self._json(200, server._response_n(pendings, chat))
 
             def _stream(self, pending: "_Pending", chat: bool):
                 self.send_response(200)
@@ -545,6 +556,17 @@ class InferenceServer:
         pieces = build_chat_prompt(self.chat_family, question,
                                    n_image_tokens=0, system=system)
         return pieces["text_before"] + pieces["text_after"]
+
+    def _response_n(self, pendings, chat: bool) -> Dict[str, Any]:
+        """Merge n completions into one OpenAI-style response."""
+        out = self._response(pendings[0], chat)
+        for i, p in enumerate(pendings[1:], start=1):
+            extra = self._response(p, chat)
+            c = extra["choices"][0]
+            c["index"] = i
+            out["choices"].append(c)
+            out["usage"]["completion_tokens"] += len(p.tokens)
+        return out
 
     def _response(self, pending, chat: bool) -> Dict[str, Any]:
         tokens = pending.tokens

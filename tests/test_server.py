@@ -484,3 +484,37 @@ class TestStopStrings:
         assert status == 200
         c = out["choices"][0]
         assert c["finish_reason"] == "length" and len(c["tokens"]) == 5
+
+
+class TestNCompletions:
+    def test_n_sampled_choices(self):
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(40))
+        eng = ServingEngine(cfg, params, slots=4, max_len=128,
+                            steps_per_block=3, sample_top_k=8, seed=1)
+        srv = InferenceServer(eng, tokenizer=ToyTokenizer(), port=0)
+        try:
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": list(range(1, 8)),
+                                 "max_tokens": 8, "n": 3,
+                                 "temperature": 2.0})
+            assert status == 200, out
+            assert len(out["choices"]) == 3
+            assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+            assert out["usage"]["completion_tokens"] == 24
+            # high temperature: the three samples are not all identical
+            toks = {tuple(c["tokens"]) for c in out["choices"]}
+            assert len(toks) > 1
+            # invalid combos are clean 400s
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": [1, 2], "n": 2})  # greedy n>1
+            assert status == 400
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": [1, 2], "n": 2, "stream": True,
+                                 "temperature": 1.0})
+            assert status == 400
+        finally:
+            srv.shutdown()
