@@ -68,6 +68,7 @@ class _Request:
     draft_ids: Any = None  # embeds prompts: known token ids for drafting
     temperature: float = 0.0  # 0 = greedy; >0 samples (needs sample_top_k)
     top_p: float = 1.0
+    lps: List[float] = dataclasses.field(default_factory=list)  # logprobs
 
 
 @dataclasses.dataclass
@@ -265,6 +266,11 @@ class ServingEngine:
         r.done = True  # active: retired (and slot freed) next sweep
         return True
 
+    def logprobs_of(self, rid: int) -> List[float]:
+        """Per-emitted-token logprobs under the model distribution (greedy
+        and sampled alike), parallel to the request's output tokens."""
+        return list(self._requests[rid].lps)
+
     def partial_output(self, rid: int) -> List[int]:
         """Tokens emitted so far for a request (streaming observability).
         Safe to call between ``step_block`` ticks; eos never appears (it is
@@ -390,9 +396,14 @@ class ServingEngine:
                 new["rope_delta"] = cache["rope_delta"].at[slot].set(
                     jnp.int32(0) if rope_delta is None else rope_delta)
                 tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                if topk:  # sampling engines also get the top-k logit slice
-                    return (tok, *jax.lax.top_k(logits[:, 0], topk)), new
-                return tok, new
+                l32 = logits[:, 0].astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(l32, axis=-1)
+                if topk:  # sampling engines also get the RAW top-k slice
+                    # (+ lse, so the host can form the chosen token's
+                    # model-distribution logprob: logit - lse)
+                    return (tok, *jax.lax.top_k(l32, topk), lse), new
+                lp = jnp.max(l32, axis=-1) - lse  # greedy token's logprob
+                return (tok, lp), new
 
             self._jit[key] = admit
         return self._jit[key]
@@ -524,29 +535,41 @@ class ServingEngine:
         self.cache = self._insert_fn()(
             self.cache, a.row, jnp.asarray(a.slot, jnp.int32),
             jnp.asarray(T, jnp.int32), jnp.asarray(rope_delta, jnp.int32))
-        first = int(np.asarray(jnp.argmax(logits[:, 0], axis=-1))[0])
+        l32 = logits[:, 0].astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(l32, axis=-1)
+        first = int(np.asarray(jnp.argmax(l32, axis=-1))[0])
+        lp = float(np.asarray(jnp.max(l32, axis=-1) - lse)[0])
         topk = None
         if self.sample_top_k:
-            vals, idx = jax.lax.top_k(logits[:, 0], self.sample_top_k)
-            topk = (np.asarray(vals)[0], np.asarray(idx)[0])
+            vals, idx = jax.lax.top_k(l32, self.sample_top_k)
+            topk = (np.asarray(vals)[0], np.asarray(idx)[0],
+                    float(np.asarray(lse)[0]))
         self._admitting = None
-        self._finish_admit(r, a.slot, first, topk=topk)
+        self._finish_admit(r, a.slot, first, topk=topk, lp=lp)
 
     def _req_rng(self, r: _Request) -> np.random.Generator:
         return np.random.default_rng((self.seed << 17) ^ (r.rid * 1000003))
 
-    def _finish_admit(self, r: _Request, slot: int, tok: int, topk=None):
-        if topk is not None and r.temperature > 0:
-            from .sampling import host_sample_first
+    def _finish_admit(self, r: _Request, slot: int, tok: int, topk=None,
+                      lp: float = 0.0):
+        if topk is not None:
+            vals, idx, lse = topk
+            if r.temperature > 0:
+                from .sampling import host_sample_first
 
-            tok = host_sample_first(topk[0], topk[1], r.temperature,
-                                    r.top_p, self._req_rng(r))
+                pos = host_sample_first(vals, idx, r.temperature, r.top_p,
+                                        self._req_rng(r))
+                tok = int(idx[pos])
+                lp = float(vals[pos]) - lse
+            else:
+                lp = float(vals[0]) - lse  # greedy = top-1 of the raw slice
         r.slot = slot
         if self.eos_id is not None and tok == self.eos_id:
             r.done = True  # eos-trimmed: empty output
         else:
             r.next_tok = tok
             r.out.append(tok)
+            r.lps.append(lp)
             r.done = len(r.out) >= r.max_new_tokens
         if self.spec_k:
             # seed the slot's draft history: prompt ids (direct, or the
@@ -616,12 +639,15 @@ class ServingEngine:
                 jnp.asarray(T, jnp.int32), self.cache,
                 jnp.asarray(slot, jnp.int32), **extra)
             if self.sample_top_k:
-                tok, vals, idx = first
+                tok, vals, idx, lse = first
                 self._finish_admit(
                     r, slot, int(np.asarray(tok)[0]),
-                    topk=(np.asarray(vals)[0], np.asarray(idx)[0]))
+                    topk=(np.asarray(vals)[0], np.asarray(idx)[0],
+                          float(np.asarray(lse)[0])))
             else:
-                self._finish_admit(r, slot, int(np.asarray(first)[0]))
+                tok, lp = first
+                self._finish_admit(r, slot, int(np.asarray(tok)[0]),
+                                   lp=float(np.asarray(lp)[0]))
 
     # -- decode -------------------------------------------------------------
 
@@ -652,9 +678,10 @@ class ServingEngine:
                         params["layers"], specs, in_dims)
                 B = tok.shape[0]
                 out0 = jnp.zeros((B, n_steps), jnp.int32)
+                lp0 = jnp.zeros((B, n_steps), jnp.float32)
 
                 def body(i, carry):
-                    tok, cache, out = carry
+                    tok, cache, out, lps = carry
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state,
                         mode=mode, cache=cache, ntk_alpha=alpha)
@@ -667,20 +694,24 @@ class ServingEngine:
                     else:
                         nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                     nxt = jnp.where(active, nxt, jnp.int32(0))
+                    # emitted token's model-distribution logprob
+                    l32 = logits[:, -1].astype(jnp.float32)
+                    lp = (jnp.take_along_axis(l32, nxt[:, None], -1)[:, 0]
+                          - jax.scipy.special.logsumexp(l32, axis=-1))
                     # frozen rows: pos does not advance (their cache row is
                     # rewritten wholesale at the next admission anyway, but a
                     # long-idle slot must not walk its pos off the cache end)
                     cache2 = dict(cache2)
                     cache2["pos"] = jnp.where(active, cache2["pos"],
                                               cache["pos"])
-                    out = jax.lax.dynamic_update_slice(
-                        out, nxt[:, None],
-                        (jnp.int32(0), jnp.asarray(i, jnp.int32)))
-                    return nxt[:, None], cache2, out
+                    at = (jnp.int32(0), jnp.asarray(i, jnp.int32))
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], at)
+                    lps = jax.lax.dynamic_update_slice(lps, lp[:, None], at)
+                    return nxt[:, None], cache2, out, lps
 
-                _, cache, out = jax.lax.fori_loop(
-                    0, n_steps, body, (tok, cache, out0))
-                return out, cache
+                _, cache, out, lps = jax.lax.fori_loop(
+                    0, n_steps, body, (tok, cache, out0, lp0))
+                return out, lps, cache
 
             self._jit[key] = block
         return self._jit[key]
@@ -720,7 +751,7 @@ class ServingEngine:
                 done0 = ~active
 
                 def body(i, carry):
-                    tok, cache, hist, hist_len, out, cnt, done = carry
+                    tok, cache, hist, hist_len, out, olp, cnt, done = carry
                     draft = jax.vmap(
                         lambda h, n: ngram_propose(h, n, k))(hist, hist_len)
                     window = jnp.concatenate([tok, draft], axis=1)  # (B,k+1)
@@ -751,7 +782,11 @@ class ServingEngine:
                     # hist_len bounds and overwritten next round
                     wrow = lambda buf, vals, at: jax.lax.dynamic_update_slice(
                         buf, vals, (at,))
+                    l32 = logits.astype(jnp.float32)
+                    glp = (jnp.take_along_axis(l32, g[..., None], -1)[..., 0]
+                           - jax.scipy.special.logsumexp(l32, axis=-1))
                     out = jax.vmap(wrow)(out, g, cnt)
+                    olp = jax.vmap(wrow)(olp, glp, cnt)
                     hist = jax.vmap(wrow)(hist, g, hist_len)
                     hist_len = hist_len + m
                     cnt = cnt + m
@@ -760,13 +795,15 @@ class ServingEngine:
                     nxt = jnp.take_along_axis(
                         g, jnp.clip(m - 1, 0, k)[:, None], axis=1)
                     tok = jnp.where(m[:, None] > 0, nxt, tok)
-                    return tok, cache2, hist, hist_len, out, cnt, done
+                    return tok, cache2, hist, hist_len, out, olp, cnt, done
 
                 cnt0 = jnp.zeros((B,), jnp.int32)
-                _, cache, hist, hist_len, out, cnt, _ = jax.lax.fori_loop(
+                olp0 = jnp.zeros_like(out0, jnp.float32)
+                (_, cache, hist, hist_len, out, olp, cnt,
+                 _) = jax.lax.fori_loop(
                     0, n_rounds, body,
-                    (tok, cache, hist, hist_len, out0, cnt0, done0))
-                return out, cnt, cache, hist, hist_len
+                    (tok, cache, hist, hist_len, out0, olp0, cnt0, done0))
+                return out, olp, cnt, cache, hist, hist_len
 
             self._jit[key] = block
         return self._jit[key]
@@ -783,21 +820,22 @@ class ServingEngine:
         if not active.any():
             return
         block = self._spec_block_fn(self.steps_per_block)
-        out, cnt, self.cache, self.hist, self.hist_len = block(
+        out, olp, cnt, self.cache, self.hist, self.hist_len = block(
             self.params, jnp.asarray(tok), jnp.asarray(active), self.cache,
             self.hist, self.hist_len, jnp.asarray(budget))
-        out, cnt = np.asarray(out), np.asarray(cnt)
+        out, olp, cnt = np.asarray(out), np.asarray(olp), np.asarray(cnt)
         self.spec_emitted += int(cnt.sum())
         self.spec_row_rounds += int(active.sum()) * self.steps_per_block
         for i, r in enumerate(self._active):
             if r is None or r.done:
                 continue
-            for t in out[i, :cnt[i]]:
-                t = int(t)
+            for j in range(cnt[i]):
+                t = int(out[i, j])
                 if self.eos_id is not None and t == self.eos_id:
                     r.done = True
                     break
                 r.out.append(t)
+                r.lps.append(float(olp[i, j]))
                 r.next_tok = t
                 if len(r.out) >= r.max_new_tokens:
                     r.done = True
@@ -825,23 +863,24 @@ class ServingEngine:
             self._block_ctr += 1
             bkey = jax.random.fold_in(jax.random.key(self.seed),
                                       self._block_ctr)
-            out, self.cache = block(self.params, jnp.asarray(tok),
-                                    jnp.asarray(active), self.cache,
-                                    bkey=bkey, temp=jnp.asarray(temp),
-                                    top_p=jnp.asarray(top_p))
+            out, lps, self.cache = block(self.params, jnp.asarray(tok),
+                                         jnp.asarray(active), self.cache,
+                                         bkey=bkey, temp=jnp.asarray(temp),
+                                         top_p=jnp.asarray(top_p))
         else:
-            out, self.cache = block(self.params, jnp.asarray(tok),
-                                    jnp.asarray(active), self.cache)
-        out = np.asarray(out)
+            out, lps, self.cache = block(self.params, jnp.asarray(tok),
+                                         jnp.asarray(active), self.cache)
+        out, lps = np.asarray(out), np.asarray(lps)
         for i, r in enumerate(self._active):
             if r is None or r.done:
                 continue
-            for t in out[i]:
-                t = int(t)
+            for j in range(out.shape[1]):
+                t = int(out[i, j])
                 if self.eos_id is not None and t == self.eos_id:
                     r.done = True
                     break
                 r.out.append(t)
+                r.lps.append(float(lps[i, j]))
                 r.next_tok = t
                 if len(r.out) >= r.max_new_tokens:
                     r.done = True

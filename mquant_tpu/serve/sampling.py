@@ -48,10 +48,13 @@ def sample_tokens(logits: jax.Array, key: jax.Array, temp: jax.Array,
 
 def host_sample_first(vals: np.ndarray, idx: np.ndarray, temperature: float,
                       top_p: float, rng: np.random.Generator) -> int:
-    """Sample the ADMISSION token on the host from the prefill logits' top-k
-    slice (vals/idx, descending). One token per request — numpy is fine."""
+    """Sample the ADMISSION token on the host from the prefill logits' RAW
+    top-k slice (vals descending). One token per request — numpy is fine.
+    Returns the POSITION within the slice (callers map to ``idx[pos]`` and
+    can form the logprob as ``vals[pos] - lse``)."""
+    del idx  # position-based contract; kept for signature clarity
     if temperature <= 0:
-        return int(idx[0])
+        return 0
     v = np.asarray(vals, np.float64) / max(temperature, 1e-6)
     v -= v.max()
     p = np.exp(v)
@@ -60,4 +63,4 @@ def host_sample_first(vals: np.ndarray, idx: np.ndarray, temperature: float,
     keep = (cum - p) < top_p
     p = np.where(keep, p, 0.0)
     p /= p.sum()
-    return int(idx[rng.choice(len(p), p=p)])
+    return int(rng.choice(len(p), p=p))

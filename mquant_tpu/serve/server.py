@@ -57,6 +57,7 @@ class _Pending:
         self.deltas: "queue.Queue[Optional[List[int]]]" = queue.Queue()
         self._sent = 0  # tokens already pushed as deltas
         self.cancelled = False  # set by handler (client gone); worker acts
+        self.lps: List[float] = []  # per-token logprobs (set at finish)
         self.stop: List[str] = []  # stop strings (checked per block)
         self.stop_text: Optional[str] = None  # text truncated at the stop
         self.t_submit = time.time()
@@ -170,6 +171,8 @@ class EngineWorker:
         return True
 
     def _finish(self, p: "_Pending", toks: List[int]):
+        if p.rid is not None:
+            p.lps = self.engine.logprobs_of(p.rid)[:len(toks)]
         self.tokens_total += len(toks)
         self.request_count += 1
         self.request_seconds_sum += time.time() - p.t_submit
@@ -378,7 +381,8 @@ class InferenceServer:
                 errs = [p.error for p in pendings if p.error]
                 if errs:
                     return self._json(400, {"error": errs[0]})
-                self._json(200, server._response_n(pendings, chat))
+                self._json(200, server._response_n(
+                    pendings, chat, logprobs=bool(req.get("logprobs"))))
 
             def _stream(self, pending: "_Pending", chat: bool):
                 self.send_response(200)
@@ -557,18 +561,20 @@ class InferenceServer:
                                    n_image_tokens=0, system=system)
         return pieces["text_before"] + pieces["text_after"]
 
-    def _response_n(self, pendings, chat: bool) -> Dict[str, Any]:
+    def _response_n(self, pendings, chat: bool,
+                    logprobs: bool = False) -> Dict[str, Any]:
         """Merge n completions into one OpenAI-style response."""
-        out = self._response(pendings[0], chat)
+        out = self._response(pendings[0], chat, logprobs=logprobs)
         for i, p in enumerate(pendings[1:], start=1):
-            extra = self._response(p, chat)
+            extra = self._response(p, chat, logprobs=logprobs)
             c = extra["choices"][0]
             c["index"] = i
             out["choices"].append(c)
             out["usage"]["completion_tokens"] += len(p.tokens)
         return out
 
-    def _response(self, pending, chat: bool) -> Dict[str, Any]:
+    def _response(self, pending, chat: bool,
+                  logprobs: bool = False) -> Dict[str, Any]:
         tokens = pending.tokens
         out: Dict[str, Any] = {"model": self.model_name,
                                "usage": {"completion_tokens": len(tokens)}}
@@ -587,6 +593,9 @@ class InferenceServer:
             out["object"] = "text_completion"
             out["choices"] = [{"index": 0, "finish_reason": reason,
                                "text": text, "tokens": tokens}]
+        if logprobs:
+            out["choices"][0]["logprobs"] = {
+                "token_logprobs": [round(v, 6) for v in pending.lps]}
         return out
 
     def _delta(self, tokens: List[int], chat: bool) -> Dict[str, Any]:

@@ -518,3 +518,86 @@ class TestNCompletions:
             assert status == 400
         finally:
             srv.shutdown()
+
+
+class TestLogprobs:
+    def test_greedy_logprobs_match_reference_forward(self):
+        """Per-token logprobs equal log_softmax of the reference forward at
+        each emitted position (greedy engine, admission token included)."""
+        from mquant_tpu.models.llm import decoder_forward
+        from mquant_tpu.serve.engine import ServingEngine
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(50))
+        p = list(range(1, 9))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        rid = eng.submit(p, max_new_tokens=6)
+        toks = eng.run()[rid]
+        lps = eng.logprobs_of(rid)
+        assert len(lps) == len(toks) == 6
+        # reference: one full forward over prompt+emitted, log_softmax at
+        # the positions that produced each token
+        seq = jnp.asarray(p + toks[:-1])[None]
+        logits, _, _ = decoder_forward(cfg, params, seq)
+        ref = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        for i, (t, lp) in enumerate(zip(toks, lps)):
+            want = float(ref[len(p) - 1 + i, t])
+            assert abs(lp - want) < 5e-3, (i, lp, want)
+
+    def test_http_logprobs_field(self, served):
+        _, _, srv = served
+        status, out = _post(srv.port, "/v1/completions",
+                            {"prompt": [2, 3, 4], "max_tokens": 4,
+                             "logprobs": True})
+        assert status == 200
+        c = out["choices"][0]
+        lp = c["logprobs"]["token_logprobs"]
+        assert len(lp) == len(c["tokens"]) == 4
+        assert all(v <= 0 for v in lp)  # greedy logprobs are ≤ 0
+        # absent unless requested
+        status, out = _post(srv.port, "/v1/completions",
+                            {"prompt": [2, 3, 4], "max_tokens": 2})
+        assert "logprobs" not in out["choices"][0]
+
+    def test_sampled_logprobs_under_model_dist(self, served):
+        """Sampled tokens report their logprob under the MODEL distribution
+        (not the temperature-scaled one): finite, ≤ 0."""
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(51))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3, sample_top_k=8, seed=2)
+        srv2 = InferenceServer(eng, port=0)
+        try:
+            status, out = _post(srv2.port, "/v1/completions",
+                                {"prompt": [5, 6, 7], "max_tokens": 5,
+                                 "temperature": 1.5, "logprobs": True})
+            assert status == 200
+            lp = out["choices"][0]["logprobs"]["token_logprobs"]
+            assert len(lp) == 5 and all(v <= 0 and v > -50 for v in lp)
+        finally:
+            srv2.shutdown()
+
+    def test_spec_logprobs_match_plain(self):
+        """Speculative decoding reports the same logprobs as the plain
+        engine (its tokens are exactly the greedy ones)."""
+        from mquant_tpu.serve.engine import ServingEngine
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(52))
+        p = list(range(4, 14))
+
+        def run(spec):
+            eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                                steps_per_block=2, spec_k=spec)
+            rid = eng.submit(p, max_new_tokens=8)
+            toks = eng.run()[rid]
+            return toks, eng.logprobs_of(rid)
+
+        t0, l0 = run(0)
+        t1, l1 = run(3)
+        assert t0 == t1
+        np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-4)
