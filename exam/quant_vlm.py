@@ -94,6 +94,9 @@ def parser_gen(model_default=None):
                    help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
                         "| DocVQA_VAL | SyntheticVQA | path to TSV)")
     p.add_argument("--eval_limit", type=int, default=None)
+    p.add_argument("--eval_batch", type=int, default=0,
+                   help=">1: evaluate through the continuous-batching "
+                        "engine pool, eval_batch rows at a time")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--log_file", default=None)
     return p
@@ -155,8 +158,11 @@ def main(args=None):
                            tokenizer=tokenizer,
                            kv_quant=args.kv_bits or False)
         ds = build_dataset(args.dataset_name)
+        batch_fn = (runner.serve_engine if args.eval_batch
+                    and args.eval_batch > 1 else None)
         eval_dataset(runner.generate, ds, out_dir=args.output_dir,
-                     model_name=args.model, limit=args.eval_limit)
+                     model_name=args.model, limit=args.eval_limit,
+                     batch_fn=batch_fn, batch_size=args.eval_batch)
 
 
 if __name__ == "__main__":

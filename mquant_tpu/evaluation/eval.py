@@ -199,29 +199,50 @@ def build_dataset(name_or_path: str, data_root: Optional[str] = None) -> EvalDat
 def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
                  out_dir: str = "output", model_name: str = "model",
                  limit: Optional[int] = None, verbose: bool = False,
-                 shard: Optional[tuple] = None) -> Dict:
-    """Serial eval loop (ref: evaluation/eval.py:9-58). ``generate_fn`` maps one
+                 shard: Optional[tuple] = None,
+                 batch_fn: Optional[Callable[[list], list]] = None,
+                 batch_size: int = 0) -> Dict:
+    """Eval loop (ref: evaluation/eval.py:9-58). ``generate_fn`` maps one
     prompt struct → prediction text. Dumps results + prints the metric table.
 
     ``shard=(i, n)`` evaluates every n-th row starting at i — the data-parallel
     fan-out of VLMEvalKit's mp_util (ref: third/VLMEvalKit/vlmeval/utils/
     mp_util.py): run n processes/hosts with distinct shards and merge the
     result files with :func:`merge_results`.
+
+    ``batch_fn`` + ``batch_size > 1``: rows are evaluated ``batch_size`` at a
+    time through a list→list function (``VLMRunner.serve_engine`` — the
+    continuous-batching pool — or ``generate_batch``), the throughput path
+    the reference's serial HF-generate loop cannot express.
     """
     os.makedirs(out_dir, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
     rows_iter = range(n) if shard is None else range(shard[0], n, shard[1])
     results = []
     t0 = time.time()
-    for i in rows_iter:
-        prompt = dataset.build_prompt(i)
-        pred = generate_fn(prompt)
-        row = dict(prompt)
-        row.pop("image", None)
-        row["prediction"] = pred
-        results.append(row)
-        if verbose:
-            print(f"[{i+1}/{n}] {pred[:60]!r}")
+    if batch_fn is not None and batch_size > 1:
+        idxs = list(rows_iter)
+        for j in range(0, len(idxs), batch_size):
+            group = idxs[j:j + batch_size]
+            prompts = [dataset.build_prompt(i) for i in group]
+            preds = batch_fn(prompts)
+            for i, prompt, pred in zip(group, prompts, preds):
+                row = dict(prompt)
+                row.pop("image", None)
+                row["prediction"] = pred
+                results.append(row)
+                if verbose:
+                    print(f"[{i+1}/{n}] {pred[:60]!r}")
+    else:
+        for i in rows_iter:
+            prompt = dataset.build_prompt(i)
+            pred = generate_fn(prompt)
+            row = dict(prompt)
+            row.pop("image", None)
+            row["prediction"] = pred
+            results.append(row)
+            if verbose:
+                print(f"[{i+1}/{n}] {pred[:60]!r}")
     dt = time.time() - t0
 
     stamp = time.strftime("%Y%m%d_%H%M%S")

@@ -566,3 +566,28 @@ class TestHallusionDataset:
                          for i in range(2)])
         assert m["aAcc"] == pytest.approx(50.0)
         assert "qAcc" in m and "fAcc" in m
+
+
+class TestBatchedEval:
+    def test_engine_batched_eval_matches_serial(self, tmp_path):
+        """eval_dataset(batch_fn=serve_engine) produces the same predictions
+        and metric as the serial per-row loop."""
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.evaluation.eval import SyntheticVQADataset, eval_dataset
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(3))
+        runner = VLMRunner("qwen2vl", cfg, params, max_len=256,
+                           max_new_tokens=5)
+        ds = SyntheticVQADataset(n=6)
+        serial = eval_dataset(runner.generate, ds,
+                              out_dir=str(tmp_path / "a"), limit=6)
+        batched = eval_dataset(runner.generate, ds,
+                               out_dir=str(tmp_path / "b"), limit=6,
+                               batch_fn=runner.serve_engine, batch_size=4)
+        assert batched["n"] == serial["n"] == 6
+        assert batched["metrics"] == serial["metrics"]
