@@ -107,6 +107,9 @@ def update(
         cur_min, cur_max = _reduce_minmax(spec, x, mask)
 
     first = stats.n == 0
+    if hasattr(first, "ndim"):  # layer-stacked n (L,) vs per-channel (L, C)
+        while first.ndim < jnp.ndim(cur_min):
+            first = first[..., None]
     if spec.kind in ("ema", "percentile"):
         sigma = spec.ema_sigma
         new_min = jnp.where(first, cur_min, stats.min + sigma * (cur_min - stats.min))
@@ -126,6 +129,12 @@ def merge(spec: ObserverSpec, a: ObserverStats, b: ObserverStats) -> ObserverSta
     """
     a_empty = a.n == 0
     b_empty = b.n == 0
+    # layer-stacked stats carry n per layer (L,) while per-channel extrema
+    # are (L, C) — align ranks so the emptiness masks broadcast
+    while jnp.ndim(a_empty) < jnp.ndim(a.min):
+        a_empty = a_empty[..., None]
+    while jnp.ndim(b_empty) < jnp.ndim(b.min):
+        b_empty = b_empty[..., None]
     if spec.kind in ("ema", "percentile"):
         sigma = spec.ema_sigma
         new_min = jnp.where(a_empty, b.min, a.min + sigma * (b.min - a.min))

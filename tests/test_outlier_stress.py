@@ -114,3 +114,21 @@ class TestOutlierStress:
         block = _run(fam, cfg, p_out, calib, held, rotate=True,
                      online_had_mode="block")
         assert block < GATE, f"block mode should rescue, got {block:.4f}"
+
+    def test_w4a4_static_fails_grouped_dynamic_passes(self, stress_setup):
+        """W4A4 characterization (beyond the reference's headline W4A8).
+        Measured, honest findings on the GLU-spike distribution: static
+        per-tensor 4-bit acts blow the gate, and — unlike at A8 — rotation
+        does NOT rescue them (spreading the spike across channels costs more
+        at 15 levels than one saturated channel did; matches the W4A4
+        literature needing finer scales). What DOES meet the gate is
+        per-token-per-group dynamic A4 (``--a_groupsize 32``): the group
+        scale localizes the spike."""
+        fam, cfg, p_out, calib, held = stress_setup
+        bare = _run(fam, cfg, p_out, calib, held, rotate=False,
+                    llm_a_bits=4)
+        assert bare > GATE, f"bare static W4A4 should fail: {bare:.4f}"
+        grouped = _run(fam, cfg, p_out, calib, held, rotate=False,
+                       llm_split=False, llm_a_bits=4, llm_static=False,
+                       a_groupsize=32)
+        assert grouped < GATE, f"grouped dynamic A4 should pass: {grouped:.4f}"
