@@ -359,5 +359,30 @@ def main():
     }))
 
 
+def _wait_for_backend(attempts: int = 5, sleep_s: float = 90.0) -> bool:
+    """The axon tunnel has transient multi-minute outages (observed: backend
+    init dies with UNAVAILABLE). Retry init in a fresh subprocess-probe loop
+    so one flaky window doesn't turn the whole benchmark red."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300)
+            if probe.returncode == 0:
+                return True
+            why = probe.stderr.decode()[-200:].strip()
+        except subprocess.TimeoutExpired:
+            why = "probe hung (tunnel relay not answering)"
+        log(f"backend probe {i + 1}/{attempts} failed ({why!r}); "
+            f"retrying in {sleep_s:.0f}s")
+        time.sleep(sleep_s)
+    return False
+
+
 if __name__ == "__main__":
+    if not _wait_for_backend():
+        log("TPU backend unavailable after retries")
+        sys.exit(1)
     main()
