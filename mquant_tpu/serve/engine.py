@@ -266,6 +266,14 @@ class ServingEngine:
         r.done = True  # active: retired (and slot freed) next sweep
         return True
 
+    def release(self, rid: int) -> None:
+        """Drop a finished request's bookkeeping (its prompt/embeds array,
+        output tokens, logprobs). Long-lived engines (the HTTP server) must
+        call this after reading results, or ``_requests`` grows without
+        bound; ``run()``-style batch callers may keep entries around to read
+        ``logprobs_of`` afterwards."""
+        self._requests.pop(rid, None)
+
     def logprobs_of(self, rid: int) -> List[float]:
         """Per-emitted-token logprobs under the model distribution (greedy
         and sampled alike), parallel to the request's output tokens."""

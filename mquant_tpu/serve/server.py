@@ -111,6 +111,7 @@ class EngineWorker:
         self.request_seconds_sum = 0.0
         self.request_count = 0
         self.started = time.time()
+        self.crashed: Optional[str] = None
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mquant-engine-worker")
         self._thread.start()
@@ -122,6 +123,11 @@ class EngineWorker:
         p = _Pending(dict(tokens_or_embeds=tokens_or_embeds,
                           max_new_tokens=max_new_tokens, **kw))
         p.stop = stop or []
+        if self.crashed:
+            p.error = self.crashed
+            p.deltas.put(None)
+            p.done.set()
+            return p
         self._inbox.put(p)
         self._wake.set()
         return p
@@ -202,12 +208,32 @@ class EngineWorker:
             self.requests_total += 1
 
     def _loop(self):
-        if self.mesh is not None:
-            import jax
+        try:
+            if self.mesh is not None:
+                import jax
 
-            with jax.set_mesh(self.mesh):
-                return self._loop_inner()
-        return self._loop_inner()
+                with jax.set_mesh(self.mesh):
+                    return self._loop_inner()
+            return self._loop_inner()
+        except Exception as e:  # noqa: BLE001 — fail every waiter, not hang
+            import traceback
+
+            traceback.print_exc()
+            msg = f"engine worker crashed: {e}"
+            for p in list(self._inflight.values()):
+                p.error = msg
+                p.deltas.put(None)
+                p.done.set()
+            self._inflight.clear()
+            while True:
+                try:
+                    p = self._inbox.get_nowait()
+                except queue.Empty:
+                    break
+                p.error = msg
+                p.deltas.put(None)
+                p.done.set()
+            self.crashed = msg
 
     def _loop_inner(self):
         while not self._stop:
@@ -228,11 +254,13 @@ class EngineWorker:
                 self.engine.cancel(rid)
                 self._inflight.pop(rid)
                 self._finish(p, self.engine.partial_output(rid))
+                self.engine.release(rid)
             finished = self.engine.step_block()
             for rid, toks in finished.items():
                 p = self._inflight.pop(rid, None)
                 if p is not None:
                     self._finish(p, toks)
+                self.engine.release(rid)
             for rid, p in self._inflight.items():
                 p.push_progress(self.engine.partial_output(rid), final=False)
             # a tiny yield so handler threads get the GIL between blocks

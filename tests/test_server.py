@@ -601,3 +601,53 @@ class TestLogprobs:
         t1, l1 = run(3)
         assert t0 == t1
         np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-4)
+
+
+class TestWorkerResilience:
+    def test_worker_crash_fails_requests_instead_of_hanging(self):
+        """If the scheduler thread dies (e.g. an engine bug), every waiting
+        and future request gets an error response — handlers never hang."""
+        import time as _time
+
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import EngineWorker
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(60))
+        eng = ServingEngine(cfg, params, slots=1, max_len=64)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected engine failure")
+
+        eng.step_block = boom
+        w = EngineWorker(eng)
+        p = w.submit([1, 2, 3], max_new_tokens=4)
+        assert p.done.wait(30)
+        assert p.error and "injected engine failure" in p.error
+        for _ in range(100):
+            if w.crashed:
+                break
+            _time.sleep(0.05)
+        p2 = w.submit([4, 5], max_new_tokens=2)  # fail-fast after crash
+        assert p2.done.wait(5) and p2.error
+        w.shutdown()
+
+    def test_server_releases_engine_bookkeeping(self):
+        """Long-lived serving: retired requests are released from the
+        engine's request map (the VLM embeds arrays would otherwise leak)."""
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(61))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        srv = InferenceServer(eng, port=0)
+        try:
+            for i in range(3):
+                status, _ = _post(srv.port, "/v1/completions",
+                                  {"prompt": [1 + i, 2, 3], "max_tokens": 3})
+                assert status == 200
+            assert len(eng._requests) == 0
+        finally:
+            srv.shutdown()
