@@ -158,8 +158,8 @@ def main(args=None):
                            tokenizer=tokenizer,
                            kv_quant=args.kv_bits or False)
         ds = build_dataset(args.dataset_name)
-        batch_fn = (runner.serve_engine if args.eval_batch
-                    and args.eval_batch > 1 else None)
+        batch_fn = (runner.engine_server(slots=args.eval_batch)
+                    if args.eval_batch and args.eval_batch > 1 else None)
         eval_dataset(runner.generate, ds, out_dir=args.output_dir,
                      model_name=args.model, limit=args.eval_limit,
                      batch_fn=batch_fn, batch_size=args.eval_batch)

@@ -252,7 +252,33 @@ class VLMRunner:
                               draft_ids=ids)
                 for e, pos, ids in reqs]
         outs = engine.run()
-        return [self.tok.decode(outs[r]) for r in rids]
+        texts = [self.tok.decode(outs[r]) for r in rids]
+        for r in rids:  # warm engines are reused across eval batches
+            engine.release(r)
+        return texts
+
+    def engine_server(self, max_len: int = 1024, slots: int = 4,
+                      max_new_tokens: Optional[int] = None, **engine_kw):
+        """A list→list batch function backed by ONE warm engine (compiled
+        blocks + prefix cache reused across calls) — the right callee for
+        ``eval_dataset(batch_fn=...)``: per-group engines would recompile
+        admission/decode shapes every group."""
+        from ..serve.engine import ServingEngine
+        from ..serve.generate import bucket_len
+
+        eos = getattr(self.tok, "eos_id", -1)
+        eng = ServingEngine(
+            self.cfg.llm, self.params["llm"], specs=self.specs,
+            state=self.state, mode=self.mode, slots=slots,
+            max_len=bucket_len(max_len), eos_id=eos if eos >= 0 else None,
+            **engine_kw)
+
+        def batch_fn(prompts, mnt=None):
+            return self.serve_engine(
+                prompts, max_new_tokens=mnt or max_new_tokens, engine=eng)
+
+        batch_fn.engine = eng  # expose for stats/prefix registration
+        return batch_fn
 
     def generate(self, prompt: Dict, max_new_tokens: Optional[int] = None) -> str:
         """prompt: {"text": str, "image": np.ndarray | None} → decoded text."""

@@ -591,3 +591,28 @@ class TestBatchedEval:
                                batch_fn=runner.serve_engine, batch_size=4)
         assert batched["n"] == serial["n"] == 6
         assert batched["metrics"] == serial["metrics"]
+
+    def test_engine_server_reuses_one_engine(self, tmp_path):
+        """engine_server: one warm engine across eval groups (no per-group
+        recompile), request bookkeeping released, predictions unchanged."""
+        import jax
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.evaluation.eval import SyntheticVQADataset, eval_dataset
+        from mquant_tpu.models.qwen2vl import (Qwen2VLConfig,
+                                               init_qwen2vl_params)
+
+        cfg = Qwen2VLConfig.tiny()
+        params = init_qwen2vl_params(cfg, jax.random.key(3))
+        runner = VLMRunner("qwen2vl", cfg, params, max_len=256,
+                           max_new_tokens=5)
+        ds = SyntheticVQADataset(n=6)
+        serial = eval_dataset(runner.generate, ds,
+                              out_dir=str(tmp_path / "a"), limit=6)
+        fn = runner.engine_server(max_len=512, slots=3)
+        batched = eval_dataset(runner.generate, ds,
+                               out_dir=str(tmp_path / "b"), limit=6,
+                               batch_fn=fn, batch_size=3)
+        assert batched["metrics"] == serial["metrics"]
+        assert len(fn.engine._requests) == 0  # released after each group
+        assert fn.engine.stats()["queued"] == 0
