@@ -651,3 +651,38 @@ class TestWorkerResilience:
             assert len(eng._requests) == 0
         finally:
             srv.shutdown()
+
+
+class TestRealIntDeploy:
+    def test_realized_artifact_serves_real_path(self, tmp_path):
+        """realize_int artifact → server: meta selects mode='real', the
+        engine decodes through the int8 GEMM kernels, tokens equal the
+        direct real-mode generator."""
+        from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
+        from mquant_tpu.serve.server import build_server_from_artifact
+
+        art = str(tmp_path / "art")
+        q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=16,
+                           nsamples=8, realize_int=True)
+        run_pipeline("qwen2vl", q, tiny=True, artifact_dir=art)
+        srv = build_server_from_artifact(art, slots=2, max_len=256, port=0)
+        try:
+            assert srv.worker.engine.mode == "real"
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": list(range(1, 9)),
+                                 "max_tokens": 5})
+            assert status == 200, out
+            from mquant_tpu.models.registry import get_family
+            from mquant_tpu.utils.checkpoint import (config_from_dict,
+                                                     load_artifact)
+
+            params, state, specs, meta = load_artifact(art)
+            cfg = config_from_dict(meta["config_dict"])
+            gen = Generator(cfg.llm, params["llm"], specs=specs, state=state,
+                            mode="real", max_len=256)
+            ref = gen.generate(jnp.asarray(list(range(1, 9)))[None],
+                               max_new_tokens=5)
+            assert out["choices"][0]["tokens"] == [
+                int(t) for t in np.asarray(ref)[0]]
+        finally:
+            srv.shutdown()
