@@ -68,6 +68,7 @@ class _Request:
     draft_ids: Any = None  # embeds prompts: known token ids for drafting
     temperature: float = 0.0  # 0 = greedy; >0 samples (needs sample_top_k)
     top_p: float = 1.0
+    seed: int = 0  # per-request sampling seed (schedule-independent replay)
     lps: List[float] = dataclasses.field(default_factory=list)  # logprobs
 
 
@@ -164,7 +165,7 @@ class ServingEngine:
 
     def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
                positions=None, draft_ids=None, temperature: float = 0.0,
-               top_p: float = 1.0) -> int:
+               top_p: float = 1.0, seed: Optional[int] = None) -> int:
         """Queue a request. ``tokens_or_embeds``: (T,) int ids or (T, H)
         spliced embeds (VLM prompts). ``positions``: optional per-token
         position ids — (T,) or M-RoPE (3, T)/(3, 1, T) (image prompts);
@@ -197,10 +198,18 @@ class ServingEngine:
         if temperature > 0:
             assert self.sample_top_k > 0, \
                 "temperature > 0 needs ServingEngine(sample_top_k=...)"
+        # sampling noise is keyed by (request seed, emitted index) ONLY, so
+        # an explicit seed replays the same tokens under any pool schedule;
+        # the default derives from (engine seed, rid) — deterministic for a
+        # fixed submission order
+        rseed = (int(seed) if seed is not None
+                 else (self.seed * 1000003 + self._next_rid * 7919)
+                 & 0x7FFFFFFF)
         r = _Request(self._next_rid, arr, max_new_tokens, positions=positions,
                      draft_ids=None if draft_ids is None
                      else np.asarray(draft_ids, np.int32).reshape(-1),
-                     temperature=float(temperature), top_p=float(top_p))
+                     temperature=float(temperature), top_p=float(top_p),
+                     seed=rseed)
         self._next_rid += 1
         self._queue.append(r)
         self._requests[r.rid] = r
@@ -241,7 +250,9 @@ class ServingEngine:
             blk(self.params, tok, active, scratch,
                 bkey=jax.random.key(0),
                 temp=jnp.zeros((self.slots,), jnp.float32),
-                top_p=jnp.ones((self.slots,), jnp.float32))
+                top_p=jnp.ones((self.slots,), jnp.float32),
+                seeds=jnp.zeros((self.slots,), jnp.int32),
+                counts=jnp.zeros((self.slots,), jnp.int32))
         else:
             blk = self._decode_block_fn(self.steps_per_block)
             blk(self.params, tok, active, scratch)
@@ -556,7 +567,7 @@ class ServingEngine:
         self._finish_admit(r, a.slot, first, topk=topk, lp=lp)
 
     def _req_rng(self, r: _Request) -> np.random.Generator:
-        return np.random.default_rng((self.seed << 17) ^ (r.rid * 1000003))
+        return np.random.default_rng(r.seed)
 
     def _finish_admit(self, r: _Request, slot: int, tok: int, topk=None,
                       lp: float = 0.0):
@@ -670,7 +681,7 @@ class ServingEngine:
 
             @functools.partial(jax.jit, donate_argnums=(3,))
             def block(params, tok, active, cache, bkey=None, temp=None,
-                      top_p=None):
+                      top_p=None, seeds=None, counts=None):
                 if s4:
                     # half the per-step weight stream (native-S4 storage; the
                     # repack amortizes over the block's n_steps)
@@ -696,9 +707,9 @@ class ServingEngine:
                     if topk:
                         from .sampling import sample_tokens
 
-                        nxt = sample_tokens(logits[:, -1],
-                                            jax.random.fold_in(bkey, i),
-                                            temp, top_p, topk)
+                        nxt = sample_tokens(logits[:, -1], bkey, temp,
+                                            top_p, topk, seeds=seeds,
+                                            counts=counts + i)
                     else:
                         nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                     nxt = jnp.where(active, nxt, jnp.int32(0))
@@ -865,16 +876,23 @@ class ServingEngine:
         if self.sample_top_k:
             temp = np.zeros((self.slots,), np.float32)
             top_p = np.ones((self.slots,), np.float32)
+            seeds = np.zeros((self.slots,), np.int32)
+            counts = np.zeros((self.slots,), np.int32)
             for i, r in enumerate(self._active):
                 if r is not None and not r.done:
                     temp[i], top_p[i] = r.temperature, r.top_p
-            self._block_ctr += 1
-            bkey = jax.random.fold_in(jax.random.key(self.seed),
-                                      self._block_ctr)
+                    seeds[i] = r.seed
+                    counts[i] = len(r.out)  # emitted index of the next token
+            # noise entropy comes entirely from (per-row seed, per-row
+            # count) — the base key is a constant, so scheduling can't
+            # change a request's tokens
+            bkey = jax.random.key(0)
             out, lps, self.cache = block(self.params, jnp.asarray(tok),
                                          jnp.asarray(active), self.cache,
                                          bkey=bkey, temp=jnp.asarray(temp),
-                                         top_p=jnp.asarray(top_p))
+                                         top_p=jnp.asarray(top_p),
+                                         seeds=jnp.asarray(seeds),
+                                         counts=jnp.asarray(counts))
         else:
             out, lps, self.cache = block(self.params, jnp.asarray(tok),
                                          jnp.asarray(active), self.cache)

@@ -25,10 +25,19 @@ import numpy as np
 
 
 def sample_tokens(logits: jax.Array, key: jax.Array, temp: jax.Array,
-                  top_p: jax.Array, top_k: int) -> jax.Array:
+                  top_p: jax.Array, top_k: int,
+                  seeds: jax.Array = None,
+                  counts: jax.Array = None) -> jax.Array:
     """One sampled token per row. logits (B, V); temp/top_p (B,);
     ``top_k`` static. Rows with temp == 0 get exact argmax (greedy rows in a
-    mixed pool pay the top_k slice but not its result)."""
+    mixed pool pay the top_k slice but not its result).
+
+    With ``seeds``/``counts`` (both (B,) int32), each row's Gumbel noise is
+    keyed by (its own seed, its own emitted-token index) instead of the
+    shared block key — tokens then depend ONLY on (request seed, position),
+    so a sampled request replays identically regardless of pool composition
+    or scheduling (per-request determinism, the property an API ``seed``
+    parameter promises)."""
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     l32 = logits.astype(jnp.float32)
     t = jnp.maximum(temp, 1e-6)[:, None]
@@ -39,8 +48,15 @@ def sample_tokens(logits: jax.Array, key: jax.Array, temp: jax.Array,
     probs = jax.nn.softmax(vals, -1)
     cum = jnp.cumsum(probs, -1)
     vals = jnp.where(cum - probs < top_p[:, None], vals, -jnp.inf)
-    g = -jnp.log(-jnp.log(jax.random.uniform(
-        key, vals.shape, jnp.float32, 1e-20, 1.0)))
+    if seeds is not None:
+        def row_noise(seed, cnt):
+            k = jax.random.fold_in(jax.random.fold_in(key, seed), cnt)
+            return jax.random.uniform(k, (top_k,), jnp.float32, 1e-20, 1.0)
+
+        u = jax.vmap(row_noise)(seeds, counts)
+    else:
+        u = jax.random.uniform(key, vals.shape, jnp.float32, 1e-20, 1.0)
+    g = -jnp.log(-jnp.log(u))
     choice = jnp.argmax(vals + g, -1)
     sampled = jnp.take_along_axis(idx, choice[:, None], -1)[:, 0]
     return jnp.where(temp > 0, sampled.astype(jnp.int32), greedy)

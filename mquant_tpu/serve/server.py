@@ -365,6 +365,7 @@ class InferenceServer:
                 sample_kw = dict(
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)))
+                req_seed = req.get("seed")
                 stop = req.get("stop") or []
                 if isinstance(stop, str):
                     stop = [stop]
@@ -392,14 +393,26 @@ class InferenceServer:
                             kw.update(sample_kw)
                             return kw
 
-                        pendings = [server.worker.submit_lazy(make_kwargs,
+                        def kwargs_i(i):
+                            # n copies under an explicit seed get seed+i —
+                            # identical noise would defeat n > 1
+                            def make(i=i):
+                                kw = make_kwargs()
+                                if req_seed is not None:
+                                    kw["seed"] = int(req_seed) + i
+                                return kw
+                            return make
+
+                        pendings = [server.worker.submit_lazy(kwargs_i(i),
                                                               stop=stop)
-                                    for _ in range(n)]
+                                    for i in range(n)]
                     else:
                         ids = server._prompt_ids(req, chat)
                         pendings = [server.worker.submit(
                             ids, max_new_tokens=max_tokens, stop=stop,
-                            **sample_kw) for _ in range(n)]
+                            **(dict(sample_kw, seed=int(req_seed) + i)
+                               if req_seed is not None else sample_kw))
+                            for i in range(n)]
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
                 if req.get("stream"):
