@@ -736,3 +736,44 @@ class TestPerRequestSeed:
             assert len(set(toks)) > 1  # copies got distinct seeds
         finally:
             srv.shutdown()
+
+
+class TestChunkedAdmissionServer:
+    def test_long_prompt_over_http_with_chunked_admission(self):
+        """A long prompt served over HTTP through chunked admission (one
+        bounded piece per scheduler tick) while short traffic flows: both
+        exact vs solo runs."""
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(80))
+        long_p = [1 + (i % 90) for i in range(160)]
+        short_p = list(range(5, 11))
+        eng = ServingEngine(cfg, params, slots=2, max_len=256,
+                            steps_per_block=3, admit_chunk=64)
+        srv = InferenceServer(eng, port=0)
+        try:
+            import threading
+            results = {}
+
+            def go(name, p, n):
+                status, out = _post(srv.port, "/v1/completions",
+                                    {"prompt": p, "max_tokens": n})
+                results[name] = (status, out["choices"][0]["tokens"])
+
+            ts = [threading.Thread(target=go, args=("long", long_p, 6)),
+                  threading.Thread(target=go, args=("short", short_p, 6))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(180)
+            assert results["long"][0] == 200
+            assert results["short"][0] == 200
+            gen = Generator(cfg, params, max_len=256)
+            for name, p in (("long", long_p), ("short", short_p)):
+                ref = gen.generate(jnp.asarray(p)[None], max_new_tokens=6)
+                assert results[name][1] == [int(t) for t in
+                                            np.asarray(ref)[0]], name
+        finally:
+            srv.shutdown()
