@@ -69,6 +69,8 @@ class _Request:
     temperature: float = 0.0  # 0 = greedy; >0 samples (needs sample_top_k)
     top_p: float = 1.0
     seed: int = 0  # per-request sampling seed (schedule-independent replay)
+    presence_penalty: float = 0.0  # subtract from logits of seen tokens
+    frequency_penalty: float = 0.0  # ... scaled by occurrence count
     lps: List[float] = dataclasses.field(default_factory=list)  # logprobs
 
 
@@ -148,6 +150,11 @@ class ServingEngine:
         self.seed = seed
         assert not (sample_top_k and spec_k), \
             "sampling and speculative decoding are mutually exclusive"
+        if sample_top_k:
+            # per-slot token-occurrence counts (prompt + emitted) for
+            # presence/frequency penalties — (B, V) int32 lives on device,
+            # updated inside the block, row overwritten at admission
+            self.tok_counts = jnp.zeros((slots, cfg.vocab), jnp.int32)
         self._block_ctr = 0
         self._force_accept = False  # ceiling instrument (bench only)
         # acceptance accounting: emitted tokens / (active rows × rounds)
@@ -165,7 +172,9 @@ class ServingEngine:
 
     def submit(self, tokens_or_embeds, max_new_tokens: int = 32,
                positions=None, draft_ids=None, temperature: float = 0.0,
-               top_p: float = 1.0, seed: Optional[int] = None) -> int:
+               top_p: float = 1.0, seed: Optional[int] = None,
+               presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0) -> int:
         """Queue a request. ``tokens_or_embeds``: (T,) int ids or (T, H)
         spliced embeds (VLM prompts). ``positions``: optional per-token
         position ids — (T,) or M-RoPE (3, T)/(3, 1, T) (image prompts);
@@ -195,9 +204,9 @@ class ServingEngine:
             elif positions.ndim == 3:
                 positions = positions[:, 0]
             assert positions.shape == (3, T), positions.shape
-        if temperature > 0:
+        if temperature > 0 or presence_penalty or frequency_penalty:
             assert self.sample_top_k > 0, \
-                "temperature > 0 needs ServingEngine(sample_top_k=...)"
+                "sampling/penalties need ServingEngine(sample_top_k=...)"
         # sampling noise is keyed by (request seed, emitted index) ONLY, so
         # an explicit seed replays the same tokens under any pool schedule;
         # the default derives from (engine seed, rid) — deterministic for a
@@ -209,7 +218,8 @@ class ServingEngine:
                      draft_ids=None if draft_ids is None
                      else np.asarray(draft_ids, np.int32).reshape(-1),
                      temperature=float(temperature), top_p=float(top_p),
-                     seed=rseed)
+                     seed=rseed, presence_penalty=float(presence_penalty),
+                     frequency_penalty=float(frequency_penalty))
         self._next_rid += 1
         self._queue.append(r)
         self._requests[r.rid] = r
@@ -252,7 +262,10 @@ class ServingEngine:
                 temp=jnp.zeros((self.slots,), jnp.float32),
                 top_p=jnp.ones((self.slots,), jnp.float32),
                 seeds=jnp.zeros((self.slots,), jnp.int32),
-                counts=jnp.zeros((self.slots,), jnp.int32))
+                counts=jnp.zeros((self.slots,), jnp.int32),
+                pres=jnp.zeros((self.slots,), jnp.float32),
+                freq=jnp.zeros((self.slots,), jnp.float32),
+                tok_counts=jnp.copy(self.tok_counts))
         else:
             blk = self._decode_block_fn(self.steps_per_block)
             blk(self.params, tok, active, scratch)
@@ -569,19 +582,45 @@ class ServingEngine:
     def _req_rng(self, r: _Request) -> np.random.Generator:
         return np.random.default_rng(r.seed)
 
+    def _prompt_counts(self, r: _Request):
+        ids = (r.tokens_or_embeds if r.tokens_or_embeds.ndim == 1
+               else r.draft_ids)
+        row = np.zeros((self.cfg.vocab,), np.int32)
+        if ids is not None:
+            np.add.at(row, np.clip(np.asarray(ids, np.int64), 0,
+                                   self.cfg.vocab - 1), 1)
+        return row
+
     def _finish_admit(self, r: _Request, slot: int, tok: int, topk=None,
                       lp: float = 0.0):
         if topk is not None:
             vals, idx, lse = topk
+            cnts = None
+            if r.presence_penalty or r.frequency_penalty:
+                # penalties over the prompt's occurrence counts, applied to
+                # the top-k slice (same order of operations as the block:
+                # penalize raw logits, then temperature-scale)
+                cnts = self._prompt_counts(r)
+                c = cnts[np.asarray(idx, np.int64)]
+                vals = (np.asarray(vals, np.float64)
+                        - r.presence_penalty * (c > 0)
+                        - r.frequency_penalty * c)
             if r.temperature > 0:
                 from .sampling import host_sample_first
 
                 pos = host_sample_first(vals, idx, r.temperature, r.top_p,
                                         self._req_rng(r))
-                tok = int(idx[pos])
-                lp = float(vals[pos]) - lse
             else:
-                lp = float(vals[0]) - lse  # greedy = top-1 of the raw slice
+                pos = int(np.argmax(vals))
+            tok = int(idx[pos])
+            lp = float(topk[0][pos]) - lse  # raw model-distribution logprob
+            if self.sample_top_k:
+                if cnts is None:
+                    cnts = self._prompt_counts(r)
+                if not (self.eos_id is not None and tok == self.eos_id):
+                    cnts[tok] += 1
+                self.tok_counts = self.tok_counts.at[slot].set(
+                    jnp.asarray(cnts))
         r.slot = slot
         if self.eos_id is not None and tok == self.eos_id:
             r.done = True  # eos-trimmed: empty output
@@ -681,7 +720,8 @@ class ServingEngine:
 
             @functools.partial(jax.jit, donate_argnums=(3,))
             def block(params, tok, active, cache, bkey=None, temp=None,
-                      top_p=None, seeds=None, counts=None):
+                      top_p=None, seeds=None, counts=None, pres=None,
+                      freq=None, tok_counts=None):
                 if s4:
                     # half the per-step weight stream (native-S4 storage; the
                     # repack amortizes over the block's n_steps)
@@ -700,20 +740,29 @@ class ServingEngine:
                 lp0 = jnp.zeros((B, n_steps), jnp.float32)
 
                 def body(i, carry):
-                    tok, cache, out, lps = carry
+                    tok, cache, out, lps, tcnt = carry
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state,
                         mode=mode, cache=cache, ntk_alpha=alpha)
                     if topk:
                         from .sampling import sample_tokens
 
-                        nxt = sample_tokens(logits[:, -1], bkey, temp,
+                        # presence/frequency penalties over prompt+emitted
+                        # occurrence counts, applied before token choice
+                        step_logits = (logits[:, -1]
+                                       - pres[:, None] * (tcnt > 0)
+                                       - freq[:, None] * tcnt)
+                        nxt = sample_tokens(step_logits, bkey, temp,
                                             top_p, topk, seeds=seeds,
                                             counts=counts + i)
+                        tcnt = tcnt.at[jnp.arange(tcnt.shape[0]), nxt].add(
+                            active.astype(jnp.int32))
                     else:
                         nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                     nxt = jnp.where(active, nxt, jnp.int32(0))
-                    # emitted token's model-distribution logprob
+                    # emitted token's model-distribution logprob (raw model
+                    # distribution — penalties shape the choice, not the
+                    # reported probability)
                     l32 = logits[:, -1].astype(jnp.float32)
                     lp = (jnp.take_along_axis(l32, nxt[:, None], -1)[:, 0]
                           - jax.scipy.special.logsumexp(l32, axis=-1))
@@ -726,10 +775,14 @@ class ServingEngine:
                     at = (jnp.int32(0), jnp.asarray(i, jnp.int32))
                     out = jax.lax.dynamic_update_slice(out, nxt[:, None], at)
                     lps = jax.lax.dynamic_update_slice(lps, lp[:, None], at)
-                    return nxt[:, None], cache2, out, lps
+                    return nxt[:, None], cache2, out, lps, tcnt
 
-                _, cache, out, lps = jax.lax.fori_loop(
-                    0, n_steps, body, (tok, cache, out0, lp0))
+                tc0 = (tok_counts if tok_counts is not None
+                       else jnp.zeros((B, 1), jnp.int32))
+                _, cache, out, lps, tc = jax.lax.fori_loop(
+                    0, n_steps, body, (tok, cache, out0, lp0, tc0))
+                if tok_counts is not None:
+                    return out, lps, cache, tc
                 return out, lps, cache
 
             self._jit[key] = block
@@ -878,21 +931,25 @@ class ServingEngine:
             top_p = np.ones((self.slots,), np.float32)
             seeds = np.zeros((self.slots,), np.int32)
             counts = np.zeros((self.slots,), np.int32)
+            pres = np.zeros((self.slots,), np.float32)
+            freq = np.zeros((self.slots,), np.float32)
             for i, r in enumerate(self._active):
                 if r is not None and not r.done:
                     temp[i], top_p[i] = r.temperature, r.top_p
                     seeds[i] = r.seed
                     counts[i] = len(r.out)  # emitted index of the next token
+                    pres[i] = r.presence_penalty
+                    freq[i] = r.frequency_penalty
             # noise entropy comes entirely from (per-row seed, per-row
             # count) — the base key is a constant, so scheduling can't
             # change a request's tokens
             bkey = jax.random.key(0)
-            out, lps, self.cache = block(self.params, jnp.asarray(tok),
-                                         jnp.asarray(active), self.cache,
-                                         bkey=bkey, temp=jnp.asarray(temp),
-                                         top_p=jnp.asarray(top_p),
-                                         seeds=jnp.asarray(seeds),
-                                         counts=jnp.asarray(counts))
+            out, lps, self.cache, self.tok_counts = block(
+                self.params, jnp.asarray(tok), jnp.asarray(active),
+                self.cache, bkey=bkey, temp=jnp.asarray(temp),
+                top_p=jnp.asarray(top_p), seeds=jnp.asarray(seeds),
+                counts=jnp.asarray(counts), pres=jnp.asarray(pres),
+                freq=jnp.asarray(freq), tok_counts=self.tok_counts)
         else:
             out, lps, self.cache = block(self.params, jnp.asarray(tok),
                                          jnp.asarray(active), self.cache)

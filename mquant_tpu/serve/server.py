@@ -364,7 +364,10 @@ class InferenceServer:
                 max_tokens = int(req.get("max_tokens", 32))
                 sample_kw = dict(
                     temperature=float(req.get("temperature", 0.0)),
-                    top_p=float(req.get("top_p", 1.0)))
+                    top_p=float(req.get("top_p", 1.0)),
+                    presence_penalty=float(req.get("presence_penalty", 0.0)),
+                    frequency_penalty=float(req.get("frequency_penalty",
+                                                    0.0)))
                 req_seed = req.get("seed")
                 stop = req.get("stop") or []
                 if isinstance(stop, str):
