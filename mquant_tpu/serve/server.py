@@ -139,6 +139,11 @@ class EngineWorker:
         tower)."""
         p = _Pending(make_kwargs)
         p.stop = stop or []
+        if self.crashed:
+            p.error = self.crashed
+            p.deltas.put(None)
+            p.done.set()
+            return p
         self._inbox.put(p)
         self._wake.set()
         return p
