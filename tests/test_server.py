@@ -825,3 +825,66 @@ class TestPenalties:
                             {"prompt": [1, 2, 3], "max_tokens": 3,
                              "frequency_penalty": 0.5})
         assert status == 400 and "sample_top_k" in out["error"]
+
+
+class TestServerVariants:
+    def test_server_over_speculative_engine_exact(self):
+        """The HTTP server on a spec_k engine: outputs equal plain greedy
+        (speculation is output-exact), draft machinery invisible to the
+        API."""
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.server import InferenceServer
+
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(95))
+        p = list(range(2, 12))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=2, spec_k=4)
+        srv = InferenceServer(eng, port=0)
+        try:
+            status, out = _post(srv.port, "/v1/completions",
+                                {"prompt": p, "max_tokens": 8,
+                                 "logprobs": True})
+            assert status == 200
+            assert out["choices"][0]["tokens"] == _solo(cfg, params, p, 8)
+            assert len(out["choices"][0]["logprobs"]["token_logprobs"]) == 8
+        finally:
+            srv.shutdown()
+
+    @pytest.mark.parametrize("family", ["internvl", "minicpmv"])
+    def test_other_vlm_families_over_http(self, family):
+        """Image chat works for the non-flagship families too (engine_request
+        is family-generic: vision encode + splice, no M-RoPE)."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        from mquant_tpu.evaluation.adapter import VLMRunner
+        from mquant_tpu.models.registry import get_family
+        from mquant_tpu.serve.server import InferenceServer
+
+        fam = get_family(family)
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(1))
+        runner = VLMRunner(family, cfg, params, max_len=256,
+                           max_new_tokens=4)
+        srv = InferenceServer.for_vlm(runner, slots=2, max_len=512)
+        try:
+            arr = (np.random.default_rng(0).random((24, 24, 3))
+                   * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            url = ("data:image/png;base64,"
+                   + base64.b64encode(buf.getvalue()).decode())
+            status, out = _post(srv.port, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "describe"},
+                    {"type": "image_url", "image_url": {"url": url}}]}],
+                "max_tokens": 4})
+            assert status == 200, out
+            want = runner.serve_engine(
+                [{"text": "describe", "image": arr}], max_new_tokens=4)[0]
+            assert out["choices"][0]["message"]["content"] == want
+        finally:
+            srv.shutdown()
