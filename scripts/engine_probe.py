@@ -56,13 +56,13 @@ def main():
     block = eng._decode_block_fn(16)
     tok4 = jnp.ones((4, 1), jnp.int32)
     act4 = jnp.ones((4,), bool)
-    out, eng.cache = block(eng.params, tok4, act4, eng.cache)
+    out, _, eng.cache = block(eng.params, tok4, act4, eng.cache)
     _force(out)
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        out, eng.cache = block(eng.params, (tok4 + i) % 100 + 1, act4,
-                               eng.cache)
+        out, _, eng.cache = block(eng.params, (tok4 + i) % 100 + 1, act4,
+                                  eng.cache)
         _force(out)
         best = min(best, time.perf_counter() - t0)
     log(f"block(16)    B=4: {best*1e3:.1f} ms ({best/16*1e3:.2f} ms/step, "
