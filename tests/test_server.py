@@ -888,3 +888,40 @@ class TestServerVariants:
             assert out["choices"][0]["message"]["content"] == want
         finally:
             srv.shutdown()
+
+    def test_realized_artifact_serves_vlm_image_chat(self, tmp_path):
+        """Quantized (realized-int) artifact → server → IMAGE chat: the
+        vision tower runs in real mode on the scheduler thread, spliced
+        embeds decode through the int8 GEMMs."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
+        from mquant_tpu.serve.server import build_server_from_artifact
+
+        art = str(tmp_path / "art")
+        q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=16,
+                           nsamples=8, realize_int=True)
+        run_pipeline("qwen2vl", q, tiny=True, artifact_dir=art)
+        srv = build_server_from_artifact(art, slots=2, max_len=512, port=0)
+        try:
+            arr = (np.random.default_rng(1).random((24, 24, 3))
+                   * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            url = ("data:image/png;base64,"
+                   + base64.b64encode(buf.getvalue()).decode())
+            status, out = _post(srv.port, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "what is this?"},
+                    {"type": "image_url", "image_url": {"url": url}}]}],
+                "max_tokens": 5})
+            assert status == 200, out
+            want = srv.vlm_runner.serve_engine(
+                [{"text": "what is this?", "image": arr}],
+                max_new_tokens=5)[0]
+            assert out["choices"][0]["message"]["content"] == want
+        finally:
+            srv.shutdown()
