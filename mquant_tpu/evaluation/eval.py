@@ -262,7 +262,8 @@ def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
             w.writerows(results)
 
     metrics = dataset.evaluate(results) if shard is None else {"sharded": 1.0}
-    print(f"== {dataset.name} ({n} samples, {dt:.1f}s) → {out_file}")
+    print(f"== {dataset.name} ({len(results)} samples, {dt:.1f}s) "
+          f"→ {out_file}")
     for k, v in metrics.items():
         print(f"   {k}: {v:.2f}" if isinstance(v, float) else f"   {k}: {v}")
     return {"metrics": metrics, "results_file": out_file, "n": n,
