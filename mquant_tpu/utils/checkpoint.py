@@ -174,3 +174,94 @@ def config_from_dict(d: Dict):
         return v
 
     return dec(d)
+
+
+# ---------------------------------------------------------------------------
+# safetensors interop — the de-facto standard weight format, so the quantized
+# artifact (int-realized weights + scales + static act scales) can be consumed
+# by non-JAX toolchains. Structure (dict nesting, QuantParams namedtuples,
+# None slots) is recorded in the safetensors metadata and restored on load.
+# ---------------------------------------------------------------------------
+
+
+def _st_flatten(tree, prefix: str, out: Dict, meta: Dict):
+    if tree is None:
+        meta[prefix] = "none"
+        return
+    if isinstance(tree, dict):
+        meta[prefix] = "dict"
+        for k, v in tree.items():
+            assert "/" not in str(k), k
+            _st_flatten(v, f"{prefix}/{k}" if prefix else str(k), out, meta)
+        return
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple
+        meta[prefix] = f"nt:{type(tree).__name__}"
+        for k, v in tree._asdict().items():
+            _st_flatten(v, f"{prefix}/{k}", out, meta)
+        return
+    out[prefix] = np.asarray(tree)
+
+
+def _nt_class(name: str):
+    from ..core.quant import QuantParams
+    from ..observe.observers import ObserverStats
+
+    return {"QuantParams": QuantParams, "ObserverStats": ObserverStats}[name]
+
+
+def export_safetensors(tree: Dict, path: str, extra_meta: Optional[Dict] = None):
+    """Write a params/state pytree as one .safetensors file (bf16 tensors
+    are stored natively — safetensors supports ml_dtypes bfloat16)."""
+    from safetensors.numpy import save_file
+
+    out: Dict[str, np.ndarray] = {}
+    meta: Dict[str, str] = {}
+    _st_flatten(tree, "", out, meta)
+    md = {"mquant_structure": json.dumps(meta)}
+    if extra_meta:
+        md.update({k: str(v) for k, v in extra_meta.items()})
+    save_file(out, path, metadata=md)
+
+
+def import_safetensors(path: str) -> Tuple[Dict, Dict]:
+    """Inverse of :func:`export_safetensors` → (tree, metadata)."""
+    from safetensors.numpy import load_file
+    from safetensors import safe_open
+
+    flat = load_file(path)
+    with safe_open(path, framework="numpy") as f:
+        md = dict(f.metadata() or {})
+    meta = json.loads(md.pop("mquant_structure"))
+
+    root: Dict = {}
+
+    def set_path(key: str, val):
+        parts = key.split("/") if key else []
+        cur = root
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        if parts:
+            cur[parts[-1]] = val
+        return cur
+
+    for k, v in flat.items():
+        set_path(k, jnp.asarray(v))
+    for k, kind in meta.items():
+        if kind == "none":
+            set_path(k, None)
+    # rebuild namedtuples bottom-up (deepest paths first)
+    for k, kind in sorted(meta.items(), key=lambda kv: -kv[0].count("/")):
+        if not kind.startswith("nt:"):
+            continue
+        cls = _nt_class(kind[3:])
+        parts = k.split("/") if k else []
+        cur = root
+        for p in parts[:-1]:
+            cur = cur[p]
+        node = cur[parts[-1]] if parts else root
+        nt = cls(**{f: node.get(f) for f in cls._fields})
+        if parts:
+            cur[parts[-1]] = nt
+        else:
+            root = nt
+    return root, md

@@ -208,3 +208,41 @@ class TestArtifactServing:
         rid = eng.submit(prompt, max_new_tokens=6)
         outs = eng.run()
         assert outs[rid] == [int(t) for t in np.asarray(ref)[0]]
+
+
+class TestSafetensorsInterop:
+    def test_roundtrip_quantized_params_and_state(self, tmp_path):
+        """Realized quantized params + static-scale state survive a
+        safetensors round trip (structure incl. QuantParams namedtuples and
+        None bias slots restored); forward outputs identical."""
+        import numpy as np
+
+        from mquant_tpu.utils.checkpoint import (export_safetensors,
+                                                 import_safetensors)
+
+        q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=16,
+                           nsamples=8, realize_int=True)
+        cfg, params, state, specs, _ = run_pipeline("qwen2vl", q, tiny=True)
+
+        p_path = str(tmp_path / "params.safetensors")
+        s_path = str(tmp_path / "state.safetensors")
+        export_safetensors(params, p_path, extra_meta={"model": "qwen2vl"})
+        export_safetensors(state, s_path)
+        p2, md = import_safetensors(p_path)
+        s2, _ = import_safetensors(s_path)
+        assert md["model"] == "qwen2vl"
+        assert jax.tree.structure(p2, is_leaf=lambda x: x is None) == \
+            jax.tree.structure(params, is_leaf=lambda x: x is None)
+
+        fam = get_family("qwen2vl")
+        batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(4))[0]
+
+        def fwd(p, s):
+            kwargs = {k: v for k, v in batch.items()
+                      if k not in ("tokens", "patches")}
+            logits, _, _ = fam.forward_fn(
+                cfg, p, batch["tokens"], batch["patches"], specs=specs,
+                state=s, mode="real", **kwargs)
+            return np.asarray(logits)
+
+        np.testing.assert_array_equal(fwd(params, state), fwd(p2, s2))
