@@ -90,6 +90,9 @@ def parser_gen(model_default=None):
                    help="quantize the KV cache (8 → int8 per-token-head "
                         "symmetric; 4 → nibble-packed uint4 asymmetric)")
     p.add_argument("--artifact", default=None, help="artifact output dir")
+    p.add_argument("--export_safetensors", default=None,
+                   help="also write params/state as .safetensors files "
+                        "(interop with non-JAX toolchains)")
     p.add_argument("--dataset_name", default=None,
                    help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
                         "| DocVQA_VAL | SyntheticVQA | path to TSV)")
@@ -148,6 +151,22 @@ def main(args=None):
         calib_dataset=args.calib_dataset, tokenizer=tokenizer,
         tiny=args.tiny)
     log.info(f"pipeline done: {args.model} ({info})")
+
+    if args.export_safetensors:
+        import os
+
+        from mquant_tpu.utils.checkpoint import (config_to_dict,
+                                                 export_safetensors)
+
+        os.makedirs(args.export_safetensors, exist_ok=True)
+        meta = {"model": args.model,
+                "config": __import__("json").dumps(config_to_dict(cfg))}
+        export_safetensors(params, os.path.join(
+            args.export_safetensors, "params.safetensors"), extra_meta=meta)
+        if state is not None:
+            export_safetensors(state, os.path.join(
+                args.export_safetensors, "state.safetensors"))
+        log.info(f"safetensors written to {args.export_safetensors}")
 
     if args.dataset_name:
         from mquant_tpu.evaluation.adapter import VLMRunner
