@@ -851,7 +851,8 @@ class TestServerVariants:
         finally:
             srv.shutdown()
 
-    @pytest.mark.parametrize("family", ["internvl", "minicpmv"])
+    @pytest.mark.parametrize("family", ["internvl", "minicpmv", "qwenvl",
+                                        "glm4v"])
     def test_other_vlm_families_over_http(self, family):
         """Image chat works for the non-flagship families too (engine_request
         is family-generic: vision encode + splice, no M-RoPE)."""
