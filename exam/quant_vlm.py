@@ -153,14 +153,14 @@ def main(args=None):
     log.info(f"pipeline done: {args.model} ({info})")
 
     if args.export_safetensors:
-        import os
+        import json
 
         from mquant_tpu.utils.checkpoint import (config_to_dict,
                                                  export_safetensors)
 
         os.makedirs(args.export_safetensors, exist_ok=True)
         meta = {"model": args.model,
-                "config": __import__("json").dumps(config_to_dict(cfg))}
+                "config": json.dumps(config_to_dict(cfg))}
         export_safetensors(params, os.path.join(
             args.export_safetensors, "params.safetensors"), extra_meta=meta)
         if state is not None:
