@@ -157,6 +157,8 @@ def _infer_scorer(name: str) -> str:
         return "POPE"
     if "chartqa" in n:
         return "ChartQA"
+    if "coco" in n or "caption" in n or "nocaps" in n:
+        return "Caption"
     return "VQA"
 
 

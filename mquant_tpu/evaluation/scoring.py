@@ -267,6 +267,113 @@ def score_hallusion(rows: List[dict]) -> Dict[str, float]:
             "qAcc": allacc(qa_groups), "fAcc": allacc(fig_groups)}
 
 
+# ---------------------------------------------------------------------------
+# Image captioning (COCO_VAL / NoCaps protocol): BLEU-4 + CIDEr-D
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Dict[tuple, int]:
+    out: Dict[tuple, int] = defaultdict(int)
+    for i in range(len(tokens) - n + 1):
+        out[tuple(tokens[i:i + n])] += 1
+    return out
+
+
+def corpus_bleu(preds: List[str], refs_list: List[Sequence[str]],
+                max_n: int = 4) -> float:
+    """Corpus-level BLEU with clipped n-gram precision, uniform 1/N weights,
+    and closest-reference-length brevity penalty (Papineni et al. 2002 —
+    the metric VLMEvalKit's COCO caption eval reports as Bleu_4)."""
+    import math
+
+    num = [0] * max_n
+    den = [0] * max_n
+    pred_len = 0
+    ref_len = 0
+    for pred, refs in zip(preds, refs_list):
+        pt = _norm_text(pred).split()
+        rts = [_norm_text(r).split() for r in refs]
+        pred_len += len(pt)
+        ref_len += min((abs(len(rt) - len(pt)), len(rt)) for rt in rts)[1]
+        for n in range(1, max_n + 1):
+            pg = _ngrams(pt, n)
+            if not pg:
+                continue
+            clip: Dict[tuple, int] = defaultdict(int)
+            for rt in rts:
+                for g, c in _ngrams(rt, n).items():
+                    clip[g] = max(clip[g], c)
+            num[n - 1] += sum(min(c, clip[g]) for g, c in pg.items())
+            den[n - 1] += sum(pg.values())
+    if any(x == 0 for x in num) or any(x == 0 for x in den):
+        return 0.0
+    logp = sum(math.log(a / b) for a, b in zip(num, den)) / max_n
+    bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len / max(pred_len, 1))
+    return 100.0 * bp * math.exp(logp)
+
+
+def cider_d(preds: List[str], refs_list: List[Sequence[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D (Vedantam et al. 2015): TF-IDF-weighted n-gram cosine
+    similarity averaged over n=1..4, with candidate-count clipping and a
+    Gaussian length penalty; document frequencies computed over the eval
+    set's reference captions (the standard corpus-free protocol)."""
+    import math
+
+    toks_p = [_norm_text(p).split() for p in preds]
+    toks_r = [[_norm_text(r).split() for r in refs] for refs in refs_list]
+    # document frequency per n-gram over images (a ref n-gram counts once
+    # per image regardless of how many of its captions contain it)
+    df: List[Dict[tuple, int]] = [defaultdict(int) for _ in range(max_n)]
+    for refs in toks_r:
+        for n in range(max_n):
+            seen = set()
+            for rt in refs:
+                seen.update(_ngrams(rt, n + 1).keys())
+            for g in seen:
+                df[n][g] += 1
+    n_img = max(len(refs_list), 1)
+
+    def tfidf(counts: Dict[tuple, int], n: int) -> Dict[tuple, float]:
+        return {g: c * math.log(n_img / max(df[n][g], 1))
+                for g, c in counts.items()}
+
+    def norm(v: Dict[tuple, float]) -> float:
+        return math.sqrt(sum(x * x for x in v.values()))
+
+    scores = []
+    for pt, refs in zip(toks_p, toks_r):
+        per_n = []
+        for n in range(max_n):
+            pg = _ngrams(pt, n + 1)
+            sim = 0.0
+            for rt in refs:
+                rg = _ngrams(rt, n + 1)
+                # CIDEr-D clips candidate counts by the reference's counts
+                cg = {g: min(c, rg.get(g, 0)) for g, c in pg.items()}
+                vp, vr = tfidf(cg, n), tfidf(rg, n)
+                dot = sum(vp[g] * vr[g] for g in vp if g in vr)
+                np_, nr = norm(tfidf(pg, n)), norm(vr)
+                if np_ > 0 and nr > 0:
+                    delta = len(pt) - len(rt)
+                    sim += (dot / (np_ * nr)
+                            * math.exp(-delta * delta / (2 * sigma * sigma)))
+            per_n.append(10.0 * sim / max(len(refs), 1))
+        scores.append(sum(per_n) / max_n)
+    return 100.0 * sum(scores) / max(len(scores), 1) / 10.0
+
+
+def score_caption(rows: List[dict]) -> Dict[str, float]:
+    """COCO-style captioning: references come as ``answers`` (list) or a
+    single ``answer`` string; reports BLEU-4 and CIDEr-D (score = CIDEr,
+    the headline metric of VLMEvalKit's COCO_VAL)."""
+    preds = [r["prediction"] for r in rows]
+    refs = [r.get("answers") or [r.get("answer", "")] for r in rows]
+    bleu = corpus_bleu(preds, refs)
+    cider = cider_d(preds, refs)
+    return {"score": cider, "CIDEr": cider, "Bleu_4": bleu}
+
+
 SCORERS = {
     "MME": score_mme,
     "MMBench": score_mcq,
@@ -280,4 +387,6 @@ SCORERS = {
     "ChartQA_TEST": score_chartqa,
     "ChartQA": score_chartqa,
     "HallusionBench": score_hallusion,
+    "Caption": score_caption,
+    "COCO_VAL": score_caption,
 }

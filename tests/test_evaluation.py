@@ -375,6 +375,39 @@ class TestNewScorers:
                            {"answer": "red", "prediction": "blue"}])
         assert r["score"] == 50.0
 
+    def test_caption_bleu_cider(self):
+        from mquant_tpu.evaluation.scoring import (cider_d, corpus_bleu,
+                                                   score_caption)
+
+        refs = [["a dog runs across the green field",
+                 "the dog is running on grass"],
+                ["two people ride bicycles down a street",
+                 "cyclists riding along a road"]]
+        # exact-match predictions: BLEU-4 = 100, CIDEr maximal
+        exact = [r[0] for r in refs]
+        assert abs(corpus_bleu(exact, refs) - 100.0) < 1e-6
+        cid_exact = cider_d(exact, refs)
+        assert cid_exact > 0
+        # unrelated predictions score (near) zero on both metrics
+        junk = ["quantum flux capacitor", "seventeen purple elephants"]
+        assert corpus_bleu(junk, refs) == 0.0
+        assert cider_d(junk, refs) < 1e-6
+        # partial overlap lands strictly between
+        part = ["a dog runs across the field", "people ride down a street"]
+        b = corpus_bleu(part, refs)
+        assert 0.0 < b < 100.0
+        assert 0.0 < cider_d(part, refs) < cid_exact
+        r = score_caption([
+            {"prediction": exact[0], "answers": refs[0]},
+            {"prediction": exact[1], "answers": refs[1]}])
+        assert r["Bleu_4"] > 99.0 and r["CIDEr"] == r["score"]
+
+    def test_caption_dataset_routing(self):
+        from mquant_tpu.evaluation.eval import _infer_scorer
+
+        assert _infer_scorer("COCO_VAL") == "Caption"
+        assert _infer_scorer("NoCaps_val") == "Caption"
+
 
 class TestDatasetCalibration:
     """Real-prompt calibration batches built through the serving input path
