@@ -240,6 +240,20 @@ def _decode_nibbles_i32(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
     return lo, hi
 
 
+def _decode_nibbles_shift(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8 packed bytes → (lo, hi) int8 planes via ARITHMETIC shifts — the
+    sign extension comes free from the shift, so the whole decode is 3 VPU
+    ops per byte instead of _decode_nibbles_i32's ~8 (masks + divide + two
+    selects). i32 width: Mosaic rejects sub-word shift ops on int8."""
+    p = u_i8.astype(jnp.int32)
+    four = jnp.int32(4)
+    tw8 = jnp.int32(28)
+    hi = jax.lax.shift_right_arithmetic(p, four).astype(jnp.int8)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, tw8), tw8).astype(jnp.int8)
+    return lo, hi
+
+
 def unpack_int4_weights(p: Dict[str, Any]) -> jax.Array:
     """Split-half packed (in/2, out) → int8 (in, out)."""
     lo, hi = _decode_nibbles_i32(p["w_q"])
@@ -355,20 +369,27 @@ def quantized_matmul_pre(
 
     # packedness inferred from static shapes: packed int4 stores in/2 rows
     packed = p["w_q"].shape[-2] * 2 == xq.shape[-1]
-    # Measured on v5e: the XLA path (materialized unpack + native s8 MXU dot)
-    # beats the VMEM-unpack Pallas kernel at both prefill and GEMV shapes —
-    # v5e has no native int4 MXU operand, so the VPU nibble decode costs more
-    # than the halved HBM traffic saves. The Pallas kernel stays available for
-    # re-tuning via MQUANT_FORCE_PALLAS_QMM=1.
+    # Measured on v5e: at PREFILL shapes the XLA path (materialized unpack +
+    # native s8 MXU dot) beats the VMEM-unpack Pallas kernel — the unpack
+    # amortizes over many tokens, so halved HBM traffic buys nothing. At
+    # DECODE/GEMV shapes the Pallas kernel with the shift-based nibble
+    # decode streams half the bytes per step (see the tokens<=32 branch).
+    # MQUANT_FORCE_PALLAS_QMM=1 forces the Pallas kernel everywhere.
     import os
 
     if (packed and os.environ.get("MQUANT_FORCE_PALLAS_QMM") == "1"
             and _pallas_enabled() and jax.default_backend() in ("tpu", "axon")):
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
-    w = unpack_int4_weights(p) if packed else p["w_q"]
     tokens = 1
     for d in xq.shape[:-1]:
         tokens *= d
+    if (packed and tokens <= 32
+            and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+            and _pallas_enabled() and jax.default_backend() in ("tpu", "axon")):
+        # packed-byte GEMV: half the HBM stream of the int8 path; exact
+        # (integer dots, same grid values) — A/B via decode_model_bench
+        return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
+    w = unpack_int4_weights(p) if packed else p["w_q"]
     if tokens <= 32:
         # decode/GEMV: XLA's s8×s8 GEMV streams weights far below HBM peak.
         # Default: bf16 MXU dot with the int8→bf16 weight convert fused into
@@ -469,29 +490,57 @@ def _pick_tile(dim: int, maxt: int) -> Optional[int]:
     return None
 
 
-def _qmm_w4_kernel(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_ref,
-                   *, n_k: int):
+_SWAR_BIAS = 0x88888888 - (1 << 32)  # per-byte 0x88 (int32 two's complement)
+_SWAR_LOW = 0x0F0F0F0F
+
+
+def _qmm_w4_kernel(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, c_ref, o_ref,
+                   acc_ref, *, n_k: int, decode: str = "swar"):
     """Grid (M/TM, N/TN, K2/TK) where K2 = in/2. Per step:
     x_lo (TM, TK) from rows [k·TK, ...), x_hi (TM, TK) from rows in/2 + k·TK;
-    wq (TK, TN) packed bytes → lo/hi int8 planes; acc += x_lo·lo + x_hi·hi."""
+    wq (TK, TN) packed bytes → nibble planes; acc += x_lo·lo + x_hi·hi.
+
+    decode="swar" (production): word-parallel nibble extraction — bitcast the
+    packed int8 tile to int32, xor 0x88 per byte (signed→biased nibbles, so
+    no per-nibble sign extension is needed), mask/shift whole words, bitcast
+    back to int8 → ~1.5 VPU word-ops per BYTE instead of ~10 per-element ops.
+    The dots then run on UNSIGNED planes u = w + 8 ∈ [0,15]; the identity
+    x·w = x·u − 8·Σx is restored by the precomputed per-row correction c_ref
+    at the final k step. Exact integer math throughout (verified bit-equal
+    to the unpacked s8 dot on v5e).
+
+    decode="shift" (interpret/CPU fallback): per-element arithmetic-shift
+    sign-extended planes, no correction term used."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi = _decode_nibbles_i32(wq_ref[:])
     dn = (((1,), (0,)), ((), ()))
+    if decode == "swar":
+        bias = jnp.int32(_SWAR_BIAS)
+        low = jnp.int32(_SWAR_LOW)
+        w = pltpu.bitcast(wq_ref[:], jnp.int32) ^ bias  # (TK/4, TN)
+        lo = pltpu.bitcast(w & low, jnp.int8)
+        hi = pltpu.bitcast(
+            jax.lax.shift_right_arithmetic(w, jnp.int32(4)) & low,
+            jnp.int8)
+    else:
+        lo, hi = _decode_nibbles_shift(wq_ref[:])
     acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:], lo.astype(jnp.int8), dn, preferred_element_type=jnp.int32)
+        xlo_ref[:], lo, dn, preferred_element_type=jnp.int32)
     acc_ref[:] += jax.lax.dot_general(
-        xhi_ref[:], hi.astype(jnp.int8), dn, preferred_element_type=jnp.int32)
+        xhi_ref[:], hi, dn, preferred_element_type=jnp.int32)
 
     @pl.when(k == n_k - 1)
     def _():
         xs = xs_ref[:].astype(jnp.float32)  # (TM, 1) per-token scale
         ws = ws_ref[:].astype(jnp.float32)  # (1, TN) per-channel scale
-        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs * ws).astype(o_ref.dtype)
+        acc = acc_ref[:]
+        if decode == "swar":
+            acc = acc - c_ref[:]  # undo the +8 nibble bias: c = 8·Σ_k x
+        o_ref[:] = (acc.astype(jnp.float32) * xs * ws).astype(o_ref.dtype)
 
 
 def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dtype,
@@ -510,13 +559,16 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
     ws = p["w_scale"].reshape(1, N).astype(jnp.float32)
 
     if M <= 32:
-        # decode/GEMV shapes: x is tiny — stream the whole K dimension per N
-        # tile so each weight byte is touched exactly once per call, and let
-        # Mosaic double-buffer the N-tile stream (bandwidth-bound regime)
+        # decode/GEMV shapes: x is tiny — stream packed weight tiles with a
+        # k-accumulating grid. With the SWAR decode the nibble planes are
+        # byte-sized (int8), so a tile costs ~3× its packed bytes in VMEM —
+        # large K tiles fit (unlike the old per-element i32 decode, which
+        # expanded 4×). Defaults tuned on v5e; override via MQUANT_W4_TK/TN.
+        import os
+
         tm = max(8, M)
-        budget = 6 * 2**20  # VMEM budget for the packed weight tile
-        tk = K2
-        tn = max(128, min(tn, budget // max(tk, 1) // 128 * 128))
+        tk = int(os.environ.get("MQUANT_W4_TK", "2048"))
+        tn = int(os.environ.get("MQUANT_W4_TN", "512"))
     tm = min(tm, max(8, M))
     tn = _pick_tile(N, tn)
     tk = _pick_tile(K2, tk)
@@ -531,10 +583,14 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         xs = jnp.pad(xs, ((0, padm), (0, 0)))
     Mp = x2.shape[0]
     n_k = K2 // tk
+    decode = "shift" if interpret else "swar"
+    # biased-nibble correction: x·w = x·(w+8) − 8·Σx (exact integer identity)
+    csum = (8 * jnp.sum(x2.astype(jnp.int32), axis=-1, keepdims=True)
+            if decode == "swar" else jnp.zeros((Mp, 1), jnp.int32))
 
     flops = 2 * Mp * Kin * N
     out = pl.pallas_call(
-        functools.partial(_qmm_w4_kernel, n_k=n_k),
+        functools.partial(_qmm_w4_kernel, n_k=n_k, decode=decode),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         grid=(Mp // tm, N // tn, n_k),
         in_specs=[
@@ -546,6 +602,7 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
             pl.BlockSpec((tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
@@ -555,7 +612,7 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(x2, x2, p["w_q"], xs, ws)
+    )(x2, x2, p["w_q"], xs, ws, csum)
     if padm:
         out = out[:M]
     return out.reshape(*lead, N)

@@ -39,6 +39,29 @@ def main():
                         mode="real", max_len=MAXLEN)
         tps = measure_decode_tps(gen, toks, n_tokens=32)
         print(f"w4a8 decode ({variant} gemv): {tps:.1f} tok/s", flush=True)
+        del gen
+
+    # packed-byte storage: half the weight bytes at rest AND per decode step
+    def pack_site(d):
+        w = d["w_q"]
+        K = w.shape[-2]
+        lo = w[..., : K // 2, :].astype(jnp.uint8) & 0x0F
+        hi = w[..., K // 2 :, :].astype(jnp.uint8) & 0x0F
+        return {**d, "w_q": (lo | (hi << 4)).astype(jnp.int8)}
+
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        layers[name] = jax.jit(pack_site)(layers[name])
+    pparams = {**params, "layers": layers}
+    del params
+    for variant in ("pallas_w4", "xla"):
+        os.environ["MQUANT_GEMV"] = variant
+        gen = Generator(cfgq, pparams, specs=llm_specs(), state=state,
+                        mode="real", max_len=MAXLEN)
+        tps = measure_decode_tps(gen, toks, n_tokens=32)
+        print(f"w4a8 packed decode ({variant} gemv): {tps:.1f} tok/s",
+              flush=True)
+        del gen
 
 
 if __name__ == "__main__":

@@ -1,0 +1,59 @@
+"""Sweep (MQUANT_W4_TK, MQUANT_W4_TN) for the packed-W4 SWAR decode GEMV at
+full-model decode, vs the int8+XLA default. Run on the TPU."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import init_w4a8_on_device, llm_specs, make_cfg
+from mquant_tpu.serve.generate import Generator, measure_decode_tps
+from mquant_tpu.transform.hadamard import auto_pad_size
+
+DEPTH = int(os.environ.get("DEPTH", "28"))
+MAXLEN = 256
+PREFILL = 128
+
+
+def main():
+    key = jax.random.key(0)
+    toks = jnp.ones((1, PREFILL), jnp.int32)
+    pad = auto_pad_size(make_cfg(DEPTH).intermediate)
+    cfgq = make_cfg(DEPTH, intermediate_pad=pad)
+    params, state = init_w4a8_on_device(cfgq, key)
+
+    def pack_site(d):
+        w = d["w_q"]
+        K = w.shape[-2]
+        lo = w[..., : K // 2, :].astype(jnp.uint8) & 0x0F
+        hi = w[..., K // 2 :, :].astype(jnp.uint8) & 0x0F
+        return {**d, "w_q": (lo | (hi << 4)).astype(jnp.int8)}
+
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        layers[name] = jax.jit(pack_site)(layers[name])
+    pparams = {**params, "layers": layers}
+    del params
+
+    os.environ["MQUANT_GEMV"] = "pallas_w4"
+    for tk, tn in ((256, 1024), (2048, 512), (4736, 512), (9472, 256),
+                   (4736, 256), (9472, 128)):
+        os.environ["MQUANT_W4_TK"] = str(tk)
+        os.environ["MQUANT_W4_TN"] = str(tn)
+        try:
+            gen = Generator(cfgq, pparams, specs=llm_specs(), state=state,
+                            mode="real", max_len=MAXLEN)
+            tps = measure_decode_tps(gen, toks, n_tokens=32)
+            print(f"packed pallas_w4 tk={tk} tn={tn}: {tps:.1f} tok/s",
+                  flush=True)
+            del gen
+        except Exception as e:
+            print(f"tk={tk} tn={tn}: FAILED {type(e).__name__} "
+                  f"{str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
