@@ -290,14 +290,33 @@ def try_measure(n_layers, variant):
             del params
             gc.collect()
     else:
+        import os
+
         from mquant_tpu.transform.hadamard import auto_pad_size
 
         pad = auto_pad_size(make_cfg(n_layers).intermediate)
         cfg = make_cfg(n_layers, intermediate_pad=pad)
         params, state = init_w4a8_on_device(cfg, key)
+        # serving config: packed decode cache + Pallas SWAR GEMV (decode
+        # streams half the weight bytes; prefill keeps the int8 copy) —
+        # measured 118 vs 111 tok/s at 7B dims. Memory 1.5× weights; if the
+        # packed copy doesn't fit at this depth, retry the SAME depth on the
+        # XLA GEMV before robust() is allowed to drop depth.
+        os.environ.setdefault("MQUANT_GEMV", "pallas_w4")
         try:
-            return measure(cfg, params, llm_specs(), state, "real",
-                           f"w4a8 L={n_layers}")
+            try:
+                return measure(cfg, params, llm_specs(), state, "real",
+                               f"w4a8 L={n_layers}")
+            except Exception as e:
+                if os.environ.get("MQUANT_GEMV") != "pallas_w4":
+                    raise
+                log(f"[w4a8 L={n_layers}] pallas_w4 serving failed "
+                    f"({type(e).__name__}: {str(e)[:200]}); retrying with "
+                    f"the XLA GEMV at the same depth")
+                os.environ["MQUANT_GEMV"] = "xla"
+                gc.collect()
+                return measure(cfg, params, llm_specs(), state, "real",
+                               f"w4a8 L={n_layers}")
         finally:
             del params
             gc.collect()

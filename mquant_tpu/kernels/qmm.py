@@ -229,6 +229,101 @@ def s4_squeeze_sites(layer_params: Dict[str, Any], specs,
     return out
 
 
+# shared-input site groups that fuse into ONE decode GEMM call (q/k/v on the
+# ln1 output, gate/up on the ln2 output) — fewer Pallas launches per layer
+_FUSE_GROUPS = (("q", "k", "v"), ("gate", "up"))
+
+
+def pack_w4_sites(layer_params: Dict[str, Any], specs,
+                  in_dims: Dict[str, int],
+                  prefix: str = "llm.",
+                  fuse_groups: bool = True) -> Dict[str, Any]:
+    """Re-store 4-bit sites' int8 ``w_q`` as split-half PACKED bytes *inside
+    a jit* — the packed analog of :func:`s4_squeeze_sites`, for the Pallas
+    SWAR GEMV (``MQUANT_GEMV=pallas_w4``). One cheap VPU pass per fused
+    decode loop (amortized over the token loop), pinned behind an
+    optimization_barrier so XLA cannot fold the pack back onto the int8
+    source. Split storage (in−1 rows, odd) and already-packed sites are
+    left untouched.
+
+    ``fuse_groups``: additionally concatenate the shared-input groups
+    (q/k/v, gate/up) along the output axis into ONE packed matrix per group
+    — each member site gets ``w_q_fused``/``w_scale_fused`` (the SAME traced
+    array) plus its ``fused_span``, and drops its per-site ``w_q`` so the
+    fused copy is the only storage held live. ``qlinear_group`` then issues
+    one GEMM per group instead of one per site (fewer kernel launches on
+    the decode hot path)."""
+
+    def packable(name, site):
+        spec = specs.get(prefix + name) if specs else None
+        if (spec is None or getattr(spec, "w_bits", None) != 4
+                or not isinstance(site, dict)):
+            return False
+        wq = site.get("w_q")
+        if wq is None or wq.dtype != jnp.int8:
+            return False
+        expected = in_dims.get(name)
+        return (expected is not None and wq.shape[-2] == expected
+                and expected % 2 == 0)
+
+    def pack(wq):
+        half = wq.shape[-2] // 2
+        lo = wq[..., :half, :].astype(jnp.uint8) & 0x0F
+        hi = wq[..., half:, :].astype(jnp.uint8) & 0x0F
+        return (lo | (hi << 4)).astype(jnp.int8)
+
+    def group_servable(group):
+        """The fused members must satisfy qlinear_group's one-GEMM contract
+        (it has no per-site fallback once w_q is dropped): identical specs,
+        8-bit acts, no online transform / split / out-quant."""
+        sps = [specs.get(prefix + n) for n in group]
+        s0 = sps[0]
+        return (s0 is not None and all(s == s0 for s in sps)
+                and s0.a_bits == 8 and s0.online_had is None
+                and not s0.split and s0.out_bits is None)
+
+    import os
+
+    out = dict(layer_params)
+    fused_names = set()
+    if os.environ.get("MQUANT_W4_FUSE", "1") != "1":
+        fuse_groups = False
+    if fuse_groups:
+        for group in _FUSE_GROUPS:
+            if not all(n in layer_params and packable(n, layer_params[n])
+                       for n in group):
+                continue
+            if not group_servable(group):
+                continue
+            sites = [layer_params[n] for n in group]
+            # per-channel symmetric scales only (grouped/asym never packs)
+            if any(s["w_scale"].ndim != sites[0]["w_scale"].ndim
+                   for s in sites):
+                continue
+            if any(s.get("w_zp") is not None for s in sites):
+                continue
+            fused = jax.lax.optimization_barrier(
+                jnp.concatenate([pack(s["w_q"]) for s in sites], axis=-1))
+            fscale = jnp.concatenate([s["w_scale"] for s in sites], axis=-1)
+            for n, s in zip(group, sites):
+                # member keeps its own w_scale: its width defines the
+                # member's slice of the fused output (spans are derived in
+                # qlinear_group from the group order — no non-array
+                # metadata, so the dict stays lax.scan-sliceable)
+                d = {k: v for k, v in s.items() if k != "w_q"}
+                d["w_q_fused"] = fused
+                d["w_scale_fused"] = fscale
+                out[n] = d
+            fused_names.update(group)
+    for name, site in layer_params.items():
+        if name in fused_names or not packable(name, site):
+            continue
+        s = dict(site)
+        s["w_q"] = jax.lax.optimization_barrier(pack(site["w_q"]))
+        out[name] = s
+    return out
+
+
 def _decode_nibbles_i32(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
     """int8 packed bytes → (lo, hi) sign-extended int32 planes (Mosaic-safe:
     no uint shifts, mask/divide only)."""
@@ -506,8 +601,12 @@ def _qmm_w4_kernel(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, c_ref, o_ref,
     back to int8 → ~1.5 VPU word-ops per BYTE instead of ~10 per-element ops.
     The dots then run on UNSIGNED planes u = w + 8 ∈ [0,15]; the identity
     x·w = x·u − 8·Σx is restored by the precomputed per-row correction c_ref
-    at the final k step. Exact integer math throughout (verified bit-equal
-    to the unpacked s8 dot on v5e).
+    at the final k step. The integer accumulator is bit-equal to the
+    unpacked s8 dot (verified on v5e). The final f32 dequant multiply
+    ``(acc·xs)·ws`` may round differently from the XLA path's fused form by
+    ≤1 output ulp — each path is individually deterministic (replay-stable),
+    but cross-path outputs are equal only to within that final rounding,
+    i.e. well inside the int8 quantization noise.
 
     decode="shift" (interpret/CPU fallback): per-element arithmetic-shift
     sign-extended planes, no correction term used."""
@@ -543,6 +642,34 @@ def _qmm_w4_kernel(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, c_ref, o_ref,
         o_ref[:] = (acc.astype(jnp.float32) * xs * ws).astype(o_ref.dtype)
 
 
+def _qmm_w4_kernel_nok(xlo_ref, xhi_ref, wq_ref, xs_ref, ws_ref, c_ref,
+                       o_ref, *, decode: str = "swar"):
+    """Whole-K2 (n_k=1) variant of :func:`_qmm_w4_kernel`: no accumulator
+    scratch, so every grid step is independent and Mosaic pipelines the
+    (i, j) tiles freely — the k-accumulating kernel's shared scratch
+    serializes steps, which costs ~45%% of the GEMV's DMA bound at 7B
+    decode shapes."""
+    dn = (((1,), (0,)), ((), ()))
+    if decode == "swar":
+        bias = jnp.int32(_SWAR_BIAS)
+        low = jnp.int32(_SWAR_LOW)
+        w = pltpu.bitcast(wq_ref[:], jnp.int32) ^ bias
+        lo = pltpu.bitcast(w & low, jnp.int8)
+        hi = pltpu.bitcast(
+            jax.lax.shift_right_arithmetic(w, jnp.int32(4)) & low, jnp.int8)
+    else:
+        lo, hi = _decode_nibbles_shift(wq_ref[:])
+    acc = jax.lax.dot_general(xlo_ref[:], lo, dn,
+                              preferred_element_type=jnp.int32)
+    acc += jax.lax.dot_general(xhi_ref[:], hi, dn,
+                               preferred_element_type=jnp.int32)
+    if decode == "swar":
+        acc = acc - c_ref[:]
+    xs = xs_ref[:].astype(jnp.float32)
+    ws = ws_ref[:].astype(jnp.float32)
+    o_ref[:] = (acc.astype(jnp.float32) * xs * ws).astype(o_ref.dtype)
+
+
 def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dtype,
                    tm: int = 256, tn: int = 512, tk: int = 512,
                    interpret: bool = False) -> jax.Array:
@@ -559,16 +686,24 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
     ws = p["w_scale"].reshape(1, N).astype(jnp.float32)
 
     if M <= 32:
-        # decode/GEMV shapes: x is tiny — stream packed weight tiles with a
-        # k-accumulating grid. With the SWAR decode the nibble planes are
-        # byte-sized (int8), so a tile costs ~3× its packed bytes in VMEM —
-        # large K tiles fit (unlike the old per-element i32 decode, which
-        # expanded 4×). Defaults tuned on v5e; override via MQUANT_W4_TK/TN.
+        # decode/GEMV shapes: x is tiny; the stream is the packed weight.
+        # Tile choice is about DMA CONTIGUITY, not step count: narrow-N
+        # tiles read the row-major weight in sub-kB strided chunks and lose
+        # ~40% of HBM bandwidth (measured 109 vs 118 tok/s at 7B decode),
+        # so keep tn as wide as the VMEM budget allows (a row tile of the
+        # full N is one contiguous memcpy) and walk K in small steps. With
+        # the SWAR decode the nibble planes are byte-sized, so a tile costs
+        # ~3× its packed bytes in VMEM. Override via MQUANT_W4_TK/TN.
         import os
 
         tm = max(8, M)
-        tk = int(os.environ.get("MQUANT_W4_TK", "2048"))
-        tn = int(os.environ.get("MQUANT_W4_TN", "512"))
+        # 15 MB: tile + two byte-sized nibble planes (3×) must fit VMEM;
+        # (256, 18944) tiles (gate/up at full N) measured fastest and fit
+        budget = 15 * 2**20
+        tk = (int(os.environ.get("MQUANT_W4_TK", "0"))
+              or _pick_tile(K2, 512) or K2)
+        tn_env = int(os.environ.get("MQUANT_W4_TN", "0"))
+        tn = tn_env or max(128, budget // (3 * tk) // 128 * 128)
     tm = min(tm, max(8, M))
     tn = _pick_tile(N, tn)
     tk = _pick_tile(K2, tk)
@@ -589,6 +724,37 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
             if decode == "swar" else jnp.zeros((Mp, 1), jnp.int32))
 
     flops = 2 * Mp * Kin * N
+    if n_k == 1:
+        out = pl.pallas_call(
+            functools.partial(_qmm_w4_kernel_nok, decode=decode),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            grid=(Mp // tm, N // tn),
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, tk), lambda i, j: (i, 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk, tn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=Mp * Kin + K2 * N + Mp * N * 2,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(x2, x2, p["w_q"], xs, ws, csum)
+        if padm:
+            out = out[:M]
+        return out.reshape(*lead, N)
     out = pl.pallas_call(
         functools.partial(_qmm_w4_kernel, n_k=n_k, decode=decode),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),

@@ -227,7 +227,7 @@ def qlinear_group(
     calls whenever the fused conditions don't hold."""
     sp = [specs.get(n) for n in names]
     s0 = sp[0]
-    fusable = (
+    base_ok = (
         mode == "real"
         and s0 is not None
         and all(s == s0 for s in sp)
@@ -235,9 +235,20 @@ def qlinear_group(
         and s0.online_had is None
         and not s0.split
         and s0.out_bits is None
-        and all("w_q" in p and "w_col0" not in p for p in ps)
     )
-    if not fusable:
+    # fully-fused group: pack_w4_sites concatenated the members' packed
+    # weights into ONE matrix (every member carries the same fused array) —
+    # one GEMM call for the whole group, outputs sliced apart by each
+    # member's own w_scale width in group order (decode hot path: fewer
+    # Pallas launches per layer)
+    one_gemm = (
+        base_ok
+        and all(p.get("w_q_fused") is not None for p in ps)
+        and sum(p["w_scale"].shape[-1] for p in ps)
+        == ps[0]["w_q_fused"].shape[-1]
+    )
+    fusable = base_ok and all("w_q" in p and "w_col0" not in p for p in ps)
+    if not (one_gemm or fusable):
         return [qlinear(x, p, n, specs.get(n), state, mode, tape)
                 for p, n in zip(ps, names)]
 
@@ -245,6 +256,20 @@ def qlinear_group(
 
     site_state = None if state is None else state.get(names[0])
     aq = _act_int8(x, s0, site_state, ps[0])
+    if one_gemm:
+        pf = {"w_q": ps[0]["w_q_fused"], "w_scale": ps[0]["w_scale_fused"]}
+        y = quantized_matmul_pre(aq.q, aq.scale, pf, x.dtype,
+                                 x_zp=aq.zp, a_groupsize=aq.groupsize)
+        outs = []
+        lo = 0
+        for p in ps:
+            hi = lo + p["w_scale"].shape[-1]
+            yi = y[..., lo:hi]
+            if p.get("b") is not None:
+                yi = yi + p["b"].astype(yi.dtype)
+            outs.append(yi)
+            lo = hi
+        return outs
     outs = []
     for p, n in zip(ps, names):
         y = quantized_matmul_pre(aq.q, aq.scale, p, x.dtype,

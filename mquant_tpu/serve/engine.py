@@ -165,8 +165,26 @@ class ServingEngine:
         # match `generate_on_device`; S4 cannot cross the jit boundary)
         import os
 
-        self._s4 = (mode == "real" and bool(specs)
+        self._w4pack = (mode == "real" and bool(specs)
+                        and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+                        and os.environ.get("MQUANT_DECODE_W4PACK", "1") == "1")
+        self._s4 = (not self._w4pack and mode == "real" and bool(specs)
                     and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
+        if (self._w4pack
+                and os.environ.get("MQUANT_DECODE_PREPACK", "1") == "1"
+                and isinstance(self.params, dict) and "layers" in self.params):
+            # persistent packed decode cache (see Generator._maybe_prepack):
+            # decode blocks stream half the weight bytes through the Pallas
+            # SWAR GEMV; admission prefill keeps the int8 copy
+            from ..kernels.qmm import pack_w4_sites
+
+            in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
+                       "gate": cfg.hidden, "up": cfg.hidden,
+                       "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
+            sp = specs
+            packed = jax.jit(lambda lay: pack_w4_sites(lay, sp, in_dims))(
+                self.params["layers"])
+            self.params = {**self.params, "layers_packed": packed}
 
     # -- public API ---------------------------------------------------------
 
@@ -716,16 +734,23 @@ class ServingEngine:
             alpha = self.ntk_alpha
             topk = self.sample_top_k
 
-            s4 = self._s4
+            s4, w4pack = self._s4, self._w4pack
 
             @functools.partial(jax.jit, donate_argnums=(3,))
             def block(params, tok, active, cache, bkey=None, temp=None,
                       top_p=None, seeds=None, counts=None, pres=None,
                       freq=None, tok_counts=None):
-                if s4:
-                    # half the per-step weight stream (native-S4 storage; the
+                if "layers_packed" in params:
+                    # persistent packed decode cache (built at init)
+                    _pk = params["layers_packed"]
+                    params = {k: v for k, v in params.items()
+                              if k != "layers_packed"}
+                    params["layers"] = _pk
+                elif s4 or w4pack:
+                    # half the per-step weight stream (packed bytes for the
+                    # Pallas SWAR GEMV, or native-S4 for the XLA dot; the
                     # repack amortizes over the block's n_steps)
-                    from ..kernels.qmm import s4_squeeze_sites
+                    from ..kernels.qmm import pack_w4_sites, s4_squeeze_sites
 
                     in_dims = {"q": cfg.hidden, "k": cfg.hidden,
                                "v": cfg.hidden, "gate": cfg.hidden,
@@ -733,7 +758,8 @@ class ServingEngine:
                                "o": cfg.n_heads * cfg.head_dim,
                                "down": cfg.inter_eff}
                     params = dict(params)
-                    params["layers"] = s4_squeeze_sites(
+                    params["layers"] = (pack_w4_sites if w4pack
+                                        else s4_squeeze_sites)(
                         params["layers"], specs, in_dims)
                 B = tok.shape[0]
                 out0 = jnp.zeros((B, n_steps), jnp.int32)
@@ -802,12 +828,17 @@ class ServingEngine:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
             alpha, k, eos_id = self.ntk_alpha, self.spec_k, self.eos_id
-            force, s4 = self._force_accept, self._s4
+            force, s4, w4pack = self._force_accept, self._s4, self._w4pack
 
             @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
             def block(params, tok, active, cache, hist, hist_len, budget):
-                if s4:
-                    from ..kernels.qmm import s4_squeeze_sites
+                if "layers_packed" in params:
+                    _pk = params["layers_packed"]
+                    params = {k: v for k, v in params.items()
+                              if k != "layers_packed"}
+                    params["layers"] = _pk
+                elif s4 or w4pack:
+                    from ..kernels.qmm import pack_w4_sites, s4_squeeze_sites
 
                     in_dims = {"q": cfg.hidden, "k": cfg.hidden,
                                "v": cfg.hidden, "gate": cfg.hidden,
@@ -815,7 +846,8 @@ class ServingEngine:
                                "o": cfg.n_heads * cfg.head_dim,
                                "down": cfg.inter_eff}
                     params = dict(params)
-                    params["layers"] = s4_squeeze_sites(
+                    params["layers"] = (pack_w4_sites if w4pack
+                                        else s4_squeeze_sites)(
                         params["layers"], specs, in_dims)
                 B = tok.shape[0]
                 W = n_rounds * (k + 1)

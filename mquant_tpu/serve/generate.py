@@ -45,6 +45,37 @@ class Generator:
         self.kv_quant = kv_quant  # KV cache quant: False | True/8 (int8) | 4
         self._prefill_cache: Dict[Any, Any] = {}
         self._ntk_alpha = 1.0  # set by prefill(); decode reuses it (ref parity)
+        self._maybe_prepack()
+
+    def _maybe_prepack(self):
+        """Persistent packed decode cache (``MQUANT_GEMV=pallas_w4``): build
+        split-half packed + group-fused copies of the W4 sites ONCE on device.
+        Decode streams the packed copy (half the HBM bytes/step, contiguous
+        row tiles through the Pallas SWAR GEMV — measured 118 vs 111 tok/s at
+        7B dims) while prefill keeps the int8 copy (packed prefill measured
+        +33%: the unpack doesn't amortize at M=1024 the way XLA's s8 GEMM
+        does). Costs 1.5× weight memory; disable via MQUANT_DECODE_PREPACK=0
+        (decode then packs in-jit per fused loop — cheaper memory, ~0.4 ms/
+        step packing tax at 32-token blocks). Single-chip serving path; under
+        TP keep the default XLA GEMV."""
+        import os
+
+        if not (self.mode == "real" and self.specs
+                and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+                and os.environ.get("MQUANT_DECODE_PREPACK", "1") == "1"
+                and isinstance(self.params, dict)
+                and "layers" in self.params):
+            return
+        from ..kernels.qmm import pack_w4_sites
+
+        cfg = self.cfg
+        in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
+                   "gate": cfg.hidden, "up": cfg.hidden,
+                   "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
+        specs = self.specs
+        packed = jax.jit(lambda lay: pack_w4_sites(lay, specs, in_dims))(
+            self.params["layers"])
+        self.params = {**self.params, "layers_packed": packed}
 
     # -- jitted building blocks --------------------------------------------
 
@@ -109,15 +140,26 @@ class Generator:
             alpha = self._ntk_alpha
             import os
 
-            s4 = (mode == "real" and specs
+            w4pack = (mode == "real" and specs
+                      and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+                      and os.environ.get("MQUANT_DECODE_W4PACK", "1") == "1")
+            s4 = (not w4pack and mode == "real" and specs
                   and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
 
             @jax.jit
             def decode_n(params, first_tok, cache):
-                if s4:
-                    # halve decode weight traffic: W4 sites re-stored as
-                    # native S4 once per fused loop (see s4_squeeze_sites)
-                    from ..kernels.qmm import s4_squeeze_sites
+                if "layers_packed" in params:
+                    # persistent packed decode cache (built at init)
+                    packed = params["layers_packed"]
+                    params = {k: v for k, v in params.items()
+                              if k != "layers_packed"}
+                    params["layers"] = packed
+                elif s4 or w4pack:
+                    # halve decode weight traffic: W4 sites re-stored once
+                    # per fused loop — split-half packed bytes for the Pallas
+                    # SWAR GEMV (pack_w4_sites) or native S4 for the XLA
+                    # fused-convert dot (s4_squeeze_sites)
+                    from ..kernels.qmm import pack_w4_sites, s4_squeeze_sites
 
                     in_dims = {"q": cfg.hidden, "k": cfg.hidden,
                                "v": cfg.hidden, "gate": cfg.hidden,
@@ -125,7 +167,8 @@ class Generator:
                                "o": cfg.n_heads * cfg.head_dim,
                                "down": cfg.inter_eff}
                     params = dict(params)
-                    params["layers"] = s4_squeeze_sites(
+                    params["layers"] = (pack_w4_sites if w4pack
+                                        else s4_squeeze_sites)(
                         params["layers"], specs, in_dims)
                 B = first_tok.shape[0]
                 toks0 = jnp.full((B, n_tokens),
@@ -406,6 +449,11 @@ class Generator:
 
             @jax.jit
             def decode_n_ragged(params, first_tok, cache, starts):
+                if "layers_packed" in params:
+                    packed = params["layers_packed"]
+                    params = {k: v for k, v in params.items()
+                              if k != "layers_packed"}
+                    params["layers"] = packed
                 nB = first_tok.shape[0]
                 toks0 = jnp.full((nB, max_new_tokens - 1),
                                  eos_id if eos_id is not None else 0, jnp.int32)

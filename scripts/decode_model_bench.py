@@ -33,7 +33,10 @@ def main():
     pad = auto_pad_size(make_cfg(DEPTH).intermediate)
     cfgq = make_cfg(DEPTH, intermediate_pad=pad)
     params, state = init_w4a8_on_device(cfgq, key)
-    for variant in ("pallas", "xla"):
+    for variant in ("pallas_w4", "pallas", "xla"):
+        # pallas_w4: int8 at rest; decode_n packs to split-half bytes IN-JIT
+        # and fuses the q/k/v + gate/up groups (pack_w4_sites), then the
+        # SWAR Pallas GEMV streams half the bytes per step
         os.environ["MQUANT_GEMV"] = variant
         gen = Generator(cfgq, params, specs=llm_specs(), state=state,
                         mode="real", max_len=MAXLEN)

@@ -65,6 +65,29 @@ def main():
         dt = chain_prefill(cfg, params, llm_specs(), state, "real")
         print(f"w4a8 prefill model-latency: {dt*1e3:.1f} ms", flush=True)
         res["w4a8"] = dt
+        if os.environ.get("PACKED") == "1":
+            # packed-at-rest weights: (a) XLA unpack-materialize + s8 dot,
+            # (b) forced Pallas SWAR W4 kernel
+            def pack_site(d):
+                w = d["w_q"]
+                K = w.shape[-2]
+                lo = w[..., : K // 2, :].astype(jnp.uint8) & 0x0F
+                hi = w[..., K // 2 :, :].astype(jnp.uint8) & 0x0F
+                return {**d, "w_q": (lo | (hi << 4)).astype(jnp.int8)}
+
+            layers = dict(params["layers"])
+            for name in ("q", "k", "v", "o", "gate", "up", "down"):
+                layers[name] = jax.jit(pack_site)(layers[name])
+            pparams = {**params, "layers": layers}
+            dt = chain_prefill(cfg, pparams, llm_specs(), state, "real")
+            print(f"w4a8 packed prefill (XLA unpack): {dt*1e3:.1f} ms",
+                  flush=True)
+            os.environ["MQUANT_FORCE_PALLAS_QMM"] = "1"
+            dt = chain_prefill(cfg, pparams, llm_specs(), state, "real")
+            del os.environ["MQUANT_FORCE_PALLAS_QMM"]
+            print(f"w4a8 packed prefill (Pallas SWAR): {dt*1e3:.1f} ms",
+                  flush=True)
+            del pparams, layers
         del params
         gc.collect()
     if os.environ.get("SKIP_BF16") != "1":

@@ -32,27 +32,28 @@ def main():
         hi = w[..., K // 2 :, :].astype(jnp.uint8) & 0x0F
         return {**d, "w_q": (lo | (hi << 4)).astype(jnp.int8)}
 
-    layers = dict(params["layers"])
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
-        layers[name] = jax.jit(pack_site)(layers[name])
-    pparams = {**params, "layers": layers}
-    del params
-
     os.environ["MQUANT_GEMV"] = "pallas_w4"
-    for tk, tn in ((256, 1024), (2048, 512), (4736, 512), (9472, 256),
-                   (4736, 256), (9472, 128)):
+    ALL = ("q", "k", "v", "o", "gate", "up", "down")
+    BIG = ("gate", "up", "down")
+    for sites, tk, tn in ((ALL, 128, 18944), (ALL, 256, 18944),
+                          (ALL, 512, 18944), (ALL, 4736, 512)):
+        layers = dict(params["layers"])
+        for name in sites:
+            layers[name] = jax.jit(pack_site)(layers[name])
+        pparams = {**params, "layers": layers}
         os.environ["MQUANT_W4_TK"] = str(tk)
         os.environ["MQUANT_W4_TN"] = str(tn)
         try:
             gen = Generator(cfgq, pparams, specs=llm_specs(), state=state,
                             mode="real", max_len=MAXLEN)
             tps = measure_decode_tps(gen, toks, n_tokens=32)
-            print(f"packed pallas_w4 tk={tk} tn={tn}: {tps:.1f} tok/s",
-                  flush=True)
+            print(f"packed={'+'.join(sites)} tk={tk} tn={tn}: "
+                  f"{tps:.1f} tok/s", flush=True)
             del gen
         except Exception as e:
-            print(f"tk={tk} tn={tn}: FAILED {type(e).__name__} "
-                  f"{str(e)[:160]}", flush=True)
+            print(f"packed={'+'.join(sites)} tk={tk} tn={tn}: FAILED "
+                  f"{type(e).__name__} {str(e)[:160]}", flush=True)
+        del pparams
 
 
 if __name__ == "__main__":

@@ -101,6 +101,62 @@ class TestQmmPallas:
         rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
         assert rel < 0.15  # int4 precision on gaussian weights
 
+    def test_pack_w4_sites_roundtrip(self, rng):
+        """In-jit packing (the decode-loop analog of s4_squeeze) must be the
+        exact inverse of unpack_int4_weights, per stacked layer; 8-bit,
+        already-packed, and split (odd-row) sites pass through untouched."""
+        L, K, N = 2, 64, 32
+        wq4 = jnp.asarray(rng.integers(-8, 8, size=(L, K, N)), jnp.int8)
+        wq8 = jnp.asarray(rng.integers(-127, 128, size=(L, K, N)), jnp.int8)
+        wsplit = jnp.asarray(rng.integers(-8, 8, size=(L, K - 1, N)), jnp.int8)
+        scale = jnp.ones((L, N), jnp.float32)
+        layers = {
+            "a": {"w_q": wq4, "w_scale": scale},
+            "b": {"w_q": wq8, "w_scale": scale},          # 8-bit site
+            "c": {"w_q": wsplit, "w_scale": scale},       # split storage
+        }
+        specs = {"llm.a": SiteSpec(w_bits=4, a_bits=8),
+                 "llm.b": SiteSpec(w_bits=8, a_bits=8),
+                 "llm.c": SiteSpec(w_bits=4, a_bits=8)}
+        out = jax.jit(lambda lay: KQ.pack_w4_sites(
+            lay, specs, {"a": K, "b": K, "c": K}))(layers)
+        assert out["a"]["w_q"].shape == (L, K // 2, N)
+        np.testing.assert_array_equal(np.asarray(out["b"]["w_q"]),
+                                      np.asarray(wq8))  # untouched
+        np.testing.assert_array_equal(np.asarray(out["c"]["w_q"]),
+                                      np.asarray(wsplit))
+        unpacked = jax.vmap(
+            lambda p: KQ.unpack_int4_weights({"w_q": p}))(out["a"]["w_q"])
+        np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(wq4))
+
+    def test_pack_w4_sites_fuses_groups(self, rng):
+        """q/k/v (and gate/up) collapse into ONE packed matrix; the fused
+        group GEMM through qlinear_group matches per-site qlinear exactly."""
+        from mquant_tpu.models.layers import qlinear_group
+
+        K, H = 64, 48
+        widths = {"q": H, "k": 16, "v": 16}
+        layers = {}
+        for n, w in widths.items():
+            wq = jnp.asarray(rng.integers(-8, 8, size=(K, w)), jnp.int8)
+            layers[n] = {"w_q": wq,
+                         "w_scale": jnp.full((w,), 0.02, jnp.float32),
+                         "b": None}
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=False)
+                 for n in widths}
+        out = jax.jit(lambda lay: KQ.pack_w4_sites(
+            lay, specs, {n: K for n in widths}))(layers)
+        assert "w_q" not in out["q"] and out["q"]["w_q_fused"].shape == (
+            K // 2, H + 32)
+        x = jnp.asarray(rng.normal(size=(2, K)), jnp.bfloat16)
+        names = ["llm.q", "llm.k", "llm.v"]
+        ref = qlinear_group(x, [layers[n] for n in widths], names, specs,
+                            mode="real")
+        got = qlinear_group(x, [out[n] for n in widths], names, specs,
+                            mode="real")
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
 
 class TestFusedTail:
     """fused swiglu→hadamard→int8 Pallas tail vs the composable chain."""

@@ -217,6 +217,21 @@ class TestS4Decode:
         b = Generator(cfg, rp, specs=specs, state=state, mode="real",
                       max_len=64).generate_on_device(toks, max_new_tokens=6)
         assert (np.asarray(a) == np.asarray(b)).all()
+        # packed decode cache + fused q/k/v, gate/up groups (pallas_w4
+        # serving config; on CPU the packed GEMM falls back to unpack+dot,
+        # exercising the pack/fuse/slice plumbing end-to-end)
+        monkeypatch.setenv("MQUANT_GEMV", "pallas_w4")
+        g = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                      max_len=64)
+        assert "layers_packed" in g.params  # prepack happened
+        assert g.params["layers_packed"]["q"].get("w_q_fused") is not None
+        c = g.generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(a) == np.asarray(c)).all()
+        # in-jit packing variant (no persistent cache)
+        monkeypatch.setenv("MQUANT_DECODE_PREPACK", "0")
+        d = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                      max_len=64).generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(a) == np.asarray(d)).all()
 
 
 class TestBatchedServing:
