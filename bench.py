@@ -297,26 +297,16 @@ def try_measure(n_layers, variant):
         pad = auto_pad_size(make_cfg(n_layers).intermediate)
         cfg = make_cfg(n_layers, intermediate_pad=pad)
         params, state = init_w4a8_on_device(cfg, key)
-        # serving config: packed decode cache + Pallas SWAR GEMV (decode
-        # streams half the weight bytes; prefill keeps the int8 copy) —
-        # measured 118 vs 111 tok/s at 7B dims. Memory 1.5× weights; if the
-        # packed copy doesn't fit at this depth, retry the SAME depth on the
-        # XLA GEMV before robust() is allowed to drop depth.
-        os.environ.setdefault("MQUANT_GEMV", "pallas_w4")
+        # NOTE: the packed-decode serving config (MQUANT_GEMV=pallas_w4,
+        # +5% decode via the Pallas SWAR GEMV) is NOT enabled here: its
+        # persistent packed copy (+3.4 GB at 7B) does not fit next to the
+        # full-VLM measurement at depth 28 on one 16 GB chip, and a single
+        # device OOM wedges this backend for every subsequent attempt.
+        # Opt in explicitly with MQUANT_GEMV=pallas_w4 at lower depth or
+        # without the vision span (see scripts/decode_model_bench.py).
         try:
-            try:
-                return measure(cfg, params, llm_specs(), state, "real",
-                               f"w4a8 L={n_layers}")
-            except Exception as e:
-                if os.environ.get("MQUANT_GEMV") != "pallas_w4":
-                    raise
-                log(f"[w4a8 L={n_layers}] pallas_w4 serving failed "
-                    f"({type(e).__name__}: {str(e)[:200]}); retrying with "
-                    f"the XLA GEMV at the same depth")
-                os.environ["MQUANT_GEMV"] = "xla"
-                gc.collect()
-                return measure(cfg, params, llm_specs(), state, "real",
-                               f"w4a8 L={n_layers}")
+            return measure(cfg, params, llm_specs(), state, "real",
+                           f"w4a8 L={n_layers}")
         finally:
             del params
             gc.collect()
