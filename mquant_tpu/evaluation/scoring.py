@@ -389,4 +389,20 @@ SCORERS = {
     "HallusionBench": score_hallusion,
     "Caption": score_caption,
     "COCO_VAL": score_caption,
+    # Protocol aliases: these benchmarks score under one of the rule sets
+    # above (VLMEvalKit routes them the same way — MCQ letter extraction,
+    # VQA soft accuracy, ANLS, or caption metrics).
+    "SEEDBench_IMG": score_mcq,
+    "ScienceQA_TEST": score_mcq,
+    "ScienceQA_VAL": score_mcq,
+    "MMMU_DEV_VAL": score_mcq,
+    "AI2D_TEST": score_mcq,
+    "MMStar": score_mcq,
+    "RealWorldQA": score_mcq,
+    "VizWiz": score_vqa,
+    "GQA_TestDev_Balanced": score_vqa,
+    "OK-VQA": score_vqa,
+    "InfoVQA_VAL": score_anls,
+    "InfoVQA_TEST": score_anls,
+    "NoCaps": score_caption,
 }

@@ -408,6 +408,21 @@ class TestNewScorers:
         assert _infer_scorer("COCO_VAL") == "Caption"
         assert _infer_scorer("NoCaps_val") == "Caption"
 
+    def test_scorer_aliases_resolve(self):
+        """Every name _infer_scorer can emit and every published benchmark
+        alias must resolve to a callable in SCORERS."""
+        from mquant_tpu.evaluation.eval import _infer_scorer
+        from mquant_tpu.evaluation.scoring import SCORERS
+
+        for name in ("MME", "MMBench_DEV_EN", "SEEDBench_IMG", "ScienceQA_VAL",
+                     "MMMU_DEV_VAL", "AI2D_TEST", "MMStar", "RealWorldQA",
+                     "TextVQA_VAL", "VizWiz", "GQA_TestDev_Balanced",
+                     "DocVQA_VAL", "InfoVQA_VAL", "OCRBench", "POPE",
+                     "ChartQA_TEST", "HallusionBench", "COCO_VAL", "NoCaps"):
+            assert _infer_scorer(name) in SCORERS, name
+            if name in SCORERS:
+                assert callable(SCORERS[name])
+
 
 class TestDatasetCalibration:
     """Real-prompt calibration batches built through the serving input path
