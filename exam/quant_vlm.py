@@ -60,6 +60,10 @@ def parser_gen(model_default=None):
     p.add_argument("--visual_w_clip", "--llm_w_clip", dest="w_clip",
                    action="store_true")
     p.add_argument("--w_groupsize", type=int, default=None)
+    p.add_argument("--auto_bits", type=float, default=0.0,
+                   help="sensitivity-based mixed precision: target average "
+                        "weight bits (e.g. 4.5); most-damaging sites promoted "
+                        "4->8 bit under the budget (beyond the reference)")
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
     p.add_argument("--nsamples", type=int, default=128)
@@ -126,6 +130,7 @@ def main(args=None):
         visual_w_rtn=args.visual_w_rtn and not args.visual_w_gptq,
         llm_w_rtn=args.llm_w_rtn,
         w_clip=args.w_clip, w_groupsize=args.w_groupsize,
+        auto_bits=args.auto_bits,
         act_order=args.act_order, percdamp=args.percdamp,
         nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
         llm_a_bits=args.llm_a_bits, visual_static=args.visual_static,

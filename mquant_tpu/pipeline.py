@@ -74,6 +74,11 @@ class QuantizeConfig:
     w_clip: bool = False  # MSE clip grid search
     w_asym: bool = False  # asymmetric (zero-point) weight grid, ref --w_asym
     w_groupsize: Optional[int] = None
+    auto_bits: float = 0.0  # >0: sensitivity-based mixed precision — promote
+    # the most damaging sites from auto_bits_low to auto_bits_high under a
+    # target average bits/weight budget (utils/autobits.py, beyond the ref)
+    auto_bits_low: int = 4
+    auto_bits_high: int = 8
     act_order: bool = False
     percdamp: float = 0.01
     nsamples: int = 128
@@ -529,6 +534,20 @@ def run_pipeline(model: str, q: QuantizeConfig,
             cfg = dataclasses.replace(
                 cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
         log.info(f"fuse+rotate done: {info}")
+
+    if q.auto_bits > 0:
+        # sensitivity measured on the TRANSFORMED model (rotation changes
+        # which sites are hard); the returned specs drive GPTQ/calib/realize
+        from .utils.autobits import (allocation_report, autobits_specs,
+                                     site_weight_elems)
+
+        specs, sens, bits = autobits_specs(
+            fam, cfg, params, specs, calib_batches[0], q.auto_bits,
+            low=q.auto_bits_low, high=q.auto_bits_high)
+        info["autobits"] = bits
+        log.info("auto-bits allocation (target avg %.2f):\n%s", q.auto_bits,
+                 allocation_report(sens, site_weight_elems(params, specs),
+                                   bits))
 
     params, wqps = quantize_weights(fam, cfg, params, specs, q, calib_batches)
     log.info("weight quantization done")
