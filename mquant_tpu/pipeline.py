@@ -571,10 +571,12 @@ def run_pipeline(model: str, q: QuantizeConfig,
     if artifact_dir:
         from .utils.checkpoint import config_to_dict, save_artifact
 
-        save_artifact(artifact_dir, params, state, specs,
-                      meta={"model": model, "config": str(cfg),
-                            "config_dict": config_to_dict(cfg),
-                            "quantize_config": dataclasses.asdict(q),
-                            "rotation": str(info)})
+        meta = {"model": model, "config": str(cfg),
+                "config_dict": config_to_dict(cfg),
+                "quantize_config": dataclasses.asdict(q),
+                "rotation": str(info)}
+        if "autobits" in info:
+            meta["autobits"] = info["autobits"]  # structured per-site bits
+        save_artifact(artifact_dir, params, state, specs, meta=meta)
         log.info(f"artifact saved to {artifact_dir}")
     return cfg, params, state, specs, info
