@@ -62,8 +62,11 @@ def parser_gen(model_default=None):
     p.add_argument("--w_groupsize", type=int, default=None)
     p.add_argument("--auto_bits", type=float, default=0.0,
                    help="sensitivity-based mixed precision: target average "
-                        "weight bits (e.g. 4.5); most-damaging sites promoted "
-                        "4->8 bit under the budget (beyond the reference)")
+                        "weight bits (e.g. 4.5). SUPERSEDES --visual_w_bits/"
+                        "--llm_w_bits for every measured weight site: all "
+                        "start at --auto_bits_low (4) and the most-damaging "
+                        "are promoted to --auto_bits_high (8) under the "
+                        "budget (beyond the reference)")
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
     p.add_argument("--nsamples", type=int, default=128)

@@ -574,7 +574,10 @@ def run_pipeline(model: str, q: QuantizeConfig,
         meta = {"model": model, "config": str(cfg),
                 "config_dict": config_to_dict(cfg),
                 "quantize_config": dataclasses.asdict(q),
-                "rotation": str(info)}
+                # autobits lives as structured meta["autobits"], not inside
+                # the rotation string
+                "rotation": str({k: v for k, v in info.items()
+                                 if k != "autobits"})}
         if "autobits" in info:
             meta["autobits"] = info["autobits"]  # structured per-site bits
         save_artifact(artifact_dir, params, state, specs, meta=meta)

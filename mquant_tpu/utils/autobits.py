@@ -67,6 +67,18 @@ def _map_site_weights(tree, local: str, fn):
     return out
 
 
+def transform_only_specs(specs: Dict) -> Dict:
+    """Specs with all quantization DISABLED but the runtime transforms kept
+    (online Hadamard / RMS split). Post-rotation the activation-side online
+    Hadamard is part of the model's math — ``prepare_vlm`` folds H into the
+    down-proj weight, so a forward that skips it (mode='fp' / specs=None)
+    computes x @ (Hᵀw) with un-rotated x: a mathematically wrong model, not
+    the fp reference. The probe therefore runs mode='fake' with these specs
+    so both its reference and per-site forwards apply the transforms."""
+    return {n: dataclasses.replace(s, w_bits=None, a_bits=None, out_bits=None)
+            for n, s in specs.items()}
+
+
 def site_sensitivities(fam, cfg, params: Dict, specs: Dict, batch: dict,
                        low_bits: int = 4) -> Dict[str, float]:
     """Relative logit error ‖y_q − y_fp‖/‖y_fp‖ with ONLY that site's weights
@@ -74,25 +86,30 @@ def site_sensitivities(fam, cfg, params: Dict, specs: Dict, batch: dict,
     grid the offline RTN path uses; fp activations) — the direct measurement
     of what uniform low-bit costs at each site. Weight quantization is
     offline in this framework (RTN/GPTQ write fake-quantized weights into
-    params), so the probe quantizes the weights itself and runs mode='fp'."""
+    params), so the probe quantizes the weights itself; forwards run in
+    mode='fake' with :func:`transform_only_specs` so the online Hadamard /
+    split transforms baked into the rotated weights stay applied."""
     from ..core import quant as Q
     from ..core.formats import get_format
 
     kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    tspecs = transform_only_specs(specs)
 
     def run(p):
         out, _, _ = fam.forward_fn(cfg, p, batch["tokens"],
-                                   batch.get("patches"), specs=None,
-                                   mode="fp", **kwargs)
+                                   batch.get("patches"), specs=tspecs,
+                                   mode="fake", **kwargs)
         return out
 
     fmt = get_format(low_bits, signed=True)
 
     def fq(w):
-        # per-out-channel grid: reduce every axis but the last (layer-stacked
-        # (L, in, out) weights keep per-layer-per-column scales)
+        # per-out-channel grid: reduce the INPUT axis only, so layer-stacked
+        # (L, in, out) weights keep per-layer-per-column scales — the same
+        # grid the offline RTN path uses (transform/recipes.py
+        # rtn_quantize_decoder: reduce_axes=(-2,))
         qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=True,
-                              reduce_axes=tuple(range(w.ndim - 1)))
+                              reduce_axes=(-2,))
         return Q.fake_quantize(w, qp, fmt).astype(w.dtype)
 
     ref = run(params)
@@ -169,7 +186,7 @@ def rtn_apply_bits(params: Dict, bits: Dict[str, int]) -> Dict:
 
         def fq(w, fmt=fmt):
             qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=True,
-                                  reduce_axes=tuple(range(w.ndim - 1)))
+                                  reduce_axes=(-2,))
             return Q.fake_quantize(w, qp, fmt).astype(w.dtype)
 
         out[top_key] = _map_site_weights(out[top_key], local, fq)
