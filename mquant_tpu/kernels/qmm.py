@@ -102,12 +102,17 @@ def _act_int8(x: jax.Array, spec, site_state, p=None) -> ActQ:
                 # per-channel static scales folded into the weights at realize
                 # time (see realize docstrings): integer codes are per-channel
                 # round(x / s_ch); the dequant magnitude rides w_scale, so the
-                # activation contributes scale 1
+                # activation contributes scale 1. ASYM per-channel zp is a
+                # per-output constant Σ_ch (s_ch·w_chn)(128 − z_ch) — it was
+                # precomputed at realize time into the site's ``a_corr`` row
+                # and is added by the GEMM epilogue, so the codes carry no
+                # runtime zero point.
                 q, zp = codes(qp)
-                if zp is not None:
+                if zp is not None and "a_corr" not in p:
                     raise NotImplementedError(
-                        "per-channel asymmetric static act scales: fold "
-                        "supports symmetric per-channel scales only")
+                        "per-channel asymmetric static act scales require "
+                        "the realize-time a_corr row (realize with the "
+                        "calibrated state)")
                 return ActQ(q, jnp.ones((), jnp.float32), None)
             raise NotImplementedError(
                 "per-channel static activation scales require realize-time "
@@ -365,8 +370,13 @@ def quantized_matmul(
     """y = dequant(int8(x) @ int_w) with fused scales. Bias NOT added here."""
     out_dtype = out_dtype or x.dtype
     aq = _act_int8(x, spec, site_state, p)
-    return quantized_matmul_pre(aq.q, aq.scale, p, out_dtype,
-                                x_zp=aq.zp, a_groupsize=aq.groupsize)
+    y = quantized_matmul_pre(aq.q, aq.scale, p, out_dtype,
+                             x_zp=aq.zp, a_groupsize=aq.groupsize)
+    if "a_corr" in p:
+        # per-channel-asym static fold epilogue (per-output row, see
+        # realize_decoder_weights)
+        y = y + p["a_corr"].astype(y.dtype)
+    return y
 
 
 def _grouped_epilogue(xq2, x_scale, x_zp, a_gs, w, ws, wz, out_dtype):

@@ -265,6 +265,8 @@ def qlinear_group(
         for p in ps:
             hi = lo + p["w_scale"].shape[-1]
             yi = y[..., lo:hi]
+            if "a_corr" in p:  # per-channel-asym static fold epilogue row
+                yi = yi + p["a_corr"].astype(yi.dtype)
             if p.get("b") is not None:
                 yi = yi + p["b"].astype(yi.dtype)
             outs.append(yi)
@@ -274,6 +276,8 @@ def qlinear_group(
     for p, n in zip(ps, names):
         y = quantized_matmul_pre(aq.q, aq.scale, p, x.dtype,
                                  x_zp=aq.zp, a_groupsize=aq.groupsize)
+        if "a_corr" in p:  # per-channel-asym static fold epilogue row
+            y = y + p["a_corr"].astype(y.dtype)
         if p.get("b") is not None:
             y = y + p["b"].astype(y.dtype)
         outs.append(y)

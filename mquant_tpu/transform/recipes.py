@@ -285,6 +285,7 @@ def realize_decoder_weights(params: Dict, specs: Dict,
         w = site["w"]
         sqp = (qps or {}).get(s)
         fold_qp = None
+        fold_zp = None
         if (state is not None and spec.a_bits is not None and spec.a_static):
             aqp = (state.get("llm." + s) or {}).get("act")
             if aqp is not None:
@@ -292,6 +293,11 @@ def realize_decoder_weights(params: Dict, specs: Dict,
                 if sc.ndim >= 1 and sc.shape and sc.shape[-1] == w.shape[-2]:
                     # stacked per-layer per-channel scales (L, in)
                     fold_qp = sc.reshape(w.shape[0], w.shape[-2])
+                    if aqp.zero_point is not None:
+                        # per-channel ASYM: the zp correction is a
+                        # precomputable per-output row (see a_corr below)
+                        fold_zp = jnp.asarray(aqp.zero_point).reshape(
+                            w.shape[0], w.shape[-2])
         if fold_qp is not None:
             import logging
 
@@ -317,6 +323,21 @@ def realize_decoder_weights(params: Dict, specs: Dict,
             # marker leaf; leading (L,) axis so the decoder's layer-scan can
             # slice it like every other stacked site leaf
             site["a_fold"] = jnp.ones((w.shape[0],), jnp.float32)
+            if fold_zp is not None:
+                # per-channel asym static acts: the runtime codes follow the
+                # shifted-int8 convention x = s_ch·(q + 128 − z_ch), so
+                # y_n picks up a constant Σ_ch (s_ch·w_chn)·(128 − z_ch).
+                # Precompute it over the DEQUANTIZED folded weight so the
+                # integer identity is exact against the stored grid
+                # (ref parity: the fake asym path quant_utils.py:181-268).
+                wq = qd["w_q"].astype(jnp.float32)
+                ws2 = qd["w_scale"]
+                if wq.shape[-2] == w.shape[-2]:  # unpacked int8 storage
+                    wdq = wq * ws2[:, None, :]
+                else:  # packed storage: fp-grid correction (≤ quant noise)
+                    wdq = w.astype(jnp.float32)
+                site["a_corr"] = jnp.einsum(
+                    "li,lio->lo", 128.0 - fold_zp.astype(jnp.float32), wdq)
         lay[s] = site
     p["layers"] = lay
     head_qp = (qps or {}).get("lm_head")

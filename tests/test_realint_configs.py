@@ -203,3 +203,53 @@ class TestPerChannelStaticFold:
         err = np.abs(np.asarray(out) - np.asarray(ref)).max()
         den = np.abs(np.asarray(ref)).max()
         assert err / den < 0.05, (err, den)
+
+    def test_fold_asym_matches_fake_within_requant_noise(self, rng):
+        """Per-channel ASYMMETRIC static act scales: the zp contribution is a
+        precomputed per-output a_corr row added by the GEMM epilogue (the last
+        act-config NotImplementedError; ref fake path quant_utils.py:181-268)."""
+        from mquant_tpu.core.formats import get_format
+        from mquant_tpu.core.quant import scales_from_minmax
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           decoder_forward,
+                                           init_decoder_params)
+        from mquant_tpu.transform.recipes import (realize_decoder_weights,
+                                                  rtn_quantize_decoder)
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=4, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=8, a_bits=8, a_static=True,
+                                      a_per_channel=True, a_symmetric=False)
+                 for n in LLM_SITES}
+        params, qps = rtn_quantize_decoder(cfg, params, specs,
+                                           return_qparams=True)
+
+        fmt = get_format(8, signed=False)
+        L = cfg.n_layers
+
+        def mk(C):
+            # deliberately skewed per-channel ranges so the zp matters
+            lo = jnp.asarray(rng.uniform(-0.4, 0.8, size=(L, C)), jnp.float32)
+            hi = lo + jnp.asarray(rng.uniform(0.5, 2.0, size=(L, C)),
+                                  jnp.float32)
+            return scales_from_minmax(lo, hi, fmt, symmetric=False)
+
+        shared = {"q": "qkv", "k": "qkv", "v": "qkv", "gate": "gu",
+                  "up": "gu", "o": "o", "down": "down"}
+        draws = {"qkv": mk(32), "gu": mk(32), "o": mk(32), "down": mk(64)}
+        state = {f"llm.{n}": {"act": draws[shared[n]]} for n in LLM_SITES}
+
+        toks = jax.random.randint(jax.random.key(1), (2, 8), 0, cfg.vocab)
+        ref, _, _ = decoder_forward(cfg, params, toks, specs=specs,
+                                    state=state, mode="fake")
+        rp = realize_decoder_weights(params, specs, qps=qps, state=state)
+        for n in LLM_SITES:
+            assert "a_fold" in rp["layers"][n], n
+            assert "a_corr" in rp["layers"][n], n
+            assert rp["layers"][n]["a_corr"].shape[0] == L
+        out, _, _ = decoder_forward(cfg, rp, toks, specs=specs, state=state,
+                                    mode="real")
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        den = np.abs(np.asarray(ref)).max()
+        assert err / den < 0.05, (err, den)
