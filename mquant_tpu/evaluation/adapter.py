@@ -133,7 +133,9 @@ class VLMRunner:
 
             pieces = build_multi_image_prompt(
                 self.fam.name, prompt["text"], n_imgs,
-                system=prompt.get("system"))
+                system=prompt.get("system"),
+                history=prompt.get("history"),
+                encode=self.tok.encode)
             toks: list = []
             for p in pieces:
                 if p["kind"] == "text":

@@ -37,8 +37,17 @@ class EvalDataset:
         """→ {"text": str, "image": np.ndarray | None, ...scoring fields}"""
         raise NotImplementedError
 
-    def evaluate(self, results: List[dict]) -> Dict[str, float]:
-        return SCORERS[self.scorer](results)
+    def evaluate(self, results: List[dict],
+                 extract_fn=None) -> Dict[str, float]:
+        """``extract_fn``: optional MCQ answer-extraction fallback (judge-model
+        hook, ref image_mcq.py:216-224) — forwarded to MCQ-protocol scorers,
+        ignored for other protocols."""
+        from .scoring import score_mcq
+
+        fn = SCORERS[self.scorer]
+        if extract_fn is not None and fn is score_mcq:
+            return fn(results, extract_fn=extract_fn)
+        return fn(results)
 
 
 class TSVDataset(EvalDataset):
@@ -203,7 +212,8 @@ def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
                  limit: Optional[int] = None, verbose: bool = False,
                  shard: Optional[tuple] = None,
                  batch_fn: Optional[Callable[[list], list]] = None,
-                 batch_size: int = 0) -> Dict:
+                 batch_size: int = 0,
+                 extract_fn: Optional[Callable] = None) -> Dict:
     """Eval loop (ref: evaluation/eval.py:9-58). ``generate_fn`` maps one
     prompt struct → prediction text. Dumps results + prints the metric table.
 
@@ -216,6 +226,9 @@ def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
     time through a list→list function (``VLMRunner.serve_engine`` — the
     continuous-batching pool — or ``generate_batch``), the throughput path
     the reference's serial HF-generate loop cannot express.
+
+    ``extract_fn(prediction, options)``: optional MCQ extraction fallback
+    (judge-model hook, ref image_mcq.py:216-224) forwarded to the scorer.
     """
     os.makedirs(out_dir, exist_ok=True)
     n = min(len(dataset), limit) if limit else len(dataset)
@@ -263,7 +276,8 @@ def eval_dataset(generate_fn: Callable[[Dict], str], dataset: EvalDataset,
             w.writeheader()
             w.writerows(results)
 
-    metrics = dataset.evaluate(results) if shard is None else {"sharded": 1.0}
+    metrics = (dataset.evaluate(results, extract_fn=extract_fn)
+               if shard is None else {"sharded": 1.0})
     print(f"== {dataset.name} ({len(results)} samples, {dt:.1f}s) "
           f"→ {out_file}")
     for k, v in metrics.items():

@@ -84,14 +84,23 @@ def extract_option(pred: str, options: Dict[str, str]) -> Optional[str]:
     return None
 
 
-def score_mcq(rows: List[dict]) -> Dict[str, float]:
+def score_mcq(rows: List[dict], extract_fn=None) -> Dict[str, float]:
     """rows: {options: {A:..,B:..}, answer: 'B', prediction}. Plain (non-
     circular) accuracy; circular consistency when rows carry a shared
-    ``group`` id (all rotations must be right — MMBench protocol)."""
+    ``group`` id (all rotations must be right — MMBench protocol).
+
+    ``extract_fn(prediction, options) -> Optional[letter]``: pluggable
+    fallback extraction consulted when the built-in exact/containment
+    matching finds nothing — the hook where VLMEvalKit plugs its ChatGPT
+    judge (ref: third/VLMEvalKit/vlmeval/dataset/image_mcq.py:216-224);
+    the default, like the reference's default, is exact matching only."""
     ok_rows = []
     groups = defaultdict(list)
     for r in rows:
-        ok = extract_option(r["prediction"], r["options"]) == r["answer"]
+        got = extract_option(r["prediction"], r["options"])
+        if got is None and extract_fn is not None:
+            got = extract_fn(r["prediction"], r["options"])
+        ok = got == r["answer"]
         ok_rows.append(ok)
         if r.get("group") is not None:
             groups[r["group"]].append(ok)

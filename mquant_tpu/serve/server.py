@@ -529,12 +529,27 @@ class InferenceServer:
         system = "\n".join(m.get("content", "") for m in msgs
                            if m.get("role") == "system"
                            and isinstance(m.get("content"), str)) or None
+        # earlier TEXT-ONLY turns become real chat history ((q, a) pairs,
+        # rendered as per-turn markup by the runner's template — ref
+        # make_context parity); the remaining turns (texts + images) are the
+        # final question
+        history: List[Any] = []
+        pending_q: Any = None
+        body = [m for m in msgs if m.get("role") != "system"]
+        last = len(body) - 1
         texts: List[str] = []
         images: List[Any] = []
-        for m in msgs:
-            if m.get("role") == "system":
-                continue
+        for i, m in enumerate(body):
             c = m.get("content")
+            if i < last and isinstance(c, str):
+                if m.get("role") == "assistant":
+                    history.append((pending_q or "", c))
+                    pending_q = None
+                else:
+                    if pending_q is not None:
+                        history.append((pending_q, None))
+                    pending_q = c
+                continue
             if isinstance(c, str):
                 texts.append(c)
                 continue
@@ -554,11 +569,15 @@ class InferenceServer:
                         images.append(np.asarray(img, np.uint8))
                     except Exception as e:  # noqa: BLE001
                         raise ValueError(f"bad image: {e}") from e
+        if pending_q is not None:
+            history.append((pending_q, None))
         if not texts and not images:
             raise ValueError("no user content")
         prompt: Dict[str, Any] = {"text": "\n".join(t for t in texts if t)}
         if system:
             prompt["system"] = system
+        if history:
+            prompt["history"] = history
         if images:
             prompt["image"] = images if len(images) > 1 else images[0]
         return prompt
@@ -600,14 +619,27 @@ class InferenceServer:
         turns = [m for m in msgs if m.get("role") != "system"]
         if not turns:
             raise ValueError("no user message")
-        # multi-turn: history folded into the question text, final turn
-        # rendered through the family template (ChatML et al.)
-        history = "".join(
-            f"{m.get('role', 'user')}: {text_of(m)}\n"
-            for m in turns[:-1])
-        question = history + text_of(turns[-1])
+        # multi-turn: every history turn rendered as REAL per-turn chat markup
+        # with newest-first window truncation (ref make_context parity,
+        # model/qwen_generation_utils.py:128-171) — not role-prefixed prose
+        history = []
+        pending_q = None
+        for m in turns[:-1]:
+            if m.get("role") == "assistant":
+                history.append((pending_q or "", text_of(m)))
+                pending_q = None
+            else:
+                if pending_q is not None:  # consecutive user turns: a=None
+                    history.append((pending_q, None))
+                pending_q = text_of(m)
+        if pending_q is not None:
+            history.append((pending_q, None))
+        question = text_of(turns[-1])
+        encode = (self.tokenizer.encode if self.tokenizer is not None
+                  else None)
         pieces = build_chat_prompt(self.chat_family, question,
-                                   n_image_tokens=0, system=system)
+                                   n_image_tokens=0, system=system,
+                                   history=history, encode=encode)
         return pieces["text_before"] + pieces["text_after"]
 
     def _response_n(self, pendings, chat: bool,

@@ -37,6 +37,37 @@ class TestScoring:
         assert m["acc"] == pytest.approx(75.0)
         assert m["acc_circular"] == pytest.approx(50.0)
 
+    def test_mcq_extract_fn_hook(self):
+        """Pluggable extraction fallback (judge-model hook, ref VLMEvalKit
+        image_mcq.py:216-224): consulted ONLY when built-in exact/containment
+        matching finds nothing; default behavior unchanged."""
+        opts = {"A": "a cat", "B": "a dog"}
+        rows = [
+            # built-in extraction succeeds → hook must NOT override
+            {"options": opts, "answer": "B", "prediction": "(B) a dog"},
+            # free-form miss → hook resolves it
+            {"options": opts, "answer": "A", "prediction": "feline creature"},
+        ]
+        calls = []
+
+        def judge(pred, options):
+            calls.append(pred)
+            return "A" if "feline" in pred else None
+
+        assert S.score_mcq(rows)["acc"] == pytest.approx(50.0)
+        assert S.score_mcq(rows, extract_fn=judge)["acc"] == pytest.approx(100.0)
+        assert calls == ["feline creature"]
+
+    def test_mcq_extract_fn_through_dataset_evaluate(self):
+        from mquant_tpu.evaluation.eval import EvalDataset
+
+        ds = EvalDataset()
+        ds.scorer = "MCQ"
+        rows = [{"options": {"A": "x", "B": "y"}, "answer": "B",
+                 "prediction": "unparseable"}]
+        assert ds.evaluate(rows)["acc"] == 0.0
+        assert ds.evaluate(rows, extract_fn=lambda p, o: "B")["acc"] == 100.0
+
     def test_vqa_soft_acc(self):
         assert S.vqa_accuracy("blue", ["blue"] * 3 + ["red"] * 7) == 1.0
         assert S.vqa_accuracy("blue", ["blue"] * 1 + ["red"] * 9) == pytest.approx(1 / 3)

@@ -177,6 +177,38 @@ class TestChatAndOps:
         status, _ = _post(srv.port, "/v1/chat/completions", {"messages": []})
         assert status == 400
 
+    def test_multi_turn_chat_renders_real_chatml(self, served):
+        """History turns over HTTP arrive as per-turn ChatML blocks (ref
+        make_context parity), not role-prefixed prose."""
+        cfg, params, _ = served
+        # multi-turn ChatML needs more room than the shared fixture's 128
+        eng = ServingEngine(cfg, params, slots=2, max_len=256,
+                            steps_per_block=3)
+        srv = InferenceServer(eng, tokenizer=ToyTokenizer(), port=0)
+        try:
+            msgs = [{"role": "system", "content": "be brief"},
+                    {"role": "user", "content": "first q"},
+                    {"role": "assistant", "content": "first a"},
+                    {"role": "user", "content": "second q"}]
+            status, out = _post(srv.port, "/v1/chat/completions",
+                                {"messages": msgs, "max_tokens": 5})
+        finally:
+            srv.shutdown()
+        assert status == 200
+        from mquant_tpu.serve.chat import build_chat_prompt
+        tok = ToyTokenizer()
+        pieces = build_chat_prompt(
+            "qwen2vl", "second q", 0, system="be brief",
+            history=[("first q", "first a")], encode=tok.encode)
+        text = pieces["text_before"] + pieces["text_after"]
+        assert "<|im_start|>user\nfirst q<|im_end|>" in text
+        assert "<|im_start|>assistant\nfirst a<|im_end|>" in text
+        ids = tok.encode(text)
+        gen = Generator(cfg, params, max_len=256)
+        want = gen.generate(jnp.asarray(ids)[None], max_new_tokens=5)
+        assert out["choices"][0]["tokens"] == [int(t) for t in
+                                               np.asarray(want)[0]]
+
     def test_health_models_metrics(self, served):
         _, _, srv = served
         status, body = _get(srv.port, "/health")

@@ -35,6 +35,122 @@ class TestChat:
         assert out[1]["n_tokens"] == 64
 
 
+class ChatMLTok:
+    """Char-level mock with <|im_start|>/<|im_end|> as single special ids —
+    makes encode(concat) == concat(encode), so piecewise reference token
+    construction and whole-text tokenization are comparable."""
+
+    IM_START, IM_END = 100000, 100001
+    _SPECIALS = (("<|im_start|>", IM_START), ("<|im_end|>", IM_END))
+
+    def encode(self, s):
+        out, i = [], 0
+        while i < len(s):
+            for lit, tid in self._SPECIALS:
+                if s.startswith(lit, i):
+                    out.append(tid)
+                    i += len(lit)
+                    break
+            else:
+                out.append(ord(s[i]))
+                i += 1
+        return out
+
+
+def _ref_make_context(tok, query, history, system, max_window_size):
+    """The reference's make_context token construction, transcribed for
+    parity checking (ref: model/qwen_generation_utils.py:128-187): per-turn
+    ChatML blocks, newest-first window walk, final user turn + assistant
+    header always appended."""
+    ims, ime = [tok.IM_START], [tok.IM_END]
+    nl = tok.encode("\n")
+
+    def tstr(role, content):
+        return tok.encode(role) + nl + tok.encode(content)
+
+    sys_tokens = ims + tstr("system", system) + ime
+    ctx = []
+    for q, a in reversed(history):
+        qt = ims + tstr("user", q) + ime
+        if a is not None:
+            rt = ims + tstr("assistant", a) + ime
+            nxt = nl + qt + nl + rt
+        else:
+            nxt = nl + qt + nl
+        if len(sys_tokens) + len(nxt) + len(ctx) < max_window_size:
+            ctx = nxt + ctx
+        else:
+            break
+    ctx = sys_tokens + ctx
+    ctx += (nl + ims + tstr("user", query) + ime
+            + nl + ims + tok.encode("assistant") + nl)
+    return ctx
+
+
+class TestMultiTurnChatML:
+    """Protocol-faithful multi-turn contexts: every history turn rendered as
+    real ChatML with the reference's token-budget window walk — token-for-
+    token equal to make_context (ref: qwen_generation_utils.py:128-187)."""
+
+    HIST = [("first question", "first answer"),
+            ("second question?", "longer second answer with detail"),
+            ("third", None)]
+
+    @pytest.mark.parametrize("fam", ["qwenvl", "qwen2vl", "internvl"])
+    def test_tokens_equal_reference_make_context(self, fam):
+        tok = ChatMLTok()
+        sys = "You are a helpful assistant."
+        p = build_chat_prompt(fam, "final q", 0, system=sys,
+                              history=self.HIST, encode=tok.encode)
+        got = tok.encode(p["text_before"] + p["text_after"])
+        want = _ref_make_context(tok, "final q", self.HIST, sys, 6144)
+        assert got == want
+
+    @pytest.mark.parametrize("window", [1, 60, 90, 140, 6144])
+    def test_window_truncation_matches_reference(self, window):
+        tok = ChatMLTok()
+        sys = "sys"
+        p = build_chat_prompt("qwenvl", "q", 0, system=sys,
+                              history=self.HIST, encode=tok.encode,
+                              max_window_size=window)
+        got = tok.encode(p["text_before"] + p["text_after"])
+        want = _ref_make_context(tok, "q", self.HIST, sys, window)
+        assert got == want
+
+    def test_no_tokenizer_keeps_all_turns(self):
+        p = build_chat_prompt("qwen2vl", "q", 0, history=self.HIST)
+        text = p["text_before"] + p["text_after"]
+        for q, a in self.HIST:
+            assert q in text
+            if a is not None:
+                assert a in text
+        assert text.count("<|im_start|>user") == len(self.HIST) + 1
+
+    def test_image_prompt_history_precedes_final_turn(self):
+        p = build_chat_prompt("qwen2vl", "what is it?", 16,
+                              history=[("hello", "hi there")])
+        before = p["text_before"]
+        assert "hello" in before and "hi there" in before
+        assert before.index("hi there") < before.index("<|vision_start|>")
+        # history sits between the system block and the final user turn
+        assert before.index("<|im_end|>") < before.index("hello")
+
+    def test_multi_image_history(self):
+        from mquant_tpu.serve.chat import build_multi_image_prompt
+
+        pieces = build_multi_image_prompt(
+            "qwen2vl", "compare", [8, 8], history=[("a", "b")])
+        head = pieces[0]["text"]
+        assert "<|im_start|>assistant\nb<|im_end|>" in head
+
+    def test_glm4v_history_role_blocks(self):
+        p = build_chat_prompt("glm4v", "next", 0,
+                              history=[("q1", "a1"), ("q2", "a2")])
+        text = p["text_before"] + p["text_after"]
+        assert ("<|user|>\nq1<|assistant|>\na1<|user|>\nq2<|assistant|>\n"
+                "a2<|user|>\nnext<|assistant|>\n") in text
+
+
 class TestBuckets:
     def test_choose_aspect(self):
         spec = BucketSpec.default(patch=14, base=448)
