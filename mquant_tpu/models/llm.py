@@ -129,10 +129,25 @@ def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype,
     (capability parity with HF Qwen2-VL's multimodal rotary).
 
     ``ntk_alpha`` scales the base theta by alpha^(rd/(rd-2)) — the dynamic-NTK
-    long-context extension (ref: modeling_qwen_opt.py:1201-1213).
+    long-context extension (ref: modeling_qwen_opt.py:1201-1213). It may be a
+    traced (B,) VECTOR: each batch row gets its own theta (per-request alpha
+    in the slot-pool serving engine — alpha is data, not a compile-time
+    constant, so one compiled block serves any alpha mix).
     """
     rd = int(cfg.head_dim * cfg.rope_partial)
     theta = cfg.rope_theta
+    if isinstance(ntk_alpha, jax.Array) and ntk_alpha.ndim >= 1:
+        assert not (cfg.mrope_sections and positions.ndim == 3), \
+            "per-row NTK alpha not supported with M-RoPE"
+        if positions.ndim == 3:
+            positions = positions[0]
+        # per-row inv_freq: th_b = theta·alpha_b^(rd/(rd-2)); inv = th_b^(-2i/rd)
+        th = theta * ntk_alpha.astype(jnp.float32)[:, None] ** (rd / (rd - 2))
+        exps = jnp.arange(0, rd, 2, dtype=jnp.float32) / rd  # (rd/2,)
+        inv = th ** -exps[None, :]  # (B, rd/2)
+        freqs = positions[..., None].astype(jnp.float32) * inv[:, None, :]
+        emb = jnp.concatenate([freqs, freqs], axis=-1)  # (B, T, rd)
+        return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
     if ntk_alpha != 1.0:
         theta = theta * ntk_alpha ** (rd / (rd - 2))
     if cfg.mrope_sections and positions.ndim == 3:
@@ -369,7 +384,8 @@ def decoder_forward(
     prefill_fresh: bool = False,  # cache is empty (pos 0): write it but attend
     # to the local T-long k/v causally — T×T attention + flash eligibility
     ntk_alpha: Optional[float] = None,  # dynamic-NTK alpha; None = derive from
-    # the static prefill length (decode callers pass the prefill's alpha)
+    # the static prefill length (decode callers pass the prefill's alpha).
+    # May be a traced (B,) vector: per-row alpha (slot-pool serving)
 ):
     """Full decoder forward. Returns (logits, new_cache, stats | None).
 

@@ -34,10 +34,14 @@ TPU-first design (everything static-shaped, two compiled programs total):
     fixed-size pieces, ONE piece per scheduler tick, so admitting it never
     stalls the running pool's decode for more than one chunk's latency.
 
-Per-row NTK alpha is not representable in one compiled step (alpha reshapes
-the RoPE tables at trace time); like ``Generator.generate_batch`` the pool
-shares one alpha — exact for every family except Qwen-VL beyond its NTK
-band (document caveat, ref: modeling_qwen_opt.py:696-707).
+Per-request dynamic-NTK alpha (Qwen-VL long context): under
+``cfg.use_dynamic_ntk`` every admission derives ITS alpha from ITS prompt
+length (ref: modeling_qwen_opt.py:696-707) and the decode/speculative blocks
+take the pool's (B,) alpha vector as DATA — per-row rope tables inside one
+compiled block (``models/llm.py rope_tables``), so a long-prompt request and
+a short one decode together exactly, with no per-alpha recompilation.
+Prefix-cache rows record the alpha their K rows were embedded with and only
+match requests at the same alpha.
 """
 
 from __future__ import annotations
@@ -113,6 +117,13 @@ class ServingEngine:
         self.eos_id = eos_id
         self.steps_per_block = steps_per_block
         self.ntk_alpha = ntk_alpha
+        # per-request dynamic NTK (Qwen-VL): each slot carries its own alpha,
+        # derived from ITS prompt length at admission (ref parity:
+        # modeling_qwen_opt.py:696-707 computes alpha per request); the decode
+        # block takes the (B,) vector as DATA (per-row rope tables in
+        # models/llm.py rope_tables), so one compiled block serves any mix.
+        self._dyn = bool(getattr(cfg, "use_dynamic_ntk", False))
+        self.alphas = np.full((slots,), float(ntk_alpha), np.float32)
         # >0: prompts longer than this prefill in admit_chunk pieces, one
         # piece per scheduler tick, so admission never stalls the decode
         # pool longer than one chunk (chunked-prefill admission)
@@ -351,11 +362,12 @@ class ServingEngine:
         assert Tb <= self.max_len, (Lp, self.max_len)
         padded = np.zeros((1, Tb), np.int64)
         padded[0, :Lp] = arr
-        key = ("prefix_fill", Tb)
+        palpha = self._alpha_for(Lp)
+        key = ("prefix_fill", Tb, palpha)
         if key not in self._jit:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
-            alpha = self.ntk_alpha
+            alpha = palpha
 
             @jax.jit
             def fill(params, prompt, length):
@@ -372,8 +384,21 @@ class ServingEngine:
             self._jit[key] = fill
         row = self._jit[key](self.params, jnp.asarray(padded),
                              jnp.asarray(Lp, jnp.int32))
-        self._prefixes.append((tuple(int(t) for t in arr), row))
+        # the alpha the rows were embedded with rides along: under dynamic
+        # NTK a request only matches a prefix prefilled at ITS alpha (the
+        # rope theta is baked into the stored K rows)
+        self._prefixes.append((tuple(int(t) for t in arr), row, palpha))
         self._prefixes.sort(key=lambda p: -len(p[0]))
+
+    def _alpha_for(self, seq_len: int) -> float:
+        """This request's NTK alpha — from ITS full prompt length under
+        dynamic NTK (ref: modeling_qwen_opt.py:696-707), else the engine-wide
+        constant."""
+        if not self._dyn:
+            return self.ntk_alpha
+        from ..models.llm import ntk_alpha_for
+
+        return ntk_alpha_for(self.cfg, seq_len)
 
     def run(self) -> Dict[int, List[int]]:
         """Serve until queue and pool are empty. Returns {rid: tokens}
@@ -419,11 +444,12 @@ class ServingEngine:
 
     # -- admission ----------------------------------------------------------
 
-    def _prefill_insert_fn(self, Tb: int, embeds: bool, has_pos: bool):
-        key = ("admit", Tb, embeds, has_pos)
+    def _prefill_insert_fn(self, Tb: int, embeds: bool, has_pos: bool,
+                           alpha: Optional[float] = None):
+        alpha = self.ntk_alpha if alpha is None else alpha
+        key = ("admit", Tb, embeds, has_pos, alpha)
         if key not in self._jit:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
-            alpha = self.ntk_alpha
             topk = self.sample_top_k
 
             @functools.partial(jax.jit, donate_argnums=(3,))
@@ -458,15 +484,18 @@ class ServingEngine:
             self._jit[key] = admit
         return self._jit[key]
 
-    def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool):
+    def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool,
+                     alpha: Optional[float] = None):
         """One admission piece: forward against the scratch row at its
         current pos (causal-with-offset), pos advances by the TRUE piece
-        length (padded tail rows are overwritten by the next piece/decode)."""
-        key = ("row_step", Tp, embeds, has_pos)
+        length (padded tail rows are overwritten by the next piece/decode).
+        ``alpha``: the request's FULL-prompt NTK alpha (what a one-shot
+        prefill would use) applied to every piece."""
+        alpha = self.ntk_alpha if alpha is None else alpha
+        key = ("row_step", Tp, embeds, has_pos, alpha)
         if key not in self._jit:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
-            alpha = self.ntk_alpha
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def step(params, piece, row, piece_len, pos=None):
@@ -519,8 +548,13 @@ class ServingEngine:
             ids = tuple(int(t) for t in r.draft_ids)
         else:
             return None
-        for ptoks, row in self._prefixes:  # sorted longest-first
+        ralpha = self._alpha_for(int(r.tokens_or_embeds.shape[0]))
+        for ptoks, row, palpha in self._prefixes:  # sorted longest-first
             if len(ptoks) < len(ids) and ids[:len(ptoks)] == ptoks:
+                if palpha != ralpha:
+                    # dynamic NTK: the stored rows were embedded at a
+                    # different theta than this request needs — unusable
+                    continue
                 if r.positions is not None:
                     L = len(ptoks)
                     if not np.array_equal(
@@ -572,7 +606,9 @@ class ServingEngine:
             p = a.req.positions[:, a.cursor:end]
             p = np.pad(p, ((0, 0), (0, Tp - plen)), mode="edge")
             extra["pos"] = jnp.asarray(p[:, None])
-        step = self._row_step_fn(Tp, arr.ndim == 2, a.req.positions is not None)
+        step = self._row_step_fn(Tp, arr.ndim == 2,
+                                 a.req.positions is not None,
+                                 alpha=self._alpha_for(T))
         logits, a.row = step(self.params, jnp.asarray(piece), a.row,
                              jnp.asarray(plen, jnp.int32), **extra)
         a.cursor = end
@@ -640,6 +676,9 @@ class ServingEngine:
                 self.tok_counts = self.tok_counts.at[slot].set(
                     jnp.asarray(cnts))
         r.slot = slot
+        if self._dyn:
+            self.alphas[slot] = self._alpha_for(
+                int(r.tokens_or_embeds.shape[0]))
         if self.eos_id is not None and tok == self.eos_id:
             r.done = True  # eos-trimmed: empty output
         else:
@@ -701,7 +740,8 @@ class ServingEngine:
                 prompt = np.zeros((1, Tb, arr.shape[1]), np.float32)
                 prompt[0, :T] = arr
             admit = self._prefill_insert_fn(Tb, arr.ndim == 2,
-                                            r.positions is not None)
+                                            r.positions is not None,
+                                            alpha=self._alpha_for(T))
             extra = {}
             if r.positions is not None:
                 # (3, 1, Tb) edge-padded M-RoPE ids; decode resumes at
@@ -739,7 +779,10 @@ class ServingEngine:
             @functools.partial(jax.jit, donate_argnums=(3,))
             def block(params, tok, active, cache, bkey=None, temp=None,
                       top_p=None, seeds=None, counts=None, pres=None,
-                      freq=None, tok_counts=None):
+                      freq=None, tok_counts=None, alphas=None):
+                # per-request dynamic NTK: (B,) alpha vector as DATA — one
+                # compiled block serves any alpha mix (per-row rope tables)
+                alpha_eff = alphas if alphas is not None else alpha
                 if "layers_packed" in params:
                     # persistent packed decode cache (built at init)
                     _pk = params["layers_packed"]
@@ -769,7 +812,7 @@ class ServingEngine:
                     tok, cache, out, lps, tcnt = carry
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state,
-                        mode=mode, cache=cache, ntk_alpha=alpha)
+                        mode=mode, cache=cache, ntk_alpha=alpha_eff)
                     if topk:
                         from .sampling import sample_tokens
 
@@ -831,7 +874,9 @@ class ServingEngine:
             force, s4, w4pack = self._force_accept, self._s4, self._w4pack
 
             @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
-            def block(params, tok, active, cache, hist, hist_len, budget):
+            def block(params, tok, active, cache, hist, hist_len, budget,
+                      alphas=None):
+                alpha_eff = alphas if alphas is not None else alpha
                 if "layers_packed" in params:
                     _pk = params["layers_packed"]
                     params = {k: v for k, v in params.items()
@@ -862,7 +907,7 @@ class ServingEngine:
                     pos0 = cache["pos"]
                     logits, cache2, _ = decoder_forward(
                         cfg, params, window, specs=specs, state=state,
-                        mode=mode, cache=cache, ntk_alpha=alpha)
+                        mode=mode, cache=cache, ntk_alpha=alpha_eff)
                     g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     agree = jnp.cumprod(
                         (draft == g[:, :-1]).astype(jnp.int32), axis=1)
@@ -924,9 +969,10 @@ class ServingEngine:
         if not active.any():
             return
         block = self._spec_block_fn(self.steps_per_block)
+        extra = ({"alphas": jnp.asarray(self.alphas)} if self._dyn else {})
         out, olp, cnt, self.cache, self.hist, self.hist_len = block(
             self.params, jnp.asarray(tok), jnp.asarray(active), self.cache,
-            self.hist, self.hist_len, jnp.asarray(budget))
+            self.hist, self.hist_len, jnp.asarray(budget), **extra)
         out, olp, cnt = np.asarray(out), np.asarray(olp), np.asarray(cnt)
         self.spec_emitted += int(cnt.sum())
         self.spec_row_rounds += int(active.sum()) * self.steps_per_block
@@ -958,6 +1004,8 @@ class ServingEngine:
         if not active.any():
             return
         block = self._decode_block_fn(n)
+        dyn_extra = ({"alphas": jnp.asarray(self.alphas)}
+                     if self._dyn else {})
         if self.sample_top_k:
             temp = np.zeros((self.slots,), np.float32)
             top_p = np.ones((self.slots,), np.float32)
@@ -981,10 +1029,12 @@ class ServingEngine:
                 self.cache, bkey=bkey, temp=jnp.asarray(temp),
                 top_p=jnp.asarray(top_p), seeds=jnp.asarray(seeds),
                 counts=jnp.asarray(counts), pres=jnp.asarray(pres),
-                freq=jnp.asarray(freq), tok_counts=self.tok_counts)
+                freq=jnp.asarray(freq), tok_counts=self.tok_counts,
+                **dyn_extra)
         else:
             out, lps, self.cache = block(self.params, jnp.asarray(tok),
-                                         jnp.asarray(active), self.cache)
+                                         jnp.asarray(active), self.cache,
+                                         **dyn_extra)
         out, lps = np.asarray(out), np.asarray(lps)
         for i, r in enumerate(self._active):
             if r is None or r.done:

@@ -301,6 +301,115 @@ class TestDynamicNTK:
         gen.generate(jnp.ones((1, 8), jnp.int32), max_new_tokens=2)
         assert gen._ntk_alpha == 1.0
 
+    def test_rope_tables_per_row_alpha_vector(self):
+        """A traced (B,) alpha vector gives each row its own theta — equal to
+        the static-alpha tables row by row (the per-request serving form)."""
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import rope_tables
+
+        cfg = self._cfg()
+        pos = jnp.broadcast_to(jnp.arange(6)[None, :], (2, 6))
+        cv, sv = rope_tables(cfg, pos, jnp.float32,
+                             ntk_alpha=jnp.asarray([1.0, 7.0]))
+        for b, a in enumerate((1.0, 7.0)):
+            c1, s1 = rope_tables(cfg, pos[b:b + 1], jnp.float32, ntk_alpha=a)
+            np.testing.assert_allclose(np.asarray(cv[b]), np.asarray(c1[0]),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sv[b]), np.asarray(s1[0]),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_engine_pool_per_request_alpha_matches_solo(self):
+        """A beyond-the-NTK-band prompt and a short one decode TOGETHER in
+        the slot pool, each token-for-token equal to its solo Generator run
+        (the solo path computes alpha per request by construction)."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import init_decoder_params
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = dc.replace(self._cfg(), n_layers=2, ntk_seq_length=16)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        long_p = (np.arange(40) % 48 + 3).astype(np.int64)  # alpha 7
+        short_p = (np.arange(9) % 48 + 5).astype(np.int64)  # alpha 1
+
+        solo = {}
+        gen = Generator(cfg, params, max_len=96, batch=1)
+        for name, p in (("long", long_p), ("short", short_p)):
+            out = gen.generate(jnp.asarray(p)[None], max_new_tokens=6)
+            solo[name] = [int(t) for t in np.asarray(out)[0]]
+        assert gen._ntk_alpha == 1.0  # last (short) run
+
+        eng = ServingEngine(cfg, params, slots=2, max_len=96,
+                            steps_per_block=3)
+        ra = eng.submit(jnp.asarray(long_p), max_new_tokens=6)
+        rb = eng.submit(jnp.asarray(short_p), max_new_tokens=6)
+        outs = eng.run()
+        assert list(eng.alphas) == [7.0, 1.0]
+        assert outs[ra] == solo["long"]
+        assert outs[rb] == solo["short"]
+
+    def test_engine_spec_decode_per_request_alpha(self):
+        """Speculative pool: same per-request alpha exactness (the verify
+        forward uses the per-row tables)."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import init_decoder_params
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = dc.replace(self._cfg(), n_layers=2, ntk_seq_length=16)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+        long_p = (np.arange(40) % 48 + 3).astype(np.int64)
+        gen = Generator(cfg, params, max_len=96, batch=1)
+        want = [int(t) for t in np.asarray(
+            gen.generate(jnp.asarray(long_p)[None], max_new_tokens=6))[0]]
+        eng = ServingEngine(cfg, params, slots=2, max_len=96,
+                            steps_per_block=2, spec_k=3)
+        rid = eng.submit(jnp.asarray(long_p), max_new_tokens=6)
+        assert eng.run()[rid] == want
+
+    def test_prefix_alpha_mismatch_not_matched(self):
+        """Under dynamic NTK a stored prefix row is only reusable by requests
+        at the SAME alpha (the rope theta is baked into its K rows)."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from mquant_tpu.models.llm import init_decoder_params
+        from mquant_tpu.serve.engine import ServingEngine
+        from mquant_tpu.serve.generate import Generator
+
+        cfg = dc.replace(self._cfg(), n_layers=2, ntk_seq_length=16)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        prefix = (np.arange(8) % 48 + 3).astype(np.int64)  # alpha 1 at len 8
+        long_tail = (np.arange(32) % 48 + 7).astype(np.int64)
+        full = np.concatenate([prefix, long_tail])  # len 40 → alpha 7
+
+        gen = Generator(cfg, params, max_len=96, batch=1)
+        want = [int(t) for t in np.asarray(
+            gen.generate(jnp.asarray(full)[None], max_new_tokens=5))[0]]
+
+        eng = ServingEngine(cfg, params, slots=2, max_len=96,
+                            steps_per_block=3)
+        eng.register_prefix(prefix)
+        rid = eng.submit(jnp.asarray(full), max_new_tokens=5)
+        outs = eng.run()
+        assert eng.prefix_hits == 0  # alpha mismatch → prefix unusable
+        assert outs[rid] == want
+        # same-alpha request (short) DOES hit the prefix
+        short = np.concatenate([prefix, prefix[:4] + 1])  # len 12 → alpha 1
+        rid2 = eng.submit(jnp.asarray(short), max_new_tokens=4)
+        want2 = [int(t) for t in np.asarray(
+            gen.generate(jnp.asarray(short)[None], max_new_tokens=4))[0]]
+        assert eng.run()[rid2] == want2
+        assert eng.prefix_hits == 1
+
 
 class TestS4Decode:
     """Native-S4 weight storage inside the fused decode loop: exact
