@@ -42,6 +42,10 @@ class GPTQResult(NamedTuple):
     scale: jax.Array  # (n_groups_or_1, out) per-out-channel scales
     used_fallback: jax.Array  # bool scalar: RTN fallback (Cholesky failed)
     zero: Optional[jax.Array] = None  # (n_groups_or_1, out) asym zero points
+    perm: Optional[jax.Array] = None  # (in,) act_order permutation (permuted
+    # position i holds original row perm[i]); grouped scales index PERMUTED
+    # row blocks — realization stores the weight in permuted layout and the
+    # serving GEMM gathers the activation (a_perm)
 
 
 def accumulate_hessian(h: Optional[jax.Array], x: jax.Array) -> jax.Array:
@@ -354,9 +358,13 @@ def _gptq_walk(
     if zeros is not None:
         zeros = jnp.where(bad, jnp.broadcast_to(
             qp_rtn.zero_point.reshape(1, out), (g, out)), zeros)
-    # NOTE act_order × group_size: group scales are per PERMUTED row block;
-    # after the inverse permutation the (g, out) table no longer maps to
-    # contiguous input-row groups, so realization from these qparams is
-    # rejected by the drivers (fake-quant serving of that combo is exact).
+    # act_order × group_size: group scales are per PERMUTED row block; after
+    # the inverse permutation the (g, out) table no longer maps to contiguous
+    # input-row groups. The returned ``perm`` lets realization store the
+    # weight in PERMUTED layout (groups contiguous again) with the activation
+    # gathered at serve time — exact, one cheap (..., in) gather per call.
+    # On RTN fallback the grid is per-out-channel (g rows broadcast) and
+    # permutation-independent, but the permuted storage layout still composes
+    # with it, so perm is returned either way.
     return GPTQResult(w=Wq.astype(W.dtype), scale=scales, used_fallback=bad,
-                      zero=zeros)
+                      zero=zeros, perm=perm if act_order else None)

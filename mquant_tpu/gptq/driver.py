@@ -150,7 +150,8 @@ def gptq_quantize_decoder(
         pre.append((cos, sin, L.causal_mask(T, T)))
 
     def quantize_site(lp, name, H):
-        """Returns (lp, used_fallback, (scale, zero)|None). The qparams are the
+        """Returns (lp, used_fallback, (scale, zero, perm)|None). The qparams
+        are the
         EXACT grid the fake-quantized weight lies on — carried to realization
         so int storage recovers the codes losslessly instead of re-quantizing
         onto a fresh symmetric grid (the round-2 w_asym/w_groupsize silent
@@ -172,7 +173,8 @@ def gptq_quantize_decoder(
             lp[name] = site_p
             out = w.shape[-1]
             qps = (qp.scale.reshape(1, out),
-                   None if qp.zero_point is None else qp.zero_point.reshape(1, out))
+                   None if qp.zero_point is None else qp.zero_point.reshape(1, out),
+                   None)
             return lp, False, qps
         res = C.gptq_quantize_matrix(
             w, H, bits=spec.w_bits, percdamp=gcfg.percdamp,
@@ -181,7 +183,10 @@ def gptq_quantize_decoder(
         site_p["w"] = res.w.astype(lp[name]["w"].dtype)
         lp = dict(lp)
         lp[name] = site_p
-        return lp, bool(res.used_fallback), (res.scale, res.zero)
+        # perm is only needed for realization when grouped scales index
+        # permuted row blocks (act_order × group_size)
+        perm = res.perm if (gcfg.act_order and gcfg.group_size) else None
+        return lp, bool(res.used_fallback), (res.scale, res.zero, perm)
 
     report = {"fallbacks": [], "sites": 0, "qparams": []}
     hb = hidden_batches
@@ -246,11 +251,6 @@ def gptq_quantize_decoder(
         if stream_from_host and realize_on_device:
             from ..kernels.qmm import quantize_weights_real
 
-            if gcfg.act_order and gcfg.group_size:
-                raise NotImplementedError(
-                    "realize with act_order × group_size: group scales map to "
-                    "permuted row blocks, not contiguous input groups — serve "
-                    "this combo in fake mode (exact) instead")
             store = {}
             for name, site in lp.items():
                 spec = specs.get("llm." + name)
@@ -261,8 +261,18 @@ def gptq_quantize_decoder(
                     # re-stores W4 as native S4 — see qmm.s4_squeeze_sites).
                     # The GPTQ grid is passed through so the codes are the
                     # exact ones the walk optimized — no re-quantization.
-                    scale, zero = layer_qps.get(name) or (None, None)
-                    s.update(quantize_weights_real(site["w"], spec.w_bits,
+                    scale, zero, perm = (layer_qps.get(name)
+                                         or (None, None, None))
+                    w = site["w"]
+                    if perm is not None:
+                        # act_order × group_size: store rows in PERMUTED
+                        # layout so the grouped scale table maps contiguous
+                        # row blocks again; the serving GEMM gathers the
+                        # activation through a_perm (exact — one cheap
+                        # (..., in) gather per call)
+                        w = w[perm]
+                        s["a_perm"] = perm.astype(jnp.int32)
+                    s.update(quantize_weights_real(w, spec.w_bits,
                                                    pack=False, scale=scale,
                                                    zero=zero))
                     store[name] = s
@@ -287,8 +297,9 @@ def gptq_quantize_decoder(
         site_leaves = [nl.pop(name) for nl in new_layers]
         stacked[name] = jax.tree.map(lambda *xs: stack(xs), *site_leaves)
         del site_leaves
-    # stack per-layer qparams → {site: (scale (L,g,out), zero|None)} so the
-    # post-hoc realize path can recover exact codes (see quantize_site)
+    # stack per-layer qparams → {site: (scale (L,g,out), zero|None,
+    # perm (L,in)|None)} so the post-hoc realize path can recover exact codes
+    # (see quantize_site; perm → permuted-layout realization)
     qps_stacked = {}
     for name in report["qparams"][0]:
         entries = [lq.get(name) for lq in report["qparams"]]
@@ -298,7 +309,9 @@ def gptq_quantize_decoder(
         sc = jnp.stack([e[0] for e in entries])
         ze = (None if entries[0][1] is None
               else jnp.stack([e[1] for e in entries]))
-        qps_stacked[name] = (sc, ze)
+        pm = (None if len(entries[0]) < 3 or entries[0][2] is None
+              else jnp.stack([e[2] for e in entries]))
+        qps_stacked[name] = (sc, ze, pm)
     report["qparams"] = qps_stacked
     out = dict(params)
     out["layers"] = stacked

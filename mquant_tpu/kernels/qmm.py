@@ -307,6 +307,12 @@ def pack_w4_sites(layer_params: Dict[str, Any], specs,
                 continue
             if any(s.get("w_zp") is not None for s in sites):
                 continue
+            # act_order × group_size sites store rows in permuted layout with
+            # a per-site activation gather (a_perm); concatenating them would
+            # need one shared perm, which can't be value-checked under trace —
+            # keep them on the per-site path (shared act quant, exact).
+            if any("a_perm" in s for s in sites):
+                continue
             fused = jax.lax.optimization_barrier(
                 jnp.concatenate([pack(s["w_q"]) for s in sites], axis=-1))
             fscale = jnp.concatenate([s["w_scale"] for s in sites], axis=-1)
@@ -460,6 +466,14 @@ def quantized_matmul_pre(
     scales the per-site quantizers see the identical tensor and produce the
     identical int8 activation, so sharing is mathematically exact and saves
     two full activation passes per site group."""
+    ap = p.get("a_perm")
+    if ap is not None:
+        # act_order × group_size realization stores the weight rows in
+        # PERMUTED layout (so the grouped scale table maps contiguous row
+        # blocks again); gather the already-int8 activation to match. Exact —
+        # int8 quantization is elementwise per channel, so reordering after
+        # quantization changes nothing. One cheap (..., in) gather per call.
+        xq = jnp.take(xq, ap, axis=-1)
     ws = p["w_scale"]
     if (ws.ndim == 2 or p.get("w_zp") is not None or x_zp is not None
             or a_groupsize is not None):

@@ -148,6 +148,12 @@ def _spec_tree_for(params: Dict, spec_map: Dict) -> Dict:
                             sub[aux] = P(*([None] * (nd - 1)), outax) if nd else P()
                     if "a_fold" in v:
                         sub.setdefault("a_fold", P())
+                    if "a_perm" in v:
+                        # act_order permutation indexes the GLOBAL in axis —
+                        # keep it replicated; under GSPMD the activation
+                        # gather stays semantically exact (XLA inserts the
+                        # collectives), just not bandwidth-optimal under TP
+                        sub.setdefault("a_perm", P())
                 out[k] = _spec_tree_for(v, sub)
             else:
                 out[k] = _spec_tree_for(v, {})

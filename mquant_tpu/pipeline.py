@@ -336,8 +336,8 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
                 cfg.llm, params["llm"], embeds, specs, gcfg=gcfg)
             if report["fallbacks"]:
                 log.warning(f"GPTQ RTN-fallbacks: {report['fallbacks']}")
-            if not (q.act_order and q.w_groupsize):
-                wqps = report["qparams"]
+            wqps = report["qparams"]  # incl. act_order perms (permuted-
+            # layout realization handles act_order × w_groupsize)
     return params, wqps
 
 

@@ -251,13 +251,17 @@ def realize_decoder_weights(params: Dict, specs: Dict,
     serving path — the capability the reference's fake-quant stack never ships
     (ref: SURVEY §3.4). Stacked layers are converted with vmap.
 
-    ``qps``: {site: (scale (L,G,out), zero (L,G,out)|None)} — the EXACT grids
-    the fake-quantized weights lie on (from GPTQ's report["qparams"] or
-    ``rtn_quantize_decoder(return_qparams=True)``). With them the integer
-    codes are recovered losslessly, including asym (--w_asym) and grouped
-    (--w_groupsize) grids; without them a per-out-channel symmetric minmax
-    grid is re-derived (exact only for weights fake-quantized on that same
-    default grid).
+    ``qps``: {site: (scale (L,G,out), zero (L,G,out)|None[, perm (L,in)|None])}
+    — the EXACT grids the fake-quantized weights lie on (from GPTQ's
+    report["qparams"] or ``rtn_quantize_decoder(return_qparams=True)``). With
+    them the integer codes are recovered losslessly, including asym (--w_asym)
+    and grouped (--w_groupsize) grids; without them a per-out-channel
+    symmetric minmax grid is re-derived (exact only for weights fake-quantized
+    on that same default grid). A ``perm`` entry (act_order × group_size:
+    grouped scales index PERMUTED row blocks) realizes the weight in permuted
+    layout with an ``a_perm`` leaf; the serving GEMM gathers the activation
+    (ref: the recommended --act_order flag set, docs/qwenvl.md:45, combined
+    with gptq_utils.py:263-273 groupwise re-find inside the permuted walk).
 
     ``state``: calibrated activation state. Sites whose static act scales are
     per-CHANNEL get those scales FOLDED into the weights here (the channel
@@ -306,8 +310,15 @@ def realize_decoder_weights(params: Dict, specs: Dict,
                 "weight (second weight quantization on the folded grid)")
             w = w * fold_qp[:, :, None].astype(w.dtype)
             sqp = None  # original grid no longer applies to the folded weight
+        perm = None
         if sqp is not None:
-            scale, zero = sqp
+            scale, zero = sqp[0], sqp[1]
+            perm = sqp[2] if len(sqp) > 2 else None  # (L, in) act_order perms
+            if perm is not None:
+                # act_order × group_size: store rows in PERMUTED layout so
+                # the grouped scale table maps contiguous row blocks; the
+                # serving GEMM gathers the activation through a_perm
+                w = jnp.take_along_axis(w, perm[:, :, None], axis=1)
             qd = jax.vmap(
                 lambda wl, sl, zl: quantize_weights_real(
                     wl, bits, pack=pack_int4, scale=sl, zero=zl)
@@ -319,6 +330,8 @@ def realize_decoder_weights(params: Dict, specs: Dict,
                 wl, bits, pack=pack_int4))(w)
         site.pop("w")
         site.update(qd)
+        if perm is not None:
+            site["a_perm"] = perm.astype(jnp.int32)  # (L, in), scan-sliceable
         if fold_qp is not None:
             # marker leaf; leading (L,) axis so the decoder's layer-scan can
             # slice it like every other stacked site leaf

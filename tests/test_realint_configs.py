@@ -72,6 +72,81 @@ class TestAsymGroupedWeightRealize:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestActOrderGroupedRealize:
+    """act_order × group_size realization: permuted weight layout + a_perm
+    activation gather — the reference's recommended GPTQ flag set
+    (docs/qwenvl.md:45 --act_order) combined with --w_groupsize serves on
+    the real-int path (was the last realize NotImplementedError)."""
+
+    @pytest.mark.parametrize("sym", [True, False])
+    def test_matrix_level_real_matches_fake(self, rng, sym):
+        In, Out, M = 64, 48, 8
+        from mquant_tpu.gptq.core import (accumulate_hessian,
+                                          gptq_quantize_matrix)
+
+        w = jnp.asarray(rng.normal(size=(In, Out)), jnp.float32) * 0.1
+        xs = jnp.asarray(rng.normal(size=(64, In)) * rng.uniform(
+            0.2, 3.0, size=(1, In)), jnp.float32)  # uneven diag → real perm
+        H = accumulate_hessian(None, xs)
+        res = gptq_quantize_matrix(w, H, bits=4, sym=sym, group_size=16,
+                                   act_order=True)
+        assert res.perm is not None
+        assert not bool(jnp.all(res.perm == jnp.arange(In)))  # non-trivial
+        # realize in PERMUTED layout: grouped scale table maps contiguous rows
+        wp = res.w[res.perm]
+        p = {"b": None}
+        p.update(KQ.quantize_weights_real(wp, 4, pack=False, scale=res.scale,
+                                          zero=res.zero))
+        p["a_perm"] = res.perm.astype(jnp.int32)
+        # storage recovery is EXACT on the permuted rows
+        ws2 = p["w_scale"]
+        G = ws2.shape[0]
+        q = p["w_q"].astype(jnp.float32)
+        if "w_zp" in p:
+            q = q - jnp.repeat(p["w_zp"], In // G, axis=0)
+        w_rec = q * jnp.repeat(ws2, In // G, axis=0)
+        np.testing.assert_allclose(np.asarray(w_rec), np.asarray(wp),
+                                   rtol=0, atol=1e-5)
+        # forward parity: real (permuted storage + act gather) vs fake
+        x = jnp.asarray(rng.normal(size=(M, In)), jnp.float32)
+        spec = SiteSpec(w_bits=4, a_bits=8)
+        ref = _fake_ref(x, res.w, spec)
+        out = qlinear(x, p, "t.site", spec, None, mode="real")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_decoder_level_real_matches_fake(self, rng):
+        """Full driver → realize → decoder_forward parity on a 2-layer model
+        (stacked (L,in) perms sliced by the layer scan)."""
+        from mquant_tpu.gptq.driver import GPTQConfig, gptq_quantize_decoder
+        from mquant_tpu.models.llm import (DecoderConfig, LLM_SITES,
+                                           decoder_forward,
+                                           init_decoder_params)
+        from mquant_tpu.transform.recipes import realize_decoder_weights
+
+        cfg = DecoderConfig(vocab=64, hidden=32, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=64, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8) for n in LLM_SITES}
+        embeds = [jax.random.normal(jax.random.key(1), (1, 16, 32),
+                                    jnp.float32) * 0.1]
+        qp, rep = gptq_quantize_decoder(
+            cfg, params, embeds, specs,
+            gcfg=GPTQConfig(act_order=True, group_size=16))
+        for n in LLM_SITES:
+            assert rep["qparams"][n][2] is not None, n  # perms carried
+        toks = jax.random.randint(jax.random.key(2), (2, 8), 0, cfg.vocab)
+        ref, _, _ = decoder_forward(cfg, qp, toks, specs=specs, mode="fake")
+        rp = realize_decoder_weights(qp, specs, qps=rep["qparams"])
+        for n in LLM_SITES:
+            assert "a_perm" in rp["layers"][n], n
+            assert rp["layers"][n]["a_perm"].shape == (
+                cfg.n_layers, qp["layers"][n]["w"].shape[-2])
+        out, _, _ = decoder_forward(cfg, rp, toks, specs=specs, mode="real")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
+
+
 class TestAsymActivations:
     """Asymmetric activations on the real path: zp·Σw epilogue correction
     (ref fake-quant path: quant_utils.py asym_quant_dequant)."""
