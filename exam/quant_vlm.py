@@ -38,9 +38,12 @@ def parser_gen(model_default=None):
                    help="vision-only rotation (inverse of ref --rotate_llm)")
     p.add_argument("--online_llm_hadamard", action="store_true")
     p.add_argument("--online_had_mode", default="full",
-                   choices=["full", "block"],
+                   choices=["full", "block", "auto"],
                    help="block: I ⊗ H_128 online transform (one MXU-perfect "
-                        "matmul at serve time; TPU TTFT fast path)")
+                        "matmul at serve time; TPU TTFT fast path); auto: "
+                        "calib-time gate picks full vs block by int8 MSE on "
+                        "captured down_proj inputs (neither dominates — see "
+                        "tests/test_outlier_stress.py adversarial patterns)")
     p.add_argument("--llm_split", action="store_true")
     p.add_argument("--online_visual_hadamard", action="store_true")
     p.add_argument("--visual_split", action="store_true")

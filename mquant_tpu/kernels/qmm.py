@@ -213,8 +213,10 @@ def s4_squeeze_sites(layer_params: Dict[str, Any], specs,
     recurses on the current runtime). Not applied to per-step decode or
     prefill, where the one-off conversion pass would not amortize.
 
-    ``in_dims``: expected input dim per site name — split-half-packed storage
-    (w_q holds in/2 byte rows) is left untouched."""
+    ``in_dims``: expected input dim per site name. Split-half PACKED storage
+    (w_q holds in/2 byte rows — the single-resident packed layout) is
+    unpacked first, so a packed-resident model still decodes through the
+    native-S4 XLA path when the Pallas GEMV is off."""
     out = dict(layer_params)
     for name, site in layer_params.items():
         spec = specs.get(prefix + name) if specs else None
@@ -225,9 +227,15 @@ def s4_squeeze_sites(layer_params: Dict[str, Any], specs,
         if wq is None or wq.dtype != jnp.int8:
             continue
         expected = in_dims.get(name)
+        if expected is None:
+            continue
         # RMS-split storage drops one fp row (w_col0), hence expected - 1
-        if expected is not None and wq.shape[-2] not in (expected, expected - 1):
-            continue  # split-half packed bytes — not nibble-safe to convert
+        if wq.shape[-2] in (expected, expected - 1):
+            pass  # native int8 rows
+        elif wq.shape[-2] * 2 == expected:
+            wq = unpack_int4_weights({"w_q": wq})  # packed-resident bytes
+        else:
+            continue
         s = dict(site)
         s["w_q"] = jax.lax.optimization_barrier(wq.astype(jnp.int4))
         out[name] = s
@@ -361,9 +369,9 @@ def _decode_nibbles_shift(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def unpack_int4_weights(p: Dict[str, Any]) -> jax.Array:
-    """Split-half packed (in/2, out) → int8 (in, out)."""
+    """Split-half packed (..., in/2, out) → int8 (..., in, out)."""
     lo, hi = _decode_nibbles_i32(p["w_q"])
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
 
 
 def quantized_matmul(

@@ -58,9 +58,11 @@ class QuantizeConfig:
     rotate_visual: bool = True
     rotate_llm: bool = True  # ref --rotate_llm (vision-only rotation if off)
     online_llm_hadamard: bool = True
-    online_had_mode: str = "full"  # "full" | "block": I⊗H_128 online transform
-    # (one MXU-perfect matmul at serve time; √128-wide outlier spreading —
-    # quality-gated by tests/test_outlier_stress.py; TPU TTFT fast path)
+    online_had_mode: str = "full"  # "full" | "block" | "auto". block: I⊗H_128
+    # online transform (one MXU-perfect matmul at serve time; √128-wide
+    # outlier spreading — quality-gated by tests/test_outlier_stress.py; TPU
+    # TTFT fast path). auto: calib-time gate picks by int8 MSE on captured
+    # down inputs (_choose_online_had_mode — neither variant dominates)
     llm_split: bool = True
     online_visual_hadamard: bool = False  # ref: exam/quant_qwenvl.py --online_visual_hadamard
     visual_split: bool = False  # ref: --visual_split (fc2/c_proj RMS split)
@@ -365,6 +367,51 @@ def _bound_nsamples(batches: List[dict], nsamples: int) -> List[dict]:
     return out
 
 
+def _choose_online_had_mode(fam: ModelFamily, cfg, params: Dict,
+                            batch: dict, max_tokens: int = 128):
+    """Calibration-time gate for the online-Hadamard variant on llm.down
+    (``--online_had_mode auto``): capture the PRE-transform down_proj inputs
+    on one calib batch, apply each candidate transform as serving would
+    (full = padded Kronecker over the whole intermediate; block = I ⊗ H_128),
+    and pick the one with the smaller per-tensor-static int8 quantization MSE
+    (both transforms are orthonormal, so MSE in transformed space is
+    comparable across candidates and proportional to the downstream error).
+
+    Neither variant dominates (measured, scripts/block_had_adversarial.py):
+    spikes correlated WITHIN one 128-block defeat block mode (√128 spreading
+    re-concentrates them), while a dense single-block pattern defeats the
+    full transform (spreading makes every channel moderately large). Weight-
+    side requantization error is second-order and ignored here.
+    """
+    from .kernels.fwht import online_hadamard
+    from .transform.hadamard import auto_pad_size
+
+    probe = {"llm.down": SiteSpec(a_bits=8, a_static=True)}
+    kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    _, _, st = fam.forward_fn(cfg, params, batch["tokens"],
+                              batch.get("patches"), specs=probe, mode="fake",
+                              collect_stats=True, collect_samples=True,
+                              **kwargs)
+    x = st["samples"]["llm.down"]  # (L, N, I) raw down inputs
+    x = x[:, :max_tokens].astype(jnp.float32)
+    I = x.shape[-1]
+
+    def int8_mse(y):
+        s = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2), keepdims=True),
+                        1e-8) / 127.0
+        return float(jnp.mean((jnp.round(y / s) * s - y) ** 2))
+
+    pad = auto_pad_size(I)
+    xf = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
+    errs = {"full": int8_mse(online_hadamard(xf))}
+    if I % 128 == 0:
+        L, N = x.shape[:2]
+        yb = online_hadamard(x.reshape(L, N, I // 128, 128))
+        errs["block"] = int8_mse(yb.reshape(L, N, I))
+    pick = min(errs, key=errs.get)
+    return pick, {k: float(v) for k, v in errs.items()}
+
+
 def embed_batch(fam: ModelFamily, cfg, params: Dict, batch: dict) -> jax.Array:
     """Decoder-input embeddings for one multimodal batch (embedding + vision +
     splice) — the input capture the reference does with Catcher hooks
@@ -515,6 +562,21 @@ def run_pipeline(model: str, q: QuantizeConfig,
         params["llm"] = smooth_decoder(params["llm"], amax, q.smooth_alpha)
         info["smooth_alpha"] = q.smooth_alpha
         log.info(f"smoothquant migration applied (alpha={q.smooth_alpha})")
+
+    if q.online_had_mode == "auto":
+        # per-site calib-time gate (after smoothing, before the rotation
+        # folds the chosen H into the down weights) — see
+        # _choose_online_had_mode for why neither variant dominates
+        if q.rotate and q.rotate_llm and q.online_llm_hadamard:
+            pick, errs = _choose_online_had_mode(fam, cfg, params,
+                                                 calib_batches[0])
+            info["online_had_auto"] = {"picked": pick, **errs}
+            log.info(f"online-Hadamard auto-select: {pick} "
+                     f"(int8 MSE {errs})")
+        else:
+            pick = "full"
+        q = dataclasses.replace(q, online_had_mode=pick)
+        specs = build_specs(fam, q)  # rebuild with the decided mode
 
     if q.rotate:
         from .transform.vlm_recipes import prepare_vlm

@@ -181,21 +181,12 @@ class ServingEngine:
                         and os.environ.get("MQUANT_DECODE_W4PACK", "1") == "1")
         self._s4 = (not self._w4pack and mode == "real" and bool(specs)
                     and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
-        if (self._w4pack
-                and os.environ.get("MQUANT_DECODE_PREPACK", "1") == "1"
-                and isinstance(self.params, dict) and "layers" in self.params):
-            # persistent packed decode cache (see Generator._maybe_prepack):
-            # decode blocks stream half the weight bytes through the Pallas
-            # SWAR GEMV; admission prefill keeps the int8 copy
-            from ..kernels.qmm import pack_w4_sites
+        # W4 residency (single packed copy by default under the Pallas GEMV;
+        # see generate.w4_resident_mode). The in-block s4/w4pack conversions
+        # above become no-ops on already-packed storage.
+        from .generate import prepare_w4_resident
 
-            in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
-                       "gate": cfg.hidden, "up": cfg.hidden,
-                       "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
-            sp = specs
-            packed = jax.jit(lambda lay: pack_w4_sites(lay, sp, in_dims))(
-                self.params["layers"])
-            self.params = {**self.params, "layers_packed": packed}
+        self.params = prepare_w4_resident(cfg, self.params, specs, mode)
 
     # -- public API ---------------------------------------------------------
 

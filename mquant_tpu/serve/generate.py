@@ -29,6 +29,71 @@ def bucket_len(n: int, minimum: int = 32) -> int:
     return b
 
 
+def w4_resident_mode() -> str:
+    """How W4 weights live on device for serving — ``MQUANT_W4_RESIDENT``:
+
+    * ``packed`` — ONE resident copy, split-half packed bytes (+ fused
+      shared-input groups when the Pallas GEMV is on). Decode streams the
+      packed bytes directly (half the int8 HBM traffic); prefill unpacks
+      per-GEMM inside the jit (a transient layer-sized int8 buffer — the
+      unpack is ~1.5 VPU ops/byte and amortizes at prefill M). This is the
+      default under ``MQUANT_GEMV=pallas_w4``: it removes the 1.5× duplicate-
+      weight residency that kept the packed decode path from fitting next to
+      the full-VLM span at depth 28 on one 16 GB chip.
+    * ``dual`` — int8 resident for prefill PLUS a persistent packed copy for
+      decode (1.5× weight memory; the round-3 design, kept for A/B).
+    * ``int8`` — int8 resident only; decode loops convert in-jit per fused
+      loop (native S4 for the XLA dot, packed bytes for the Pallas GEMV).
+    """
+    import os
+
+    m = os.environ.get("MQUANT_W4_RESIDENT")
+    if m in ("packed", "dual", "int8"):
+        return m
+    return ("packed" if os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+            else "int8")
+
+
+def prepare_w4_resident(cfg: DecoderConfig, params, specs, mode: str):
+    """Apply the configured W4 residency to ``params`` (shared by Generator
+    and ServingEngine). Returns params unchanged unless real-mode W4 serving
+    with layer storage is active."""
+    import os
+
+    if not (mode == "real" and specs and isinstance(params, dict)
+            and "layers" in params):
+        return params
+    resident = w4_resident_mode()
+    if resident == "int8":
+        return params
+    from ..kernels.qmm import pack_w4_sites
+
+    in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
+               "gate": cfg.hidden, "up": cfg.hidden,
+               "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
+    # fuse shared-input groups only for the Pallas GEMV (one launch per
+    # group); the XLA decode path re-stores per-site packed bytes as native
+    # S4 at the top of each fused loop (s4_squeeze_sites handles packed input)
+    fuse = os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+    # Under TP, per-site packed storage shards exactly like the int8 layout
+    # (w_q rows are in/2 — the Megatron in/out axes divide the same way), but
+    # the FUSED concat does not: q|k|v slice boundaries land mid-shard on the
+    # tp axis. Keep per-site packing when params arrive sharded.
+    if fuse:
+        for leaf in jax.tree.leaves(params["layers"]):
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and getattr(sh, "num_devices", 1) > 1:
+                fuse = False
+                break
+    packed = jax.jit(functools.partial(pack_w4_sites, specs=specs,
+                                       in_dims=in_dims, fuse_groups=fuse))(
+        params["layers"])
+    if resident == "packed":
+        return {**{k: v for k, v in params.items() if k != "layers"},
+                "layers": packed}
+    return {**params, "layers_packed": packed}  # dual
+
+
 class Generator:
     """Builds and caches jitted prefill/decode closures for one (cfg, specs, mode)."""
 
@@ -48,34 +113,8 @@ class Generator:
         self._maybe_prepack()
 
     def _maybe_prepack(self):
-        """Persistent packed decode cache (``MQUANT_GEMV=pallas_w4``): build
-        split-half packed + group-fused copies of the W4 sites ONCE on device.
-        Decode streams the packed copy (half the HBM bytes/step, contiguous
-        row tiles through the Pallas SWAR GEMV — measured 118 vs 111 tok/s at
-        7B dims) while prefill keeps the int8 copy (packed prefill measured
-        +33%: the unpack doesn't amortize at M=1024 the way XLA's s8 GEMM
-        does). Costs 1.5× weight memory; disable via MQUANT_DECODE_PREPACK=0
-        (decode then packs in-jit per fused loop — cheaper memory, ~0.4 ms/
-        step packing tax at 32-token blocks). Single-chip serving path; under
-        TP keep the default XLA GEMV."""
-        import os
-
-        if not (self.mode == "real" and self.specs
-                and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
-                and os.environ.get("MQUANT_DECODE_PREPACK", "1") == "1"
-                and isinstance(self.params, dict)
-                and "layers" in self.params):
-            return
-        from ..kernels.qmm import pack_w4_sites
-
-        cfg = self.cfg
-        in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
-                   "gate": cfg.hidden, "up": cfg.hidden,
-                   "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
-        specs = self.specs
-        packed = jax.jit(lambda lay: pack_w4_sites(lay, specs, in_dims))(
-            self.params["layers"])
-        self.params = {**self.params, "layers_packed": packed}
+        self.params = prepare_w4_resident(self.cfg, self.params, self.specs,
+                                          self.mode)
 
     # -- jitted building blocks --------------------------------------------
 

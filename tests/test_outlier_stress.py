@@ -33,21 +33,28 @@ MAG = 300.0  # spike magnitude: bare 1.015, full 1.005, block 1.005 (sweep)
 GATE = 1.01  # the reference's <1% degradation claim (ref README.md:29)
 
 
-def inject_glu_spike(params, channel, mag):
-    """up[:, :, c] *= M and down[:, c, :] /= M → fp function EXACTLY
-    unchanged; down_proj input channel c spikes M×."""
+def inject_glu_channels(params, channels, mags):
+    """up[:, :, c] *= m_c and down[:, c, :] /= m_c → fp function EXACTLY
+    unchanged; the down_proj input channels c spike m_c×."""
     p = jax.tree.map(lambda x: x, params)
     llm = dict(p["llm"])
     lay = dict(llm["layers"])
     up, down = dict(lay["up"]), dict(lay["down"])
     inter = up["w"].shape[-1]
-    s = jnp.ones((inter,), up["w"].dtype).at[channel].set(mag)
+    s = np.ones((inter,), np.float32)
+    for c, m in zip(channels, mags):
+        s[c] = m
+    s = jnp.asarray(s, up["w"].dtype)
     up["w"] = up["w"] * s[None, None, :]
     down["w"] = down["w"] / s[None, :, None]
     lay["up"], lay["down"] = up, down
     llm["layers"] = lay
     p["llm"] = llm
     return p
+
+
+def inject_glu_spike(params, channel, mag):
+    return inject_glu_channels(params, [channel], [mag])
 
 
 def _fwd(fam, cfg, p, batch, specs=None, state=None, mode="fp"):
@@ -87,13 +94,40 @@ def stress_setup():
     return fam, cfg, p_out, calib, held
 
 
-def _run(fam, cfg, p_out, calib, held, **kw):
+def _run(fam, cfg, p_out, calib, held, _info=None, **kw):
     q = QuantizeConfig(calib_num=16, nsamples=8, visual_w_bits=8,
                        llm_w_bits=4, **kw)
-    cfg_q, pq, st, sp, _ = run_pipeline(
+    cfg_q, pq, st, sp, info = run_pipeline(
         fam.name, q, params=jax.tree.map(lambda x: x, p_out), cfg=cfg,
         calib_batches=calib)
+    if _info is not None:
+        _info.update(info)
     return ppl_ratio(fam, cfg, p_out, held, pq, sp, st, cfg_q)
+
+
+@pytest.fixture(scope="module")
+def adversarial_setup():
+    """Wider MLP (512 = 4 blocks) so the full-vs-block spreading widths
+    separate; adversarial spike patterns tuned by
+    scripts/block_had_adversarial.py sweeps."""
+    fam = get_family("qwen2vl")
+    cfg = fam.tiny_fn()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, n_layers=4, intermediate=512))
+    params = fam.init_fn(cfg, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    b0 = 128  # a middle block
+    patterns = {
+        "inblock": inject_glu_channels(
+            params, list(b0 + rng.choice(128, 8, replace=False)),
+            [MAG * s for s in rng.choice([-1, 1], 8)]),
+        "dense": inject_glu_channels(
+            params, list(range(b0, b0 + 128)),
+            list(MAG / 4 * rng.choice([-1.0, 1.0], 128))),
+    }
+    calib = synthetic_calib_batches(fam, cfg, 2, jax.random.key(5))
+    held = synthetic_calib_batches(fam, cfg, 2, jax.random.key(77))
+    return fam, cfg, patterns, calib, held
 
 
 class TestOutlierStress:
@@ -114,6 +148,48 @@ class TestOutlierStress:
         block = _run(fam, cfg, p_out, calib, held, rotate=True,
                      online_had_mode="block")
         assert block < GATE, f"block mode should rescue, got {block:.4f}"
+
+    def test_inblock_spikes_defeat_block_mode_and_auto_rescues(
+            self, adversarial_setup):
+        """ADVERSARIAL placement: k spikes correlated WITHIN one 128-block.
+        I ⊗ H_128 spreads only inside the block, so the spikes re-concentrate
+        (√128 suppression on k coherent channels is not enough) — block mode
+        fails the gate where the full-width transform passes. The ``auto``
+        calib-time gate (pipeline._choose_online_had_mode) must detect this
+        from the captured down inputs and pick full."""
+        fam, cfg, patterns, calib, held = adversarial_setup
+        p_out = patterns["inblock"]
+        block = _run(fam, cfg, p_out, calib, held, rotate=True,
+                     online_had_mode="block")
+        full = _run(fam, cfg, p_out, calib, held, rotate=True,
+                    online_had_mode="full")
+        assert block > GATE, f"block should FAIL on in-block spikes: {block:.4f}"
+        assert full < GATE, f"full should rescue: {full:.4f}"
+        info = {}
+        auto = _run(fam, cfg, p_out, calib, held, _info=info, rotate=True,
+                    online_had_mode="auto")
+        assert info["online_had_auto"]["picked"] == "full", info
+        assert auto < GATE, f"auto should rescue: {auto:.4f}"
+
+    def test_dense_one_block_defeats_full_and_auto_picks_block(
+            self, adversarial_setup):
+        """The DUAL adversarial case: every channel of ONE block spiked with
+        random signs. The full transform spreads that block's energy over the
+        whole width — every channel becomes moderately large and the
+        per-tensor scale damages all of them (worse than bare). Block mode
+        keeps the energy localized. ``auto`` must pick block."""
+        fam, cfg, patterns, calib, held = adversarial_setup
+        p_out = patterns["dense"]
+        full = _run(fam, cfg, p_out, calib, held, rotate=True,
+                    online_had_mode="full")
+        block = _run(fam, cfg, p_out, calib, held, rotate=True,
+                     online_had_mode="block")
+        assert block < full, (block, full)
+        info = {}
+        auto = _run(fam, cfg, p_out, calib, held, _info=info, rotate=True,
+                    online_had_mode="auto")
+        assert info["online_had_auto"]["picked"] == "block", info
+        assert auto < GATE, f"auto should meet the gate: {auto:.4f}"
 
     def test_w4a4_static_fails_grouped_dynamic_passes(self, stress_setup):
         """W4A4 characterization (beyond the reference's headline W4A8).

@@ -442,21 +442,40 @@ class TestS4Decode:
         b = Generator(cfg, rp, specs=specs, state=state, mode="real",
                       max_len=64).generate_on_device(toks, max_new_tokens=6)
         assert (np.asarray(a) == np.asarray(b)).all()
-        # packed decode cache + fused q/k/v, gate/up groups (pallas_w4
-        # serving config; on CPU the packed GEMM falls back to unpack+dot,
-        # exercising the pack/fuse/slice plumbing end-to-end)
+        # SINGLE-RESIDENT packed storage + fused q/k/v, gate/up groups (the
+        # pallas_w4 serving default; on CPU the packed GEMM falls back to
+        # unpack+dot, exercising pack/fuse/slice + packed PREFILL end-to-end)
         monkeypatch.setenv("MQUANT_GEMV", "pallas_w4")
         g = Generator(cfg, rp, specs=specs, state=state, mode="real",
                       max_len=64)
-        assert "layers_packed" in g.params  # prepack happened
-        assert g.params["layers_packed"]["q"].get("w_q_fused") is not None
+        assert "layers_packed" not in g.params  # ONE resident copy
+        assert g.params["layers"]["q"].get("w_q_fused") is not None
+        assert "w_q" not in g.params["layers"]["q"]  # int8 copy dropped
         c = g.generate_on_device(toks, max_new_tokens=6)
         assert (np.asarray(a) == np.asarray(c)).all()
-        # in-jit packing variant (no persistent cache)
-        monkeypatch.setenv("MQUANT_DECODE_PREPACK", "0")
-        d = Generator(cfg, rp, specs=specs, state=state, mode="real",
-                      max_len=64).generate_on_device(toks, max_new_tokens=6)
+        # dual residency (round-3 design, kept for A/B): int8 + packed copy
+        monkeypatch.setenv("MQUANT_W4_RESIDENT", "dual")
+        g2 = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                       max_len=64)
+        assert "layers_packed" in g2.params
+        d = g2.generate_on_device(toks, max_new_tokens=6)
         assert (np.asarray(a) == np.asarray(d)).all()
+        # int8 residency: in-jit packing per fused loop, no persistent copy
+        monkeypatch.setenv("MQUANT_W4_RESIDENT", "int8")
+        e = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                      max_len=64).generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(a) == np.asarray(e)).all()
+        # packed residency under the XLA GEMV: per-site packed bytes (no
+        # fusion), decode re-stores as native S4 from PACKED input in-loop
+        monkeypatch.setenv("MQUANT_W4_RESIDENT", "packed")
+        monkeypatch.setenv("MQUANT_GEMV", "xla")
+        g3 = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                       max_len=64)
+        assert g3.params["layers"]["q"].get("w_q_fused") is None
+        assert (g3.params["layers"]["q"]["w_q"].shape[-2] * 2
+                == cfg.hidden)  # packed bytes resident
+        f = g3.generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(a) == np.asarray(f)).all()
 
 
 class TestBatchedServing:

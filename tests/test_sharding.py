@@ -276,6 +276,52 @@ class TestShardedServingStack:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestPackedResidentTP:
+    """Single-resident packed W4 serving under tensor parallelism: per-site
+    packed storage shards exactly like the int8 layout (w_q rows are in/2 —
+    the Megatron in/out axes divide identically), the shared-input fusion is
+    auto-disabled on sharded params (q|k|v concat boundaries land mid-shard),
+    and generation is token-exact vs the unsharded run. On the CPU mesh the
+    Pallas GEMV route takes its unpack+dot fallback — the test pins the
+    layout/sharding correctness the kernel relies on."""
+
+    def test_packed_resident_tp_token_exact(self, monkeypatch):
+        from mquant_tpu.core.quant import QuantParams
+        from mquant_tpu.models.layers import SiteSpec
+        from mquant_tpu.models.llm import LLM_SITES
+        from mquant_tpu.serve.generate import Generator
+        from mquant_tpu.transform.recipes import realize_decoder_weights
+
+        monkeypatch.setenv("MQUANT_GEMV", "pallas_w4")  # → packed resident
+        cfg = DecoderConfig(vocab=128, hidden=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, intermediate=128, dtype=jnp.float32)
+        params = init_decoder_params(cfg, jax.random.key(0))
+        specs = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=True)
+                 for n in LLM_SITES}
+        state = {f"llm.{n}": {"act": QuantParams(
+            scale=jnp.full((2,), 0.05, jnp.float32))} for n in LLM_SITES}
+        rp = realize_decoder_weights(params, specs)
+        toks = jnp.ones((1, 8), jnp.int32)
+
+        g0 = Generator(cfg, rp, specs=specs, state=state, mode="real",
+                       max_len=64)
+        assert g0.params["layers"]["q"].get("w_q_fused") is not None  # fused
+        ref = g0.generate_on_device(toks, max_new_tokens=6)
+
+        mesh = make_mesh(8, tp=4)
+        sp = shard_params(rp, mesh, decoder_param_specs(rp))
+        with jax.set_mesh(mesh):
+            g = Generator(cfg, sp, specs=specs, state=state, mode="real",
+                          max_len=64)
+            lay = g.params["layers"]
+            # packed single-resident, per-site (fusion auto-disabled under TP)
+            assert lay["q"].get("w_q_fused") is None
+            assert lay["q"]["w_q"].shape[-2] * 2 == cfg.hidden
+            assert lay["down"]["w_q"].shape[-2] * 2 == cfg.intermediate
+            out = g.generate_on_device(toks, max_new_tokens=6)
+        assert (np.asarray(out) == np.asarray(ref)).all()
+
+
 class TestServerUnderTP:
     def test_http_server_over_tp_mesh_matches_unsharded(self):
         """The full HTTP deploy surface under tensor parallelism: params
