@@ -368,10 +368,21 @@ def _decode_nibbles_shift(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
     return lo, hi
 
 
+def _decode_nibbles_i8(u_i8: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8 packed bytes → (lo, hi) int8 planes via native-int8 ARITHMETIC
+    shifts — for the XLA path (Mosaic rejects sub-word shifts, XLA:TPU does
+    not). 2 VPU ops per plane, no i32 intermediates (¼ the scratch traffic of
+    :func:`_decode_nibbles_i32`'s mask/divide/select chain)."""
+    four = jnp.int8(4)
+    hi = jax.lax.shift_right_arithmetic(u_i8, four)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(u_i8, four), four)
+    return lo, hi
+
+
 def unpack_int4_weights(p: Dict[str, Any]) -> jax.Array:
     """Split-half packed (..., in/2, out) → int8 (..., in, out)."""
-    lo, hi = _decode_nibbles_i32(p["w_q"])
-    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+    lo, hi = _decode_nibbles_i8(p["w_q"])
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantized_matmul(
@@ -516,6 +527,11 @@ def quantized_matmul_pre(
         # packed-byte GEMV: half the HBM stream of the int8 path; exact
         # (integer dots, same grid values) — A/B via decode_model_bench
         return _qmm_pallas_w4(xq, x_scale, p, out_dtype)
+    if (packed and tokens > 32
+            and os.environ.get("MQUANT_W4_PREFILL", "two_gemm") == "two_gemm"):
+        acc = _two_gemm_packed(xq, p)
+        y = acc * x_scale * p["w_scale"]
+        return y.astype(out_dtype)
     w = unpack_int4_weights(p) if packed else p["w_q"]
     if tokens <= 32:
         # decode/GEMV: XLA's s8×s8 GEMV streams weights far below HBM peak.
@@ -544,6 +560,24 @@ def quantized_matmul_pre(
         ).astype(jnp.float32)
     y = acc * x_scale * p["w_scale"]
     return y.astype(out_dtype)
+
+
+def _two_gemm_packed(xq: jax.Array, p: Dict[str, Any]) -> jax.Array:
+    """Prefill GEMM straight off split-half PACKED bytes, NO materialized
+    unpack: y = x_lo·lo + x_hi·hi on the nibble planes. The concatenate in
+    :func:`unpack_int4_weights` forces XLA to write the full int8 weight to
+    HBM and read it back (~+10 GB per 7B prefill ⇒ the +14 ms TTFT tax the
+    round-3 packed-resident design paid); two dots on shift-decoded planes
+    keep the decode fusable into each operand read. Exact: integer dots on
+    the same nibble values."""
+    half = p["w_q"].shape[-2]
+    lo, hi = _decode_nibbles_i8(p["w_q"])
+    dn = (((xq.ndim - 1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(xq[..., :half], lo, dn,
+                              preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(xq[..., half:], hi, dn,
+                                    preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
