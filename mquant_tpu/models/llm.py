@@ -21,6 +21,7 @@ TPU-first design decisions (vs the reference's per-layer nn.Module stack):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -217,6 +218,10 @@ def _layer_step(
     tape: Optional[L.Tape],
     prefill_fresh: bool = False,  # cache starts empty: write it but attend to
     # the local (T-long) k/v with a causal mask — smaller attention + flash path
+    fused_decode: bool = False,  # T==1 fp-cache decode: cache write + GQA
+    # attention in ONE Pallas launch (kernels/attn_decode.py); caller
+    # guarantees the mask is exactly attn_start ≤ col ≤ pos
+    attn_start: Optional[jax.Array] = None,  # (B,) first attendable column
 ):
     B, T, Hd = h.shape
     hd, H, KV = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
@@ -232,6 +237,30 @@ def _layer_step(
     k = k.reshape(B, T, KV, hd)
     v = v.reshape(B, T, KV, hd)
     q, k = _apply_rope(cfg, q, k, cos, sin)
+
+    if fused_decode:
+        # Fused single-token decode attention: the cache-row write
+        # (dynamic_update_slice) + masked GQA einsum below collapse into ONE
+        # Pallas launch — saves the full-cache-copy update and the HBM round
+        # trips of the (1, S) score/prob intermediates (the largest non-GEMV
+        # decode segment per scripts/decode_layer_ablate.py). Exact: same
+        # operand dtypes / f32 accumulation as the einsum path.
+        from ..kernels.attn_decode import attn_decode_fused
+
+        new_cache = dict(cache_kv)
+        attn, new_cache["k"], new_cache["v"] = attn_decode_fused(
+            q, k, v, cache_kv["k"], cache_kv["v"],
+            jnp.asarray(cache_pos, jnp.int32), scale=hd**-0.5,
+            start=attn_start,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        attn = attn.reshape(B, T, H * hd)
+        h = h + qlinear(attn, lp["o"], "llm.o", site("o"), lstate, mode, tape)
+        x = L.rms_norm(h, lp["ln2"]["w"], cfg.norm_eps)
+        g, u = L.qlinear_group(x, [lp["gate"], lp["up"]],
+                               ["llm.gate", "llm.up"], specs, lstate, mode,
+                               tape)
+        d = _mlp_tail(cfg, site("down"), mode, g, u, lp["down"], lstate, tape)
+        return h + d, new_cache
 
     causal = False
     if cache_kv is None and attn_mask is None:
@@ -365,6 +394,42 @@ def _mlp_tail(cfg, dspec, mode, g, u, dp, lstate, tape):
     return qlinear(a, dp, "llm.down", dspec, lstate, mode, tape)
 
 
+def _use_fused_decode_attn(cfg: DecoderConfig, cache, T: int,
+                           prefill_fresh: bool, attn_mask) -> bool:
+    """Static (trace-time) eligibility for the fused decode-attention kernel
+    (kernels/attn_decode.py). Engages only where its built-in mask
+    (attn_start ≤ col ≤ pos) is exactly what the einsum path would derive:
+    T == 1, live cache, no caller-supplied mask. ``MQUANT_ATTN``: auto
+    (default — currently resolves to the XLA path: the model-level A/B at the
+    flagship serving config, depth 28 / prefill 1024 / pallas_w4 GEMV, measured
+    fused at 114.3 vs XLA 118.0 tok/s — the per-layer microbench win of
+    ~48 µs (scripts/decode_layer_ablate.py) does not survive inside the fused
+    while_loop, where XLA overlaps the einsum chain with the streaming GEMVs;
+    scripts/attn_fused_ab.py reproduces), fused (forced; interpret-mode on
+    CPU, used by the parity tests), xla (off)."""
+    if attn_mask is not None or cache is None or prefill_fresh or T != 1:
+        return False
+    if cache["k"].dtype != cfg.dtype:
+        return False  # int8 / nibble-packed uint4 KV, or mismatched fp cache
+    hd, H, KV = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    if hd % 128 != 0 or H % KV != 0:
+        return False
+    # both (S, KVH·hd) VMEM scratch buffers must fit comfortably; S must
+    # accommodate the 8-row aligned write-back window
+    S = cache["k"].shape[2]
+    if S % 8 != 0:
+        return False
+    if 2 * S * KV * hd * jnp.dtype(cfg.dtype).itemsize > 12 * 2**20:
+        return False
+    knob = os.environ.get("MQUANT_ATTN", "auto")
+    if knob == "fused":
+        return True
+    # auto == xla for now (measured slower at the serving config, see above);
+    # the kernel also has no GSPMD partitioning rule, so it could never
+    # auto-engage where anything is sharded
+    return False
+
+
 def decoder_forward(
     cfg: DecoderConfig,
     params: Dict,
@@ -386,6 +451,11 @@ def decoder_forward(
     ntk_alpha: Optional[float] = None,  # dynamic-NTK alpha; None = derive from
     # the static prefill length (decode callers pass the prefill's alpha).
     # May be a traced (B,) vector: per-row alpha (slot-pool serving)
+    attn_start: Optional[jax.Array] = None,  # (B,) int32 first attendable
+    # cache column per row (left-padded ragged batches: pad columns hold
+    # garbage K/V). Composes with the derived causal mask — callers pass this
+    # instead of a materialized attn_mask so the fused decode kernel stays
+    # eligible.
 ):
     """Full decoder forward. Returns (logits, new_cache, stats | None).
 
@@ -421,7 +491,10 @@ def decoder_forward(
                      if (cache is None or prefill_fresh) else 1.0)
     cos, sin = rope_tables(cfg, positions, jnp.float32, ntk_alpha=ntk_alpha)
 
-    if attn_mask is None and cache is not None and not prefill_fresh:
+    fused_decode = _use_fused_decode_attn(cfg, cache, T, prefill_fresh,
+                                          attn_mask)
+    if (attn_mask is None and cache is not None and not prefill_fresh
+            and not fused_decode):
         S = cache["k"].shape[2]
         p = jnp.asarray(cache["pos"])
         if p.ndim == 1:  # per-row slot positions → (B, 1, T, S) mask
@@ -432,7 +505,14 @@ def decoder_forward(
             rows = p + jnp.arange(T)[:, None]
             cols = jnp.arange(S)[None, :]
             attn_mask = (cols <= rows)[None, None]
+        if attn_start is not None:  # exclude left-pad columns
+            st = jnp.asarray(attn_start, jnp.int32).reshape(-1)
+            attn_mask = attn_mask & (
+                jnp.arange(S)[None, None, None, :]
+                >= st[:, None, None, None])
     # no-cache + no mask → causal handled inside the attention (flash path)
+    # fused_decode → the mask (attn_start ≤ col ≤ pos) is realized inside
+    # the Pallas kernel; attn_mask stays None
 
     # split quant state: per-layer sites (stacked (L,...) leaves, scanned) vs
     # global sites like lm_head (used outside the scan)
@@ -451,6 +531,7 @@ def decoder_forward(
             cfg, specs, mode, h, lp, lst, cache_kv,
             cache["pos"] if cache is not None else None,
             cos, sin, attn_mask, tape, prefill_fresh=prefill_fresh,
+            fused_decode=fused_decode, attn_start=attn_start,
         )
         ys = {}
         if new_cache is not None:

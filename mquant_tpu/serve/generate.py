@@ -468,15 +468,13 @@ class Generator:
 
             @jax.jit
             def step_ragged(params, tok, cache, starts):
-                S = cache["k"].shape[2]
-                cols = jnp.arange(S)
-                # the step's own k/v is written at index pos → cols ≤ pos
-                m = ((cols[None, :] <= cache["pos"])
-                     & (cols[None, :] >= starts[:, None]))
+                # causal-with-left-pad-exclusion: starts ≤ col ≤ pos (the
+                # step's own k/v is written at index pos). Passing attn_start
+                # instead of a materialized mask keeps the fused decode
+                # attention kernel eligible (models/llm.py).
                 logits, cache2, _ = decoder_forward(
                     cfg, params, tok, specs=specs, state=state, mode=mode,
-                    cache=cache, attn_mask=m[:, None, None, :],
-                    ntk_alpha=alpha)
+                    cache=cache, attn_start=starts, ntk_alpha=alpha)
                 return logits, cache2
 
             self._prefill_cache[key] = (prefill_ragged, step_ragged)
@@ -498,14 +496,9 @@ class Generator:
                                  eos_id if eos_id is not None else 0, jnp.int32)
 
                 def step(i, tok, cache, out, done):
-                    S = cache["k"].shape[2]
-                    cols = jnp.arange(S)
-                    m = ((cols[None, :] <= cache["pos"])
-                         & (cols[None, :] >= starts[:, None]))
                     logits, cache2, _ = decoder_forward(
                         cfg, params, tok, specs=specs, state=state, mode=mode,
-                        cache=cache, attn_mask=m[:, None, None, :],
-                        ntk_alpha=alpha)
+                        cache=cache, attn_start=starts, ntk_alpha=alpha)
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                     if eos_id is not None:
                         nxt = jnp.where(done, jnp.int32(eos_id), nxt)
