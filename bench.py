@@ -32,7 +32,9 @@ def log(*a):
 
 PREFILL = 1024
 MAX_LEN = PREFILL + 128
-DECODE_TOKENS = 32
+DECODE_TOKENS = 128  # one fused loop = one dispatch: the dev tunnel's ~50 ms
+# dispatch RTT amortizes to <0.4 ms/token (at 32 it was ~1.5 ms/token — a
+# measurement artifact, not model cost; a production host pays µs)
 HAD_MODE = "block"  # online-Hadamard variant for the w4a8 side: "block" =
 # I ⊗ H_128 (one MXU-perfect matmul, −0.2 ms/layer vs the K=148 Kronecker
 # transform; quality-gated by tests/test_outlier_stress.py), "full" = exact
@@ -47,12 +49,16 @@ def make_cfg(n_layers, intermediate_pad=0):
                                intermediate_pad=intermediate_pad)
 
 
-def llm_specs(static=True, online_had=True, lm_head_bits=8, had_mode=None):
+def llm_specs(static=True, online_had=True, lm_head_bits=None, had_mode=None):
     import os
 
     from mquant_tpu.models.layers import SiteSpec
     from mquant_tpu.models.llm import LLM_SITES
 
+    if lm_head_bits is None:
+        # MQUANT_BENCH_HEAD=4: split-half packed W4 head (halves the 545 MB
+        # int8 head stream per decode step); default int8
+        lm_head_bits = int(os.environ.get("MQUANT_BENCH_HEAD", "8"))
     if had_mode is None:
         had_mode = os.environ.get("MQUANT_BENCH_HAD", HAD_MODE)
     s = {f"llm.{n}": SiteSpec(w_bits=4, a_bits=8, a_static=static) for n in LLM_SITES}
@@ -110,12 +116,25 @@ def init_w4a8_on_device(cfg, key):
                 "down": qsite(next(ks), I, Hd),
             },
             "ln_f": {"w": jnp.ones((Hd,), jnp.bfloat16)},
-            "lm_head": {
+        }
+        import os
+
+        if int(os.environ.get("MQUANT_BENCH_HEAD", "8")) == 4:
+            # split-half packed W4 head (same storage quantize_weights_real
+            # emits at bits=4): (Hd/2, vocab) bytes, two nibbles per byte
+            hq = jax.random.randint(next(ks), (Hd, cfg.vocab), -7, 8, jnp.int8)
+            lo = hq[: Hd // 2].astype(jnp.uint8) & 0x0F
+            hi = hq[Hd // 2:].astype(jnp.uint8) & 0x0F
+            params["lm_head"] = {
+                "w_q": (lo | (hi << 4)).astype(jnp.int8),
+                "w_scale": jnp.full((cfg.vocab,), 4e-3, jnp.float32),
+            }
+        else:
+            params["lm_head"] = {
                 "w_q": jax.random.randint(next(ks), (Hd, cfg.vocab), -127, 128,
                                           jnp.int8),
                 "w_scale": jnp.full((cfg.vocab,), 2e-4, jnp.float32),
-            },
-        }
+            }
         return params
 
     params = jax.jit(build)(key)
@@ -255,10 +274,14 @@ def site_dims(cfg):
 def decode_step_bytes(cfg, w4_packed: bool, kv_pos: int) -> float:
     """Modeled HBM bytes one decode step must stream: quantized weights
     (packed W4 = 0.5 B/weight, int8/S4 = 1 or 0.5 — S4 and packed both halve)
-    + int8 lm_head + bf16 KV-cache read at the measured position."""
+    + int8 (or packed-W4) lm_head + bf16 KV-cache read at the measured
+    position."""
+    import os
+
     per_layer = sum(a * b for a, b in site_dims(cfg).values())
     w_bytes = cfg.n_layers * per_layer * (0.5 if w4_packed else 1.0)
-    w_bytes += cfg.hidden * cfg.vocab  # int8 lm_head
+    head_b = 0.5 if int(os.environ.get("MQUANT_BENCH_HEAD", "8")) == 4 else 1.0
+    w_bytes += cfg.hidden * cfg.vocab * head_b  # int8 / packed-W4 lm_head
     kv_bytes = 2 * 2 * cfg.n_layers * kv_pos * cfg.n_kv_heads * cfg.head_dim
     return w_bytes + kv_bytes
 

@@ -493,6 +493,22 @@ def quantized_matmul_pre(
         # int8 quantization is elementwise per channel, so reordering after
         # quantization changes nothing. One cheap (..., in) gather per call.
         xq = jnp.take(xq, ap, axis=-1)
+    if "w_q_all" in p:
+        # stacked packed-W4 storage + runtime layer index (decode layer
+        # loop): the kernel indexes the layer inside its block specs so the
+        # scan never materializes a per-layer weight slice. Off-TPU, slice
+        # here instead (same numerics as the per-layer path — CPU tests pin
+        # exact cross-route equality); the kernel itself is parity-tested in
+        # interpret mode by tests/test_kernels.py.
+        if (_pallas_enabled() and p.get("w_zp") is None and x_zp is None
+                and a_groupsize is None and p["w_scale"].ndim == 1
+                and jax.default_backend() in ("tpu", "axon")):
+            return _qmm_pallas_w4_stacked(
+                xq, x_scale, p["w_q_all"], p["w_scale"], p["layer_idx"],
+                out_dtype)
+        p = dict(p)
+        p["w_q"] = jax.lax.dynamic_index_in_dim(
+            p.pop("w_q_all"), p.pop("layer_idx")[0], 0, keepdims=False)
     ws = p["w_scale"]
     if (ws.ndim == 2 or p.get("w_zp") is not None or x_zp is not None
             or a_groupsize is not None):
@@ -845,6 +861,135 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(x2, x2, p["w_q"], xs, ws, csum)
+    if padm:
+        out = out[:M]
+    return out.reshape(*lead, N)
+
+
+def _qmm_pallas_w4_stacked(xq: jax.Array, x_scale: jax.Array,
+                           wq_all: jax.Array, w_scale: jax.Array,
+                           layer_idx: jax.Array, out_dtype,
+                           interpret: bool = False) -> jax.Array:
+    """Packed-W4 GEMV reading its weight tiles DIRECTLY from the stacked
+    (L, in/2, out) array at a runtime layer index (scalar-prefetch block
+    indexing, the megablox-gmm pattern).
+
+    Why this exists: the decode layer loop is a ``lax.scan`` over stacked
+    weights, and a dynamic-slice feeding a Pallas custom call cannot fuse
+    into the operand read — XLA materializes the full per-layer slice
+    (verified in the compiled HLO: s8[1,1792,37888]-sized dynamic-slice
+    fusions inside the loop body), re-writing + re-reading every streamed
+    weight byte each step. Indexing inside the kernel makes the stacked
+    array a loop-invariant operand: the only HBM traffic is the tile DMA
+    itself. (The lm_head GEMV, whose operand is never sliced, already ran
+    at its streaming bound — the model-level confirmation of the slice
+    tax; scripts/decode_model_ablate.py + scripts/decode_hlo_dump.py.)
+
+    ``layer_idx``: int32 array shape (1,); ``w_scale``: (out,) this layer's
+    per-channel scales (small — sliced outside the kernel).
+    """
+    import os
+
+    lead = xq.shape[:-1]
+    Kin = xq.shape[-1]
+    K2 = wq_all.shape[-2]
+    N = wq_all.shape[-1]
+    assert K2 * 2 == Kin, (wq_all.shape, xq.shape)
+    x2 = xq.reshape(-1, Kin)
+    M = x2.shape[0]
+    xs = jnp.broadcast_to(jnp.asarray(x_scale, jnp.float32),
+                          (*lead, 1) if lead else (1,)).reshape(-1, 1)
+    if xs.shape[0] != M:
+        xs = jnp.broadcast_to(xs, (M, 1))
+    ws = w_scale.reshape(1, N).astype(jnp.float32)
+
+    tm = max(8, M)
+    budget = 15 * 2**20
+    tk = (int(os.environ.get("MQUANT_W4_TK", "0"))
+          or _pick_tile(K2, 512) or K2)
+    tn_env = int(os.environ.get("MQUANT_W4_TN", "0"))
+    tn = tn_env or max(128, budget // (3 * tk) // 128 * 128)
+    tm = min(tm, max(8, M))
+    tn = _pick_tile(N, tn)
+    tk2 = _pick_tile(K2, tk)
+    if tn is None or tk2 is None:
+        # dims not 128-tileable → slice + fall back (materializes — none of
+        # the supported model dims hit this)
+        p1 = {"w_q": jax.lax.dynamic_index_in_dim(wq_all, layer_idx[0], 0,
+                                                  keepdims=False),
+              "w_scale": w_scale}
+        return _qmm_pallas_w4(xq, x_scale, p1, out_dtype, interpret=interpret)
+    tk = tk2
+    padm = (-M) % tm
+    if padm:
+        x2 = jnp.pad(x2, ((0, padm), (0, 0)))
+        xs = jnp.pad(xs, ((0, padm), (0, 0)))
+    Mp = x2.shape[0]
+    n_k = K2 // tk
+    decode = "shift" if interpret else "swar"
+    csum = (8 * jnp.sum(x2.astype(jnp.int32), axis=-1, keepdims=True)
+            if decode == "swar" else jnp.zeros((Mp, 1), jnp.int32))
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    flops = 2 * Mp * Kin * N
+    cost = pl.CostEstimate(flops=flops,
+                           bytes_accessed=Mp * Kin + K2 * N + Mp * N * 2,
+                           transcendentals=0)
+    if n_k == 1:
+        def kern(idx_ref, *refs):
+            _qmm_w4_kernel_nok(*refs, decode=decode)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // tm, N // tn),
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda i, j, idx: (i, 0)),
+                pl.BlockSpec((tm, tk), lambda i, j, idx: (i, 1)),
+                pl.BlockSpec((None, tk, tn), lambda i, j, idx: (idx[0], 0, j)),
+                pl.BlockSpec((tm, 1), lambda i, j, idx: (i, 0)),
+                pl.BlockSpec((1, tn), lambda i, j, idx: (0, j)),
+                pl.BlockSpec((tm, 1), lambda i, j, idx: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, idx: (i, j)),
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            grid_spec=grid_spec,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(idx, x2, x2, wq_all, xs, ws, csum)
+    else:
+        def kern(idx_ref, *refs):
+            _qmm_w4_kernel(*refs, n_k=n_k, decode=decode)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Mp // tm, N // tn, n_k),
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda i, j, k, idx: (i, k)),
+                pl.BlockSpec((tm, tk), lambda i, j, k, idx, _nk=n_k:
+                             (i, k + _nk)),
+                pl.BlockSpec((None, tk, tn),
+                             lambda i, j, k, idx: (idx[0], k, j)),
+                pl.BlockSpec((tm, 1), lambda i, j, k, idx: (i, 0)),
+                pl.BlockSpec((1, tn), lambda i, j, k, idx: (0, j)),
+                pl.BlockSpec((tm, 1), lambda i, j, k, idx: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, idx: (i, j)),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            grid_spec=grid_spec,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(idx, x2, x2, wq_all, xs, ws, csum)
     if padm:
         out = out[:M]
     return out.reshape(*lead, N)

@@ -180,9 +180,11 @@ def qlinear(
     if tape is not None and spec.a_bits is not None and spec.a_static:
         tape.record(name, x, spec)
 
-    if mode == "real" and "w_q" in p:
+    if mode == "real" and ("w_q" in p or "w_q_all" in p):
         # real-int path: activation int-quantization + MXU int GEMM + fused
-        # dequant epilogue all happen inside the kernel wrapper
+        # dequant epilogue all happen inside the kernel wrapper ("w_q_all" =
+        # stacked storage + runtime layer index, see decoder_forward's
+        # stacked-GEMV decode path)
         from ..kernels.qmm import quantized_matmul
 
         y = quantized_matmul(x, p, spec, site_state)
@@ -241,13 +243,18 @@ def qlinear_group(
     # one GEMM call for the whole group, outputs sliced apart by each
     # member's own w_scale width in group order (decode hot path: fewer
     # Pallas launches per layer)
+    fused0 = ps[0].get("w_q_fused")
+    if fused0 is None:
+        fused0 = ps[0].get("w_q_fused_all")  # stacked + runtime layer index
     one_gemm = (
         base_ok
-        and all(p.get("w_q_fused") is not None for p in ps)
-        and sum(p["w_scale"].shape[-1] for p in ps)
-        == ps[0]["w_q_fused"].shape[-1]
+        and all((p.get("w_q_fused") is not None
+                 or p.get("w_q_fused_all") is not None) for p in ps)
+        and fused0 is not None
+        and sum(p["w_scale"].shape[-1] for p in ps) == fused0.shape[-1]
     )
-    fusable = base_ok and all("w_q" in p and "w_col0" not in p for p in ps)
+    fusable = base_ok and all(("w_q" in p or "w_q_all" in p)
+                              and "w_col0" not in p for p in ps)
     if not (one_gemm or fusable):
         return [qlinear(x, p, n, specs.get(n), state, mode, tape)
                 for p, n in zip(ps, names)]
@@ -257,7 +264,12 @@ def qlinear_group(
     site_state = None if state is None else state.get(names[0])
     aq = _act_int8(x, s0, site_state, ps[0])
     if one_gemm:
-        pf = {"w_q": ps[0]["w_q_fused"], "w_scale": ps[0]["w_scale_fused"]}
+        if "w_q_fused_all" in ps[0]:
+            pf = {"w_q_all": ps[0]["w_q_fused_all"],
+                  "layer_idx": ps[0]["layer_idx"],
+                  "w_scale": ps[0]["w_scale_fused"]}
+        else:
+            pf = {"w_q": ps[0]["w_q_fused"], "w_scale": ps[0]["w_scale_fused"]}
         y = quantized_matmul_pre(aq.q, aq.scale, pf, x.dtype,
                                  x_zp=aq.zp, a_groupsize=aq.groupsize)
         outs = []

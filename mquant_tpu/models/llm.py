@@ -521,9 +521,55 @@ def decoder_forward(
     if state:
         lstate = {k: v for k, v in state.items() if k in layer_site_names} or None
 
+    # Stacked-GEMV decode: under the packed-W4 Pallas GEMV, take the big
+    # packed byte arrays OUT of the scanned xs and pass them to the kernels
+    # whole, with the layer index resolved INSIDE the kernel's block specs
+    # (kernels/qmm.py::_qmm_pallas_w4_stacked). A dynamic-slice feeding a
+    # Pallas custom call cannot fuse into the operand read, so the scanned
+    # form materialized every layer's full weight slice per decode step —
+    # measured 123.5 → 160.9 tok/s at the depth-28 serving config (176.5
+    # with the packed-W4 lm_head, scripts/head_w4_ab.py).
+    big_w: Dict = {}
+    layers_in = params["layers"]
+    if (T == 1 and mode == "real" and cache is not None
+            and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"):
+        _in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
+                    "gate": cfg.hidden, "up": cfg.hidden,
+                    "o": cfg.n_heads * cfg.head_dim, "down": cfg.inter_eff}
+        lay2 = {}
+        for site, entry in layers_in.items():
+            indim = _in_dims.get(site)
+            if isinstance(entry, dict) and indim is not None:
+                e2 = dict(entry)
+                for key in ("w_q", "w_q_fused"):
+                    arr = e2.get(key)
+                    # split-half PACKED storage only (rows == in/2): split
+                    # sites (w_col0, in−1 rows) and unpacked int8 never match
+                    if (arr is not None and hasattr(arr, "dtype")
+                            and arr.dtype == jnp.int8 and arr.ndim == 3
+                            and arr.shape[0] == cfg.n_layers
+                            and arr.shape[-2] * 2 == indim
+                            and arr.size >= (1 << 20)
+                            and "a_perm" not in e2
+                            and e2.get("w_zp") is None
+                            and e2["w_scale"].ndim == 2):
+                        big_w[(site, key)] = arr
+                        del e2[key]
+                lay2[site] = e2
+            else:
+                lay2[site] = entry
+        if big_w:
+            layers_in = lay2
+
     def body(carry, xs):
         h = carry
-        lp, lst, cache_kv = xs
+        lp, lst, cache_kv, lidx = xs
+        if big_w:
+            lp = {s: (dict(e) if isinstance(e, dict) else e)
+                  for s, e in lp.items()}
+            for (site, key), arr in big_w.items():
+                lp[site][key + "_all"] = arr
+                lp[site]["layer_idx"] = lidx[None]
         tape = L.Tape(specs=specs, collect_samples=collect_samples) if collect_stats else None
         if tape is not None and token_mask is not None:
             tape.mask = token_mask
@@ -546,8 +592,16 @@ def decoder_forward(
     _CACHE_SCALARS = ("pos", "rope_delta")  # no leading (L,) axis → not scanned
     if cache is not None:
         cache_arrays = {k: v for k, v in cache.items() if k not in _CACHE_SCALARS}
-    xs = (params["layers"], lstate, cache_arrays)
-    h, ys = jax.lax.scan(body, h, xs)
+    xs = (layers_in, lstate, cache_arrays,
+          jnp.arange(cfg.n_layers, dtype=jnp.int32))
+    # MQUANT_SCAN_UNROLL (recorded experiment — keep 1): unrolling the layer
+    # scan was hypothesized to let the scheduler overlap layer i's small-op
+    # attention tail with layer i+1's weight DMA, but MEASURED at the depth-28
+    # serving config it is sharply slower (117.9 → 64.0 tok/s at unroll=2,
+    # 46.8 at 4 — scripts/decode_unroll_ab.py): the unrolled body defeats the
+    # loop's in-place cache aliasing and re-materializes per-layer state.
+    unroll = int(os.environ.get("MQUANT_SCAN_UNROLL", "1"))
+    h, ys = jax.lax.scan(body, h, xs, unroll=max(1, unroll))
 
     if last_index is not None:
         h = jax.lax.dynamic_slice_in_dim(h, jnp.asarray(last_index, jnp.int32), 1, 1)

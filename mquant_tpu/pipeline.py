@@ -371,17 +371,20 @@ def _choose_online_had_mode(fam: ModelFamily, cfg, params: Dict,
                             batch: dict, max_tokens: int = 128):
     """Calibration-time gate for the online-Hadamard variant on llm.down
     (``--online_had_mode auto``): capture the PRE-transform down_proj inputs
-    on one calib batch, apply each candidate transform as serving would
-    (full = padded Kronecker over the whole intermediate; block = I ⊗ H_128),
-    and pick the one with the smaller per-tensor-static int8 quantization MSE
-    (both transforms are orthonormal, so MSE in transformed space is
-    comparable across candidates and proportional to the downstream error).
+    on one calib batch and score each candidate transform (full = padded
+    Kronecker over the whole intermediate; block = I ⊗ H_128) by the error it
+    leaves on the DOWN-PROJ OUTPUT under exactly the serving quantization —
+    per-layer-static per-tensor int8 activations × per-channel symmetric int4
+    weights with the transform folded in (y = (xH)·q(HᵀW) vs the fp x·W).
 
-    Neither variant dominates (measured, scripts/block_had_adversarial.py):
-    spikes correlated WITHIN one 128-block defeat block mode (√128 spreading
-    re-concentrates them), while a dense single-block pattern defeats the
-    full transform (spreading makes every channel moderately large). Weight-
-    side requantization error is second-order and ignored here.
+    Neither variant dominates (tests/test_outlier_stress.py adversarial
+    cases): spikes correlated WITHIN one 128-block defeat block mode (√128
+    spreading re-concentrates them), while a dense single-block pattern
+    defeats the full transform (spreading pushes that block's energy into
+    every weight row, and the int4 weight grid pays for it across the whole
+    width). An activation-only MSE proxy mispredicts the dense case — the
+    weight-side requantization is NOT second-order there — so both sides are
+    scored.
     """
     from .kernels.fwht import online_hadamard
     from .transform.hadamard import auto_pad_size
@@ -392,22 +395,53 @@ def _choose_online_had_mode(fam: ModelFamily, cfg, params: Dict,
                               batch.get("patches"), specs=probe, mode="fake",
                               collect_stats=True, collect_samples=True,
                               **kwargs)
-    x = st["samples"]["llm.down"]  # (L, N, I) raw down inputs
-    x = x[:, :max_tokens].astype(jnp.float32)
-    I = x.shape[-1]
-
-    def int8_mse(y):
-        s = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2), keepdims=True),
-                        1e-8) / 127.0
-        return float(jnp.mean((jnp.round(y / s) * s - y) ** 2))
-
+    x_all = st[1]["llm.down"]  # forward_fn stats = (stats, samples); (L, N, I) raw down inputs
+    x_all = x_all[:, :max_tokens].astype(jnp.float32)
+    I = x_all.shape[-1]
+    w_all = params["llm"]["layers"]["down"]["w"]  # (L, I, H)
     pad = auto_pad_size(I)
-    xf = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
-    errs = {"full": int8_mse(online_hadamard(xf))}
-    if I % 128 == 0:
-        L, N = x.shape[:2]
-        yb = online_hadamard(x.reshape(L, N, I // 128, 128))
-        errs["block"] = int8_mse(yb.reshape(L, N, I))
+
+    @jax.jit
+    def layer_errs(x, w):
+        # x (N, I), w (I, H); one layer's candidate errors + reference energy
+        w = w.astype(jnp.float32)
+        y0 = x @ w
+        ref = jnp.sum(y0 * y0)
+
+        def q_err(xt, wt):
+            # per-layer static per-tensor int8 acts (what the minmax observer
+            # would calibrate on this batch) × per-channel symmetric int4
+            # weights
+            sa = jnp.maximum(jnp.max(jnp.abs(xt)), 1e-8) / 127.0
+            xq = jnp.round(xt / sa).clip(-127, 127) * sa
+            sw = jnp.maximum(jnp.max(jnp.abs(wt), axis=0, keepdims=True),
+                             1e-8) / 7.0
+            wq = jnp.round(wt / sw).clip(-7, 7) * sw
+            return jnp.sum((xq @ wq - y0) ** 2)
+
+        xf = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        wf = jnp.pad(w, ((0, pad), (0, 0))) if pad else w
+        # fold HᵀW by transforming the row axis: online_hadamard acts on the
+        # last axis, so transpose → WᵀH → transpose back gives HᵀW
+        # (orthonormal: (xH)(HᵀW) = xW exactly)
+        out = {"full": q_err(online_hadamard(xf),
+                             online_hadamard(wf.T).T)}
+        if I % 128 == 0:
+            N, H = x.shape[0], w.shape[1]
+            xb = online_hadamard(x.reshape(N, I // 128, 128)).reshape(N, I)
+            wb = online_hadamard(
+                w.T.reshape(H, I // 128, 128)).reshape(H, I).T
+            out["block"] = q_err(xb, wb)
+        return out, ref
+
+    sums: Dict[str, float] = {}
+    ref_sum = 0.0
+    for li in range(x_all.shape[0]):  # layer at a time: bounds fp32 copies
+        e, ref = layer_errs(x_all[li], w_all[li])
+        ref_sum += float(ref)
+        for k, v in e.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    errs = {k: v / max(ref_sum, 1e-12) for k, v in sums.items()}
     pick = min(errs, key=errs.get)
     return pick, {k: float(v) for k, v in errs.items()}
 

@@ -81,6 +81,35 @@ class TestQmmPallas:
                                 tm=16, tn=128, tk=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("n_k", [1, 2])
+    def test_w4_stacked_kernel_matches_per_layer(self, rng, n_k, monkeypatch):
+        """The stacked decode kernel (layer index resolved inside the block
+        specs, kernels/qmm.py::_qmm_pallas_w4_stacked) must equal the
+        per-layer kernel on a pre-sliced weight for EVERY layer index — this
+        is the parity that lets the decode scan keep the packed stack as a
+        loop-invariant operand instead of materializing per-layer slices."""
+        L, In, Out, M = 3, 512, 128, 8
+        monkeypatch.setenv("MQUANT_W4_TK", str((In // 2) // n_k))
+        ws_l, wq_l = [], []
+        for li in range(L):
+            w = jnp.asarray(rng.normal(size=(In, Out)), jnp.float32) * (li + 1)
+            p = KQ.quantize_weights_real(w, 4)
+            wq_l.append(p["w_q"])
+            ws_l.append(p["w_scale"])
+        wq_all = jnp.stack(wq_l)  # (L, In/2, Out) packed bytes
+        x = jnp.asarray(rng.normal(size=(M, In)), jnp.float32)
+        aq = KQ._act_int8(x, SiteSpec(w_bits=4, a_bits=8), None)
+        for li in range(L):
+            ref = KQ._qmm_pallas_w4(
+                aq.q, aq.scale, {"w_q": wq_l[li], "w_scale": ws_l[li]},
+                jnp.float32, tm=8, tn=128, tk=(In // 2) // n_k,
+                interpret=True)
+            out = KQ._qmm_pallas_w4_stacked(
+                aq.q, aq.scale, wq_all, ws_l[li],
+                jnp.asarray([li], jnp.int32), jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_w8_quantized_matmul_accuracy(self, rng):
         In, Out, M = 128, 64, 32
         w = jnp.asarray(rng.normal(size=(In, Out)), jnp.float32)
