@@ -778,7 +778,7 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
         # ~3× its packed bytes in VMEM. Override via MQUANT_W4_TK/TN.
         import os
 
-        tm = max(8, M)
+        tm = -(-M // 8) * 8  # sublane tiles must be multiples of 8
         # 15 MB: tile + two byte-sized nibble planes (3×) must fit VMEM;
         # (256, 18944) tiles (gate/up at full N) measured fastest and fit
         budget = 15 * 2**20
@@ -786,7 +786,7 @@ def _qmm_pallas_w4(xq: jax.Array, x_scale: jax.Array, p: Dict[str, Any], out_dty
               or _pick_tile(K2, 512) or K2)
         tn_env = int(os.environ.get("MQUANT_W4_TN", "0"))
         tn = tn_env or max(128, budget // (3 * tk) // 128 * 128)
-    tm = min(tm, max(8, M))
+    tm = min(tm, max(8, -(-M // 8) * 8))
     tn = _pick_tile(N, tn)
     tk = _pick_tile(K2, tk)
     if tn is None or tk is None:  # dims not 128-tileable → XLA fallback
@@ -903,13 +903,12 @@ def _qmm_pallas_w4_stacked(xq: jax.Array, x_scale: jax.Array,
         xs = jnp.broadcast_to(xs, (M, 1))
     ws = w_scale.reshape(1, N).astype(jnp.float32)
 
-    tm = max(8, M)
+    tm = -(-M // 8) * 8  # sublane tiles must be multiples of 8
     budget = 15 * 2**20
     tk = (int(os.environ.get("MQUANT_W4_TK", "0"))
           or _pick_tile(K2, 512) or K2)
     tn_env = int(os.environ.get("MQUANT_W4_TN", "0"))
     tn = tn_env or max(128, budget // (3 * tk) // 128 * 128)
-    tm = min(tm, max(8, M))
     tn = _pick_tile(N, tn)
     tk2 = _pick_tile(K2, tk)
     if tn is None or tk2 is None:

@@ -531,7 +531,11 @@ def decoder_forward(
     # with the packed-W4 lm_head, scripts/head_w4_ab.py).
     big_w: Dict = {}
     layers_in = params["layers"]
-    if (T == 1 and mode == "real" and cache is not None
+    # T ≤ 32 matches the kernel-side GEMV cutoff (quantized_matmul_pre):
+    # besides plain decode (T=1, batched pools included via the batch dim)
+    # this covers the speculative verify forward (T=k+1), which streams the
+    # full weight stack per step just like decode does.
+    if (T <= 32 and mode == "real" and cache is not None
             and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"):
         _in_dims = {"q": cfg.hidden, "k": cfg.hidden, "v": cfg.hidden,
                     "gate": cfg.hidden, "up": cfg.hidden,
