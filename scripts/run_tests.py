@@ -34,7 +34,7 @@ SLOW = {
     "test_server.py", "test_engine.py", "test_speculative.py",
     "test_pipeline.py", "test_qwen2vl.py", "test_model_families.py",
     "test_gptq_driver.py", "test_evaluation.py", "test_outlier_stress.py",
-    "test_quality_proxy.py",
+    "test_quality_proxy.py", "test_autobits.py", "test_sharding.py",
 }
 
 PER_FILE_TIMEOUT = int(os.environ.get("MQUANT_TEST_FILE_TIMEOUT", "1200"))
