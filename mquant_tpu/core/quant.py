@@ -228,7 +228,7 @@ def weight_qparams(
     per_channel: bool = True,
     symmetric: bool = True,
     mse_clip: bool = False,
-    clip_grid: int = 100,
+    clip_grid: int = 80,
     max_shrink: float = 0.8,
     norm: float = 2.4,
     reduce_axes=None,
@@ -239,7 +239,9 @@ def weight_qparams(
     last (pass ``reduce_axes=(-2,)`` for stacked-layer weights (L, in, out) so
     each layer keeps its own scales). With ``mse_clip`` this runs the reference
     ``WeightQuantizer.find_params`` MSE grid search over shrink ratios
-    (ref: fake_quant/quant_utils.py:446-509: grid 100, maxshrink 0.8, p-norm 2.4)
+    (ref: fake_quant/quant_utils.py:446-509: grid 100, maxshrink 0.8, p-norm 2.4
+    → 80 candidate shrinks {1 - i/100, i < 80}; our (clip_grid=80, max_shrink=0.8)
+    samples exactly the same points: 1 - i·max_shrink/clip_grid)
     — vectorized over the whole grid with ``vmap`` instead of a Python loop so it
     stays one fused XLA computation.
     """

@@ -110,13 +110,20 @@ def update(
     if hasattr(first, "ndim"):  # layer-stacked n (L,) vs per-channel (L, C)
         while first.ndim < jnp.ndim(cur_min):
             first = first[..., None]
+    # First-update semantics follow the reference per kind: minmax/percentile
+    # clamp the first range to include 0 (ref: observer/minmax.py:17-24,
+    # percentile.py:44-48); ema/omse/ptf take the raw first batch
+    # (ref: observer/ema.py:17, omse.py:17, ptf.py:17).
+    clamp0 = spec.kind in ("minmax", "percentile")
+    first_min = jnp.minimum(cur_min, 0.0) if clamp0 else cur_min
+    first_max = jnp.maximum(cur_max, 0.0) if clamp0 else cur_max
     if spec.kind in ("ema", "percentile"):
         sigma = spec.ema_sigma
-        new_min = jnp.where(first, cur_min, stats.min + sigma * (cur_min - stats.min))
-        new_max = jnp.where(first, cur_max, stats.max + sigma * (cur_max - stats.max))
+        new_min = jnp.where(first, first_min, stats.min + sigma * (cur_min - stats.min))
+        new_max = jnp.where(first, first_max, stats.max + sigma * (cur_max - stats.max))
     else:  # minmax / omse / ptf accumulate running extrema
-        new_min = jnp.where(first, jnp.minimum(cur_min, 0.0), jnp.minimum(cur_min, stats.min))
-        new_max = jnp.where(first, jnp.maximum(cur_max, 0.0), jnp.maximum(cur_max, stats.max))
+        new_min = jnp.where(first, first_min, jnp.minimum(cur_min, stats.min))
+        new_max = jnp.where(first, first_max, jnp.maximum(cur_max, stats.max))
     return ObserverStats(min=new_min, max=new_max, n=stats.n + 1)
 
 
@@ -161,21 +168,67 @@ def _fake_quant_affine(x, scale, zero_point, fmt: IntFormat):
     return (q - zero_point) * scale
 
 
+# The reference observers clamp scales at float32 eps (ref: observer/base.py:13
+# ``self.eps = torch.finfo(torch.float32).eps``) — replicated exactly so the
+# reference-oracle suite can assert scale equality.
+_REF_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def _affine_params(xmin, xmax, fmt: IntFormat) -> QuantParams:
+    """The reference observers' shared asymmetric formula
+    (ref: observer/minmax.py:46-51, ema.py:46-50, percentile.py:72-77):
+    scale spans [min, max] over the full integer range; zero_point is rounded
+    and clamped into the representable range."""
+    scale = jnp.maximum((xmax - xmin) / float(fmt.qmax - fmt.qmin), _REF_EPS)
+    zp = jnp.clip(fmt.qmin - jnp.round(xmin / scale), fmt.qmin, fmt.qmax)
+    return QuantParams(scale=scale, zero_point=zp)
+
+
+def _symmetric_scale(spec: ObserverSpec, stats: ObserverStats,
+                     fmt: IntFormat) -> QuantParams:
+    """The reference observers' symmetric conventions, per kind (they differ!):
+
+    * minmax / percentile: scale = max(|min/qmin|, |max/qmax|) — asymmetric
+      denominators, using the extra negative slot (ref: observer/minmax.py:40-45,
+      percentile.py:66-71).
+    * ema: scale = max(-min, max) / ((qmax - qmin) / 2)
+      (ref: observer/ema.py:42-45).
+    """
+    if spec.kind == "ema":
+        amax = jnp.maximum(-stats.min, stats.max)
+        scale = amax / (float(fmt.qmax - fmt.qmin) / 2.0)
+    else:
+        scale = jnp.maximum(jnp.abs(stats.min / fmt.qmin),
+                            jnp.abs(stats.max / fmt.qmax))
+    return QuantParams(scale=jnp.maximum(scale, _REF_EPS), zero_point=None)
+
+
 def _finalize_omse(spec, stats, fmt, sample):
     """LAPQ-style 90-step shrink search minimizing L2 reconstruction loss,
-    vectorized over the whole grid (ref: fake_quant/observer/omse.py:31-57)."""
+    vectorized over the whole grid (ref: fake_quant/observer/omse.py:31-57).
+
+    The reference's omse always searches the affine (scale, zero_point) form
+    regardless of bit-type signedness — replicated exactly when
+    ``spec.symmetric`` is False. ``symmetric=True`` is a framework extension
+    (zero_point-free scales for the symmetric serving epilogues)."""
     x = sample.astype(jnp.float32)
     shrinks = 1.0 - jnp.arange(90, dtype=jnp.float32) * 0.01
 
+    def params_for(shrink):
+        if spec.symmetric:
+            return scales_from_minmax(stats.min * shrink, stats.max * shrink,
+                                      fmt, True)
+        return _affine_params(stats.min * shrink, stats.max * shrink, fmt)
+
     def score(shrink):
-        qp = scales_from_minmax(stats.min * shrink, stats.max * shrink, fmt, spec.symmetric)
+        qp = params_for(shrink)
         zp = qp.zero_point if qp.zero_point is not None else jnp.zeros_like(qp.scale)
         xq = _fake_quant_affine(x, qp.scale, zp, fmt)
         return _lp_loss(x, xq)
 
     scores = jax.vmap(score)(shrinks)
     best = shrinks[jnp.argmin(scores)]
-    return scales_from_minmax(stats.min * best, stats.max * best, fmt, spec.symmetric)
+    return params_for(best)
 
 
 def _finalize_ptf(spec, stats, fmt, sample):
@@ -185,7 +238,7 @@ def _finalize_ptf(spec, stats, fmt, sample):
     x = sample.astype(jnp.float32)  # (..., C)
     min_t = jnp.min(stats.min)
     max_t = jnp.max(stats.max)
-    qp8 = scales_from_minmax(min_t, max_t, fmt, symmetric=False)
+    qp8 = _affine_params(min_t, max_t, fmt)
     scale8, zp = qp8.scale, qp8.zero_point
     scale1 = scale8 / 8.0
     cand = scale1 * jnp.asarray([1.0, 2.0, 4.0, 8.0])  # (4,)
@@ -214,7 +267,9 @@ def finalize(
     ``get_quantization_params``).
     """
     if spec.kind in ("minmax", "ema", "percentile"):
-        return scales_from_minmax(stats.min, stats.max, fmt, spec.symmetric)
+        if spec.symmetric:
+            return _symmetric_scale(spec, stats, fmt)
+        return _affine_params(stats.min, stats.max, fmt)
     if sample is None:
         raise ValueError(f"{spec.kind} observer requires a `sample` batch to finalize")
     if spec.kind == "omse":

@@ -42,13 +42,16 @@ class TestMinmax:
         stats = fold(spec, [b])
         assert float(stats.min) == 0.0
 
-    def test_finalize_matches_core_scales(self, rng):
+    def test_finalize_uses_reference_convention(self, rng):
+        # ref: observer/minmax.py:40-45 — scale = max(|min/qmin|, |max/qmax|)
+        # (asymmetric denominators: the -128 slot is used for the negative range)
         spec = ObserverSpec(kind="minmax", per_channel=False, symmetric=True)
         b = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
         stats = fold(spec, [b])
         qp = finalize(spec, stats, INT8)
-        expect = Q.scales_from_minmax(stats.min, stats.max, INT8, True)
-        assert float(qp.scale) == pytest.approx(float(expect.scale))
+        expect = max(abs(float(stats.min)) / abs(INT8.qmin),
+                     abs(float(stats.max)) / INT8.qmax)
+        assert float(qp.scale) == pytest.approx(expect)
 
     def test_masked_update_ignores_padding(self, rng):
         spec = ObserverSpec(kind="minmax", per_channel=False)

@@ -105,7 +105,7 @@ class TestPacking:
 class TestMseClip:
     def test_mse_clip_helps_outliers(self, rng):
         w = rng.normal(size=(256, 4)).astype(np.float32)
-        w[0, :] = 50.0  # a huge outlier in one input row, seen by every out channel
+        w[0, :] = 12.0  # a big outlier in one input row, seen by every out channel
         w = jnp.asarray(w)
         fmt = INT4
         qp_plain = Q.weight_qparams(w, fmt, mse_clip=False)
@@ -115,6 +115,20 @@ class TestMseClip:
         assert float(e_clip) < float(e_plain)
         # clipped scales never exceed the unclipped ones
         assert float(jnp.max(qp_clip.scale)) <= float(jnp.max(qp_plain.scale)) + 1e-7
+
+    def test_mse_clip_never_worse_in_search_norm(self, rng):
+        # The grid includes shrink=1.0 (ref quant_utils.py:487 starts at i=0),
+        # so the p=2.4 search objective can never exceed the unclipped loss —
+        # an exact invariant regardless of how extreme the outlier is.
+        w = rng.normal(size=(256, 4)).astype(np.float32)
+        w[0, :] = 50.0
+        w = jnp.asarray(w)
+        fmt = INT4
+        qp_plain = Q.weight_qparams(w, fmt, mse_clip=False)
+        qp_clip = Q.weight_qparams(w, fmt, mse_clip=True)
+        p_plain = jnp.sum(jnp.abs(Q.fake_quantize(w, qp_plain, fmt) - w) ** 2.4)
+        p_clip = jnp.sum(jnp.abs(Q.fake_quantize(w, qp_clip, fmt) - w) ** 2.4)
+        assert float(p_clip) <= float(p_plain) + 1e-6
 
 
 class TestLog2:
