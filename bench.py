@@ -395,7 +395,11 @@ GEN_TOKENS = 128  # serving request: prefill 1024 + generate 128
 
 
 def main():
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    from mquant_tpu.utils.misc import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
+        f"compile cache: {cache_dir or 'off'}")
     full_depth = 28
     n_q, ttft_q, tps_q, req_q, reqv_q = robust("w4a8", [full_depth, 14, 7])
     n_b, ttft_b, tps_b, req_b, reqv_b = robust(

@@ -118,10 +118,13 @@ def parser_gen(model_default=None):
 def main(args=None):
     args = args or parser_gen().parse_args()
     from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
-    from mquant_tpu.utils.misc import config_logging, seed_everything
+    from mquant_tpu.utils.misc import (config_logging,
+                                       enable_compilation_cache,
+                                       seed_everything)
 
     log = config_logging(args.log_file)
     seed_everything(args.seed)
+    enable_compilation_cache()  # repeat runs skip recompiles (off: MQUANT_COMPILE_CACHE=off)
 
     q = QuantizeConfig(
         rotate=args.rotate, rotate_mode=args.rotate_mode,

@@ -709,7 +709,14 @@ def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
     """Quantize once (``run_pipeline(..., artifact_dir=...)``), serve forever:
     the artifact is self-describing (params + static scales + specs + config),
     so deployment needs no Python-side model object. ``mode`` defaults to
-    "real" when the artifact was realized to int storage, else "fake"."""
+    "real" when the artifact was realized to int storage, else "fake".
+
+    Enables the persistent XLA compilation cache: a cold W4A8 boot pays
+    ~548 s of compiles (round-4 measurement); warm boots load executables
+    from disk (override dir with $MQUANT_COMPILE_CACHE, "off" disables)."""
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..evaluation.adapter import VLMRunner
     from ..utils.checkpoint import config_from_dict, load_artifact
 
@@ -757,6 +764,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.spec_k:
         args.sample_top_k = 0  # speculation is greedy-exact only
+
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
 
     tokenizer = None
     if args.tokenizer_dir:

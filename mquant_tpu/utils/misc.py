@@ -97,3 +97,37 @@ class Timer:
         for k, v in self.times.items():
             rows.append(f"{k}: n={len(v)} median={sorted(v)[len(v)//2]*1e3:.1f}ms")
         return "; ".join(rows)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None,
+                             min_compile_time_secs: float = 1.0) -> str:
+    """Turn on JAX's persistent (on-disk) compilation cache.
+
+    Round-4 measurement: the W4A8 serving stack pays ~548 s of XLA/Pallas
+    compiles on every cold start (vs 14 s for bf16) — re-paid at every server
+    boot and bench run unless compiled executables persist. This wires
+    ``jax_compilation_cache_dir`` so the second boot loads executables from
+    disk instead of recompiling. Call it BEFORE the first ``jit`` dispatch
+    (backend init is fine; compilations before the call are not cached).
+
+    Resolution order for the directory: explicit arg →
+    ``$MQUANT_COMPILE_CACHE`` → ``~/.cache/mquant_tpu/xla_cache``.
+    Set ``MQUANT_COMPILE_CACHE=0`` (or ``off``) to disable entirely.
+
+    Entry points that call this automatically: ``bench.py``,
+    ``mquant_tpu.serve.server`` (both CLI and ``build_server_from_artifact``),
+    and the ``exam/quant_vlm.py`` pipeline CLI.
+    """
+    env = os.environ.get("MQUANT_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none", "disable"):
+        return ""
+    cache_dir = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "mquant_tpu", "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # default threshold is 1s: every Pallas kernel + the big serving jits
+    # qualify, while trivial host-side jits stay out of the cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
