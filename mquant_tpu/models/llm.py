@@ -149,7 +149,11 @@ def rope_tables(cfg: DecoderConfig, positions: jax.Array, dtype,
         freqs = positions[..., None].astype(jnp.float32) * inv[:, None, :]
         emb = jnp.concatenate([freqs, freqs], axis=-1)  # (B, T, rd)
         return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
-    if ntk_alpha != 1.0:
+    if isinstance(ntk_alpha, jax.Array):
+        # traced 0-d alpha (passed as DATA through a jit boundary): scale
+        # unconditionally — exact no-op when alpha == 1 (1**x == 1, *1 exact)
+        theta = theta * ntk_alpha.astype(jnp.float32) ** (rd / (rd - 2))
+    elif ntk_alpha != 1.0:
         theta = theta * ntk_alpha ** (rd / (rd - 2))
     if cfg.mrope_sections and positions.ndim == 3:
         cos3, sin3 = L.rotary_embedding(positions, rd, theta, dtype)  # (3,B,T,rd)

@@ -392,11 +392,11 @@ class Generator:
         anyway), and decode continues at that row's max(position)+1 via a
         per-row rope_delta (HF get_rope_index parity).
 
-        Caveat (Qwen-VL dynamic NTK only): the batch shares ONE alpha derived
-        from the longest prompt, so a short row batched with a much longer
-        one uses the longer row's RoPE theta — exact per-row equality holds
-        for families without ``use_dynamic_ntk`` (all but Qwen-VL) or when
-        the batch's lengths fall in the same NTK band."""
+        Qwen-VL dynamic NTK: each row derives ITS alpha from ITS OWN prompt
+        length (ref: modeling_qwen_opt.py:696-707), passed to the compiled
+        functions as a (B,) DATA vector (engine parity, ``serve/engine.py``)
+        — no per-alpha recompilation, and a short row batched with a long
+        one keeps exactly its solo RoPE theta."""
         import numpy as np
 
         from ..models.llm import ntk_alpha_for
@@ -442,17 +442,24 @@ class Generator:
         r = np.arange(Tb)
         pre_mask = ((r[None, :, None] >= r[None, None, :])
                     & (r[None, None, :] >= starts[:, None, None]))
+        # per-row dynamic-NTK alpha as (B,) DATA (rope_tables broadcasts a
+        # vector alpha into per-row tables); scalar consumers (speculative
+        # history replay) still see the batch-max alpha. Families without
+        # dynamic NTK (all but Qwen-VL — incl. the M-RoPE Qwen2-VL, whose
+        # rope_tables rejects vector alpha) keep the scalar 1.0.
         self._ntk_alpha = ntk_alpha_for(self.cfg, Lmax)
-        alpha = self._ntk_alpha
+        alpha_vec = (jnp.asarray([ntk_alpha_for(self.cfg, n) for n in lens],
+                                 jnp.float32)
+                     if self.cfg.use_dynamic_ntk else 1.0)
 
-        key = ("ragged", Tb, alpha, pos_b is not None)
+        key = ("ragged_perrow", Tb, pos_b is not None)
         if key not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             with_pos = pos_b is not None
 
             @jax.jit
-            def prefill_ragged(params, toks, cache, attn_mask, pos=None,
-                               rope_delta=None):
+            def prefill_ragged(params, toks, cache, attn_mask, alpha,
+                               pos=None, rope_delta=None):
                 T = toks.shape[1]
                 logits, cache2, _ = decoder_forward(
                     cfg, params, toks, specs=specs, state=state, mode=mode,
@@ -467,7 +474,7 @@ class Generator:
                 return logits, cache2  # pos advanced by T (rows are aligned)
 
             @jax.jit
-            def step_ragged(params, tok, cache, starts):
+            def step_ragged(params, tok, cache, starts, alpha):
                 # causal-with-left-pad-exclusion: starts ≤ col ≤ pos (the
                 # step's own k/v is written at index pos). Passing attn_start
                 # instead of a materialized mask keeps the fused decode
@@ -480,12 +487,12 @@ class Generator:
             self._prefill_cache[key] = (prefill_ragged, step_ragged)
         prefill_ragged, step_ragged = self._prefill_cache[key]
 
-        nkey = ("decode_n_ragged", max_new_tokens - 1, alpha, eos_id)
+        nkey = ("decode_n_ragged_perrow", max_new_tokens - 1, eos_id)
         if nkey not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
 
             @jax.jit
-            def decode_n_ragged(params, first_tok, cache, starts):
+            def decode_n_ragged(params, first_tok, cache, starts, alpha):
                 if "layers_packed" in params:
                     packed = params["layers_packed"]
                     params = {k: v for k, v in params.items()
@@ -542,18 +549,20 @@ class Generator:
         if pos_b is not None:
             logits, cache = prefill_ragged(
                 self.params, jnp.asarray(toks), cache,
-                jnp.asarray(pre_mask[:, None]), jnp.asarray(pos_b),
-                jnp.asarray(rope_delta))
+                jnp.asarray(pre_mask[:, None]), alpha_vec,
+                jnp.asarray(pos_b), jnp.asarray(rope_delta))
         else:
             logits, cache = prefill_ragged(self.params, jnp.asarray(toks),
                                            cache,
-                                           jnp.asarray(pre_mask[:, None]))
+                                           jnp.asarray(pre_mask[:, None]),
+                                           alpha_vec)
         tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
         outs = [[int(t)] for t in np.asarray(tok[:, 0])]
         if max_new_tokens > 1:
             # production path: the whole decode loop fused on device (with or
             # without eos — the fused loop handles early exit itself)
-            rest = np.asarray(decode_n_ragged(self.params, tok, cache, starts_d))
+            rest = np.asarray(decode_n_ragged(self.params, tok, cache,
+                                              starts_d, alpha_vec))
             for i in range(B):
                 outs[i] += [int(t) for t in rest[i]]
         if eos_id is not None:
