@@ -34,17 +34,36 @@ def _norm_text(s: str) -> str:
 
 
 def extract_yes_no(pred: str) -> Optional[str]:
-    p = _norm_text(pred)
-    if p.startswith("yes") or " yes" in f" {p}":
+    """Word-level XOR extraction — the VLMEvalKit Y/N protocol
+    (ref: third/VLMEvalKit/vlmeval/dataset/utils/yorn.py:206-213
+    ``YOrN_Extraction``): punctuation becomes word boundaries, and the
+    answer counts only when exactly one of the two words appears
+    ("yes and no" is unparseable; "norway" contains neither word)."""
+    s = str(pred).lower()
+    s = re.sub(rf"[{re.escape(string.punctuation)}]", " ", s)
+    words = s.split()
+    has_yes, has_no = "yes" in words, "no" in words
+    if has_yes and not has_no:
         return "yes"
-    if p.startswith("no") or " no" in f" {p}":
+    if has_no and not has_yes:
         return "no"
     return None
 
 
+_MME_SUPER = {
+    "perception": ("OCR", "artwork", "celebrity", "color", "count",
+                   "existence", "landmark", "position", "posters", "scene"),
+    "reasoning": ("code_reasoning", "commonsense_reasoning",
+                  "numerical_calculation", "text_translation"),
+}
+
+
 def score_mme(rows: List[dict]) -> Dict[str, float]:
     """rows: {category, image_id, answer (Yes/No), prediction}. Returns per-
-    category and total MME scores (acc% + acc+%)."""
+    category and total MME scores (acc% + acc+%, where acc+ requires BOTH
+    questions of an image right — ref: third/VLMEvalKit/vlmeval/dataset/
+    utils/yorn.py:4-61 ``MME_rating``), plus the perception/reasoning
+    super-category sums when their standard categories are all present."""
     by_cat = defaultdict(lambda: defaultdict(list))
     for r in rows:
         ok = extract_yes_no(r["prediction"]) == r["answer"].strip().lower()
@@ -57,6 +76,9 @@ def score_mme(rows: List[dict]) -> Dict[str, float]:
         accp = sum(all(pair) for pair in imgs.values()) / max(len(imgs), 1)
         out[cat] = 100.0 * (acc + accp)
         total += out[cat]
+    for sup, cats in _MME_SUPER.items():
+        if all(c in out for c in cats):
+            out[sup] = sum(out[c] for c in cats)
     out["total"] = total
     return out
 
@@ -67,20 +89,31 @@ def score_mme(rows: List[dict]) -> Dict[str, float]:
 
 
 def extract_option(pred: str, options: Dict[str, str]) -> Optional[str]:
-    """Extract the chosen option letter from a free-form prediction."""
-    p = pred.strip()
-    m = re.match(r"^[\(\[]?([A-H])[\)\].:,\s]", p + " ")
-    if m and m.group(1) in options:
-        return m.group(1)
-    # exact content match
-    pn = _norm_text(p)
-    for k, v in options.items():
-        if v is not None and _norm_text(str(v)) == pn:
-            return k
-    # containment (longest option content first for specificity)
-    for k, v in sorted(options.items(), key=lambda kv: -len(str(kv[1] or ""))):
-        if v is not None and _norm_text(str(v)) and _norm_text(str(v)) in pn:
-            return k
+    """Extract the chosen option letter from a free-form prediction — the
+    VLMEvalKit exact-matching protocol (ref: third/VLMEvalKit/vlmeval/utils/
+    matching_util.py:7-69 ``can_infer``), reimplemented:
+
+    1. break words on ``.()[],:;!*#{}`` and look for the option LETTERS
+       (case-sensitive) as standalone words; exactly one hit wins;
+    2. any other count (0 or ambiguous ≥2) falls through to lowercase-
+       containment of the option CONTENTS in the prediction; again only a
+       UNIQUE candidate wins.
+
+    Returns None where the reference returns False/"Z" (no answer — the
+    row scores 0 under exact matching, same metric)."""
+    p = str(pred)
+    s = p
+    for ch in ".()[],:;!*#{}":
+        s = s.replace(ch, " ")
+    words = [w.strip() for w in s.split()]
+    hits = [k for k in options if k in words]
+    if len(hits) == 1:
+        return hits[0]
+    low = p.lower()
+    cands = [k for k, v in options.items()
+             if v is not None and str(v).lower() in low]
+    if len(cands) == 1:
+        return cands[0]
     return None
 
 
@@ -188,26 +221,42 @@ def score_ocrbench(rows: List[dict]) -> Dict[str, float]:
 
 def score_pope(rows: List[dict]) -> Dict[str, float]:
     """Yes/no accuracy, precision, recall and F1 with "yes" as the positive
-    class (the POPE protocol; VLMEvalKit reports the same four numbers).
-    Unparseable predictions count as wrong (treated as the opposite class)."""
-    tp = fp = tn = fn = 0
+    class — the VLMEvalKit POPE protocol exactly (ref: third/VLMEvalKit/
+    vlmeval/dataset/utils/yorn.py:119-163 ``POPE_rating``), which uses TWO
+    conventions at once: accuracy is strict extraction equality (an
+    unparseable prediction is wrong), while precision/recall/F1 binarize
+    the prediction as yes-vs-everything-else (unparseable counts as "no").
+    Rows with a comma-separated ``category`` are exploded into one row per
+    category first (ref ``data.explode``), affecting the overall numbers;
+    per-category F1/acc come back as ``<cat>_f1`` / ``<cat>_acc``."""
+    flat = []
     for r in rows:
+        cats = str(r.get("category", "")).split(",") if r.get("category") else [None]
         gt = extract_yes_no(str(r.get("answer", "")))
         pred = extract_yes_no(r["prediction"])
-        if gt is None:
-            continue
-        pos = gt == "yes"
-        hit = pred == gt
-        if pos:
-            tp, fn = tp + hit, fn + (not hit)
-        else:
-            tn, fp = tn + hit, fp + (not hit)
-    n = tp + fp + tn + fn
-    prec = tp / max(tp + fp, 1)
-    rec = tp / max(tp + fn, 1)
-    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
-    return {"score": 100.0 * (tp + tn) / max(n, 1), "precision": 100.0 * prec,
-            "recall": 100.0 * rec, "f1": 100.0 * f1}
+        for c in cats:
+            flat.append((c, gt, pred))
+
+    def rate(sub):
+        y_true = [g == "yes" for _, g, _ in sub]
+        y_pred = [p == "yes" for _, _, p in sub]
+        tp = sum(t and p for t, p in zip(y_true, y_pred))
+        fp = sum((not t) and p for t, p in zip(y_true, y_pred))
+        fn = sum(t and (not p) for t, p in zip(y_true, y_pred))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        acc = sum(p == g and p is not None
+                  for _, g, p in sub) / max(len(sub), 1)
+        return 100.0 * acc, 100.0 * prec, 100.0 * rec, 100.0 * f1
+
+    acc, prec, rec, f1 = rate(flat)
+    out = {"score": acc, "precision": prec, "recall": rec, "f1": f1}
+    cats = sorted({c for c, _, _ in flat if c})
+    for c in cats:
+        cacc, _, _, cf1 = rate([t for t in flat if t[0] == c])
+        out[f"{c}_acc"], out[f"{c}_f1"] = cacc, cf1
+    return out
 
 
 # ---------------------------------------------------------------------------
