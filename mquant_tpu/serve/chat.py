@@ -29,9 +29,33 @@ def render_history(family: str, history: List[Tuple[str, Optional[str]]],
     if not history:
         return ""
     if family == "glm4v":
-        # GLM-4 chat convention: <|user|>/<|assistant|> role blocks
-        return "".join(f"{q}<|assistant|>\n{a}<|user|>\n"
-                       for q, a in history if a is not None)
+        # GLM-4 chat convention: <|user|>/<|assistant|> role blocks inside
+        # the leading <|user|>\n. Query-only turns keep their question (same
+        # treatment the ChatML branch gives them, ref :150-153), and the
+        # newest-first token-budget walk mirrors the ChatML one (each
+        # <|user|>/<|assistant|>/[gMASK]/<sop> special counts 1 token).
+        def glm_turn(q, a):
+            if a is None:
+                return f"{q}<|user|>\n"
+            return f"{q}<|assistant|>\n{a}<|user|>\n"
+
+        if encode is None:
+            kept = list(history)
+        else:
+            nl = len(encode("\n"))
+            head = 3 + nl  # [gMASK] + <sop> + <|user|> + "\n"
+            ctx = 0
+            kept = []
+            for q, a in reversed(history):
+                nxt = len(encode(q)) + 1 + nl
+                if a is not None:
+                    nxt += len(encode(a)) + 1 + nl
+                if head + nxt + ctx < max_window_size:
+                    kept.insert(0, (q, a))
+                    ctx += nxt
+                else:
+                    break
+        return "".join(glm_turn(q, a) for q, a in kept)
 
     def turn_text(q, a):
         t = f"\n<|im_start|>user\n{q}<|im_end|>\n"

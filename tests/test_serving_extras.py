@@ -151,6 +151,86 @@ class TestMultiTurnChatML:
                 "a2<|user|>\nnext<|assistant|>\n") in text
 
 
+class Glm4Tok:
+    """Char-level mock with the GLM-4 role specials as single ids."""
+
+    _SPECIALS = ("[gMASK]", "<sop>", "<|user|>", "<|assistant|>")
+
+    def encode(self, s):
+        out, i = [], 0
+        while i < len(s):
+            for j, lit in enumerate(self._SPECIALS):
+                if s.startswith(lit, i):
+                    out.append(200000 + j)
+                    i += len(lit)
+                    break
+            else:
+                out.append(ord(s[i]))
+                i += 1
+        return out
+
+
+class TestGlm4vHistory:
+    """GLM-4V multi-turn contexts get the same protocol treatment as the
+    ChatML families: query-only turns preserved (ref behavior,
+    qwen_generation_utils.py:150-153) and a newest-first token-budget
+    window walk."""
+
+    HIST = [("first question", "first answer"),
+            ("second question?", "longer second answer with detail"),
+            ("third", None)]
+
+    def _ref_window(self, tok, history, window):
+        """Independent transcription of the newest-first budget walk over
+        GLM-4 role blocks (head = [gMASK]<sop><|user|>\\n)."""
+        nl = len(tok.encode("\n"))
+        head = 3 + nl
+        ctx, kept = 0, []
+        for q, a in reversed(history):
+            nxt = len(tok.encode(q)) + 1 + nl
+            if a is not None:
+                nxt += len(tok.encode(a)) + 1 + nl
+            if head + nxt + ctx < window:
+                kept.insert(0, (q, a))
+                ctx += nxt
+            else:
+                break
+        return kept
+
+    def test_query_only_turn_preserved(self):
+        p = build_chat_prompt("glm4v", "final", 0, history=self.HIST)
+        text = p["text_before"] + p["text_after"]
+        assert "second question?<|assistant|>\nlonger second answer" in text
+        assert "third<|user|>\nfinal<|assistant|>\n" in text  # no dropped turn
+
+    @pytest.mark.parametrize("window", [1, 12, 40, 80, 6144])
+    def test_window_truncation_newest_first(self, window):
+        tok = Glm4Tok()
+        p = build_chat_prompt("glm4v", "q", 0, history=self.HIST,
+                              encode=tok.encode, max_window_size=window)
+        text = p["text_before"] + p["text_after"]
+        kept = self._ref_window(tok, self.HIST, window)
+        for q, a in self.HIST:
+            assert (q in text) == ((q, a) in kept), (window, q)
+        # newest-first: whatever is kept is a SUFFIX of the history
+        if kept:
+            assert kept == self.HIST[-len(kept):]
+
+    def test_tokens_equal_blockwise_construction(self):
+        tok = Glm4Tok()
+        p = build_chat_prompt("glm4v", "fq", 0, history=self.HIST,
+                              encode=tok.encode)
+        got = tok.encode(p["text_before"] + p["text_after"])
+        want = tok.encode("[gMASK]<sop><|user|>\n")
+        for q, a in self.HIST:
+            want += tok.encode(q)
+            if a is not None:
+                want += tok.encode(f"<|assistant|>\n{a}")
+            want += tok.encode("<|user|>\n")
+        want += tok.encode("fq<|assistant|>\n")
+        assert got == want
+
+
 class TestBuckets:
     def test_choose_aspect(self):
         spec = BucketSpec.default(patch=14, base=448)
