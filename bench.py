@@ -84,6 +84,56 @@ def init_bf16_on_device(cfg, key):
     return jax.jit(lambda k: init_decoder_params(cfg, k, dtype=jnp.bfloat16))(key)
 
 
+def resolve_bench_head() -> int:
+    """lm_head width for this run. MQUANT_BENCH_HEAD=8/4 forces; the default
+    ("auto") runs the quality-proxy head gate (utils/autobits.
+    decide_head_bits machinery) at REAL 7B dims on the bench's standing
+    model: fake-quantize ONLY the head at 4 vs 8 on a depth-2 bf16 decoder
+    and compare head-only perplexity ratios. W4 wins iff its ratio stays
+    under the pipeline's default gate (1.002) — the same measured decision
+    ``--lm_head_bits auto`` makes per model offline. The pick is written
+    back to MQUANT_BENCH_HEAD so every downstream reader (weight builder,
+    bytes/step roofline) agrees."""
+    import os
+
+    v = os.environ.get("MQUANT_BENCH_HEAD", "auto")
+    if v in ("4", "8"):
+        return int(v)
+    from mquant_tpu.core import quant as Q
+    from mquant_tpu.core.formats import get_format
+    from mquant_tpu.models.llm import decoder_forward
+    from mquant_tpu.utils.autobits import ppl_ratio_from_logits
+
+    cfg = dataclasses.replace(make_cfg(2), dtype=jnp.bfloat16)
+    params = init_bf16_on_device(cfg, jax.random.key(9))
+    toks = jax.random.randint(jax.random.key(10), (2, 128), 0, cfg.vocab)
+
+    @jax.jit
+    def run(p):
+        logits, _, _ = decoder_forward(cfg, p, toks)
+        return logits
+
+    def head_fq(bits):
+        w = params["lm_head"]["w"]
+        fmt = get_format(bits, signed=True)
+        qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=True)
+        p2 = dict(params)
+        p2["lm_head"] = {**params["lm_head"],
+                         "w": Q.fake_quantize(w, qp, fmt).astype(w.dtype)}
+        return p2
+
+    lf = run(params)
+    r4 = ppl_ratio_from_logits(lf, run(head_fq(4)))
+    r8 = ppl_ratio_from_logits(lf, run(head_fq(8)))
+    pick = 4 if r4 <= 1.002 else 8
+    log(f"lm_head gate @7B dims: W4 ppl ratio {r4:.5f}, int8 {r8:.5f} "
+        f"(gate 1.002) -> {pick}-bit head")
+    os.environ["MQUANT_BENCH_HEAD"] = str(pick)
+    del params
+    gc.collect()
+    return pick
+
+
 def init_w4a8_on_device(cfg, key):
     """Random packed-int4 weights + scales + static act scales, built on device."""
 
@@ -400,6 +450,8 @@ def main():
     cache_dir = enable_compilation_cache()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
         f"compile cache: {cache_dir or 'off'}")
+    head_bits = resolve_bench_head()  # measured W4-vs-int8 head decision
+    log(f"lm_head width for this run: {head_bits}-bit")
     full_depth = 28
     n_q, ttft_q, tps_q, req_q, reqv_q = robust("w4a8", [full_depth, 14, 7])
     n_b, ttft_b, tps_b, req_b, reqv_b = robust(

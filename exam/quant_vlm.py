@@ -70,6 +70,13 @@ def parser_gen(model_default=None):
                         "start at --auto_bits_low (4) and the most-damaging "
                         "are promoted to --auto_bits_high (8) under the "
                         "budget (beyond the reference)")
+    p.add_argument("--lm_head_bits", default="0",
+                   help="lm_head weight width: 0 = fp head (reference "
+                        "parity), 8/4 = int8 / packed-W4 head (halves or "
+                        "quarters the decode head stream), auto = per-model "
+                        "quality-proxy gate picks W4 iff its head-only "
+                        "perplexity ratio stays under --lm_head_gate")
+    p.add_argument("--lm_head_gate", type=float, default=1.002)
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
     p.add_argument("--nsamples", type=int, default=128)
@@ -140,6 +147,9 @@ def main(args=None):
         llm_w_rtn=args.llm_w_rtn,
         w_clip=args.w_clip, w_groupsize=args.w_groupsize,
         auto_bits=args.auto_bits,
+        lm_head_bits=(args.lm_head_bits if args.lm_head_bits == "auto"
+                      else int(args.lm_head_bits)),
+        lm_head_gate=args.lm_head_gate,
         act_order=args.act_order, percdamp=args.percdamp,
         nsamples=args.nsamples, visual_a_bits=args.visual_a_bits,
         llm_a_bits=args.llm_a_bits, visual_static=args.visual_static,

@@ -81,6 +81,12 @@ class QuantizeConfig:
     # target average bits/weight budget (utils/autobits.py, beyond the ref)
     auto_bits_low: int = 4
     auto_bits_high: int = 8
+    lm_head_bits: object = 0  # 0 = fp head (ref parity: the reference rotates
+    # but never quantizes the head); 8/4 = int8 / packed-W4 head; "auto" =
+    # per-model quality-proxy gate (utils/autobits.decide_head_bits) picks
+    # W4 iff its head-only perplexity ratio stays under lm_head_gate.
+    # The head spec also makes --auto_bits score the lm_head site.
+    lm_head_gate: float = 1.002
     act_order: bool = False
     percdamp: float = 0.01
     nsamples: int = 128
@@ -125,6 +131,14 @@ def build_specs(fam: ModelFamily, q: QuantizeConfig) -> Dict[str, SiteSpec]:
                 a_per_channel=False if q.act_per_tensor else True,
                 a_groupsize=q.a_groupsize, a_clip_ratio=q.a_clip_ratio,
                 observer=q.act_observer)
+    if q.lm_head_bits and q.lm_head_bits != "auto":
+        # quantized head (beyond the reference): halves/quarters the decode
+        # head stream; "auto" resolves post-rotation in run_pipeline
+        specs["llm.lm_head"] = SiteSpec(
+            w_bits=int(q.lm_head_bits), a_bits=q.llm_a_bits or None,
+            a_static=q.llm_static, a_symmetric=not q.a_asym,
+            a_per_channel=False if q.act_per_tensor else True,
+            observer=q.act_observer)
     if ("llm.down" in specs and q.rotate and q.rotate_llm
             and q.online_llm_hadamard):
         if q.online_had_mode == "block":
@@ -340,6 +354,27 @@ def quantize_weights(fam: ModelFamily, cfg, params: Dict,
                 log.warning(f"GPTQ RTN-fallbacks: {report['fallbacks']}")
             wqps = report["qparams"]  # incl. act_order perms (permuted-
             # layout realization handles act_order × w_groupsize)
+            # lm_head (spec'd via lm_head_bits): per-out-channel RTN — the
+            # standard head treatment; GPTQ's Hessian walk targets the
+            # decoder sites (ref drivers never touch the head either)
+            head_spec = specs.get("llm.lm_head")
+            head = params["llm"].get("lm_head")
+            if (head_spec is not None and head_spec.w_bits is not None
+                    and isinstance(head, dict) and head.get("w") is not None):
+                from .core.formats import get_format
+
+                fmt = get_format(head_spec.w_bits, signed=not q.w_asym)
+                qp = Q.weight_qparams(head["w"], fmt, per_channel=True,
+                                      symmetric=not q.w_asym, mse_clip=q.w_clip)
+                llm = dict(params["llm"])
+                llm["lm_head"] = {**head, "w": Q.fake_quantize(
+                    head["w"], qp, fmt).astype(head["w"].dtype)}
+                params["llm"] = llm
+                out = head["w"].shape[-1]
+                wqps = dict(wqps or {})
+                wqps["lm_head"] = (qp.scale.reshape(1, out),
+                                   None if qp.zero_point is None
+                                   else qp.zero_point.reshape(1, out))
     return params, wqps
 
 
@@ -630,6 +665,22 @@ def run_pipeline(model: str, q: QuantizeConfig,
             cfg = dataclasses.replace(
                 cfg, llm=dataclasses.replace(cfg.llm, intermediate_pad=pad))
         log.info(f"fuse+rotate done: {info}")
+
+    if q.lm_head_bits == "auto":
+        # per-model quality-proxy gate: W4 head iff head-only ppl ratio
+        # within lm_head_gate (runs post-rotation: the head is rotated)
+        from .utils.autobits import decide_head_bits
+
+        pick, ratios = decide_head_bits(fam, cfg, params, specs,
+                                        calib_batches[0], gate=q.lm_head_gate)
+        specs["llm.lm_head"] = SiteSpec(
+            w_bits=pick, a_bits=q.llm_a_bits or None, a_static=q.llm_static,
+            a_symmetric=not q.a_asym,
+            a_per_channel=False if q.act_per_tensor else True,
+            observer=q.act_observer)
+        info["lm_head_bits"] = pick
+        log.info("lm_head gate: W4 ppl ratio %.5f, int8 %.5f (gate %.4f) "
+                 "→ %d-bit head", ratios[4], ratios[8], q.lm_head_gate, pick)
 
     if q.auto_bits > 0:
         # sensitivity measured on the TRANSFORMED model (rotation changes

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -166,6 +167,61 @@ def autobits_specs(fam, cfg, params: Dict, specs: Dict, batch: dict,
     for name, b in bits.items():
         new_specs[name] = dataclasses.replace(specs[name], w_bits=b)
     return new_specs, sens, bits
+
+
+def head_quantized_params(params: Dict, bits: int) -> Dict:
+    """Params copy with ONLY the lm_head weights RTN-fake-quantized at
+    ``bits`` (per-out-channel minmax — the probe/offline grid)."""
+    from ..core import quant as Q
+    from ..core.formats import get_format
+
+    fmt = get_format(bits, signed=True)
+
+    def fq(w):
+        qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=True,
+                              reduce_axes=(-2,) if w.ndim == 3 else None)
+        return Q.fake_quantize(w, qp, fmt).astype(w.dtype)
+
+    out = dict(params)
+    out["llm"] = _map_site_weights(params["llm"], "lm_head", fq)
+    return out
+
+
+def ppl_ratio_from_logits(lf, lq) -> float:
+    """exp(CE(fp_dist, quantized) − H(fp_dist)) — the checkpoint-free quality
+    proxy (1.0 = no degradation; the repo's acceptance gate machinery,
+    tests/test_quality_proxy.py)."""
+    lf = lf.astype(jnp.float32)
+    lq = jnp.asarray(lq).astype(jnp.float32)
+    pf = jax.nn.softmax(lf, -1)
+    ce_q = -jnp.sum(pf * jax.nn.log_softmax(lq, -1), -1)
+    ce_f = -jnp.sum(pf * jax.nn.log_softmax(lf, -1), -1)
+    return float(jnp.exp(jnp.mean(ce_q - ce_f)))
+
+
+def decide_head_bits(fam, cfg, params: Dict, specs: Dict, batch: dict,
+                     low: int = 4, high: int = 8, gate: float = 1.002,
+                     ) -> Tuple[int, Dict[int, float]]:
+    """Quality-proxy gate for the lm_head weight width: measure the
+    perplexity ratio of quantizing ONLY the head at ``low`` vs ``high`` and
+    pick ``low`` (the packed-W4 head, +7% decode from halving the head
+    stream) iff its ratio stays under ``gate``. This replaces the former
+    always-int8 judgment call with a per-model measurement — head
+    sensitivity is model-dependent, and the framework owns the tooling to
+    measure it. Returns (bits, {bits: ppl_ratio})."""
+    kwargs = {k: v for k, v in batch.items() if k not in ("tokens", "patches")}
+    tspecs = transform_only_specs(specs)
+
+    def run(p):
+        out, _, _ = fam.forward_fn(cfg, p, batch["tokens"],
+                                   batch.get("patches"), specs=tspecs,
+                                   mode="fake", **kwargs)
+        return out
+
+    lf = run(params)
+    ratios = {b: ppl_ratio_from_logits(lf, run(head_quantized_params(params, b)))
+              for b in (low, high)}
+    return (low if ratios[low] <= gate else high), ratios
 
 
 def rtn_apply_bits(params: Dict, bits: Dict[str, int]) -> Dict:

@@ -178,3 +178,69 @@ class TestPipelineWiring:
                                           jax.random.key(2))[0],
                   specs, "fake")
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestHeadBitsGate:
+    """The lm_head quality-proxy gate (utils/autobits.decide_head_bits):
+    a measured per-model int8-vs-packed-W4 head decision replacing the
+    former always-int8 judgment call."""
+
+    def _setup(self, damage_head=False):
+        fam = get_family("qwen2vl")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        if damage_head:
+            # within-row outliers blow the per-out-channel W4 minmax grid
+            params = jax.tree.map(lambda x: x, params)
+            w = params["llm"]["lm_head"]["w"]
+            params["llm"]["lm_head"]["w"] = w.at[0, :].set(
+                50.0 * jnp.abs(w[0, :]) + 5.0)
+        specs = build_specs(fam, QuantizeConfig(
+            rotate=False, llm_split=False, online_llm_hadamard=False,
+            llm_static=False, visual_static=False))
+        batch = synthetic_calib_batches(fam, cfg, 1, jax.random.key(1))[0]
+        return fam, cfg, params, specs, batch
+
+    def test_benign_head_passes_w4(self):
+        from mquant_tpu.utils.autobits import decide_head_bits
+
+        fam, cfg, params, specs, batch = self._setup()
+        pick, ratios = decide_head_bits(fam, cfg, params, specs, batch)
+        assert ratios[8] <= ratios[4]
+        assert pick == 4, ratios
+
+    def test_damaged_head_forces_int8(self):
+        from mquant_tpu.utils.autobits import decide_head_bits
+
+        fam, cfg, params, specs, batch = self._setup(damage_head=True)
+        pick, ratios = decide_head_bits(fam, cfg, params, specs, batch)
+        assert pick == 8, ratios
+        assert ratios[4] > 1.002
+
+    def test_auto_bits_probe_scores_lm_head(self):
+        fam, cfg, params, specs, batch = self._setup()
+        specs = dict(specs)
+        from mquant_tpu.models.layers import SiteSpec
+
+        specs["llm.lm_head"] = SiteSpec(w_bits=4, a_bits=8, a_static=False)
+        sens = site_sensitivities(fam, cfg, params, specs, batch)
+        assert "llm.lm_head" in sens and np.isfinite(sens["llm.lm_head"])
+        elems = site_weight_elems(params, specs)
+        assert elems["llm.lm_head"] == int(
+            np.prod(params["llm"]["lm_head"]["w"].shape))
+
+    def test_pipeline_auto_decision_flows_to_realized_serving(self):
+        fam = get_family("qwen2vl")
+        cfg = fam.tiny_fn()
+        params = fam.init_fn(cfg, jax.random.key(0))
+        calib = synthetic_calib_batches(fam, cfg, 1, jax.random.key(5))
+        q = QuantizeConfig(calib_num=8, nsamples=4, visual_w_bits=8,
+                           llm_w_bits=4, lm_head_bits="auto",
+                           realize_int=True)
+        _, p, state, sp, info = run_pipeline(
+            "qwen2vl", q, params=jax.tree.map(lambda x: x, params), cfg=cfg,
+            calib_batches=calib)
+        assert info["lm_head_bits"] in (4, 8)
+        assert sp["llm.lm_head"].w_bits == info["lm_head_bits"]
+        head = p["llm"]["lm_head"]
+        assert "w_q" in head and "w_scale" in head  # realized int storage
