@@ -343,6 +343,41 @@ def prefill_int8_macs(cfg, T: int) -> float:
     return T * (cfg.n_layers * per_layer + cfg.hidden * cfg.vocab)
 
 
+def pooled_roofline(cfg, tps_total: float, B: int, kv_pos: int,
+                    w4_packed: bool = True) -> dict:
+    """Roofline attribution for MULTI-STREAM decode (batched B>1 / the slot
+    pool): the quantized weights stream ONCE per step and amortize over B
+    tokens, while the bf16 KV read multiplies by B — so the binding resource
+    shifts from weight bandwidth toward KV bandwidth (and eventually MXU) as
+    B grows. Reports the bytes/step split, achieved GB/s, the step's
+    int8-GEMM MXU fraction, and which resource binds."""
+    import os
+
+    per_layer = sum(a * b for a, b in site_dims(cfg).values())
+    w_bytes = cfg.n_layers * per_layer * (0.5 if w4_packed else 1.0)
+    head_b = 0.5 if int(os.environ.get("MQUANT_BENCH_HEAD", "8")) == 4 else 1.0
+    w_bytes += cfg.hidden * cfg.vocab * head_b
+    kv_bytes = (B * 2 * 2 * cfg.n_layers * kv_pos
+                * cfg.n_kv_heads * cfg.head_dim)
+    bts = w_bytes + kv_bytes
+    t_step = B / tps_total  # seconds per fused step producing B tokens
+    gbps = bts / t_step / 1e9
+    macs = B * (cfg.n_layers * per_layer + cfg.hidden * cfg.vocab)
+    tops = 2 * macs / t_step / 1e12
+    bw_frac = gbps / HBM_PEAK_GBPS
+    mfu = tops / INT8_PEAK_TOPS
+    return {"batch": B, "kv_pos": kv_pos,
+            "tok_per_s": round(tps_total, 1),
+            "bytes_per_step_mb": round(bts / 1e6, 1),
+            "weight_bytes_frac": round(w_bytes / bts, 3),
+            "kv_bytes_frac": round(kv_bytes / bts, 3),
+            "achieved_gbps": round(gbps, 1),
+            "bw_frac": round(bw_frac, 3),
+            "int8_tops": round(tops, 2),
+            "mfu_int8": round(mfu, 4),
+            "bound": "HBM" if bw_frac >= mfu else "MXU"}
+
+
 def roofline(cfg, ttft: float, tps: float, kv_pos: int, w4_packed: bool):
     """Achieved bandwidth/compute vs chip peaks (the round-3 verdict asked
     for these IN the bench artifact, not back-computed by the judge)."""
@@ -373,8 +408,9 @@ def measure(cfg, params, specs, state, mode, label):
     # to the per-prefill number (identical artifact for both variants; a
     # production host pays µs dispatch)
     ttft = measure_ttft_chained(gen, toks, chain=32)
+    setup_s = time.time() - t0
     log(f"[{label}] TTFT {ttft*1e3:.1f} ms model-latency "
-        f"(setup+compile {time.time()-t0:.0f}s)")
+        f"(setup+compile {setup_s:.0f}s)")
     tps = measure_decode_tps(gen, toks, n_tokens=DECODE_TOKENS, on_device=True)
     log(f"[{label}] decode {tps:.1f} tok/s (on-device loop)")
     # MEASURED request (not ttft + N/tps arithmetic): one wall-clock span over
@@ -394,7 +430,7 @@ def measure(cfg, params, specs, state, mode, label):
         f"+ {GEN_TOKENS} tok): {req_vlm:.3f} s")
     del vp, mp
     gc.collect()
-    return ttft, tps, req, req_vlm
+    return ttft, tps, req, req_vlm, setup_s
 
 
 def try_measure(n_layers, variant):
@@ -433,8 +469,8 @@ def try_measure(n_layers, variant):
 def robust(variant, depths):
     for n in depths:
         try:
-            ttft, tps, req, req_vlm = try_measure(n, variant)
-            return n, ttft, tps, req, req_vlm
+            ttft, tps, req, req_vlm, setup_s = try_measure(n, variant)
+            return n, ttft, tps, req, req_vlm, setup_s
         except Exception as e:  # OOM or backend failure → shallower model
             log(f"[{variant} L={n}] failed: {type(e).__name__}: {str(e)[:300]}")
             gc.collect()
@@ -453,8 +489,9 @@ def main():
     head_bits = resolve_bench_head()  # measured W4-vs-int8 head decision
     log(f"lm_head width for this run: {head_bits}-bit")
     full_depth = 28
-    n_q, ttft_q, tps_q, req_q, reqv_q = robust("w4a8", [full_depth, 14, 7])
-    n_b, ttft_b, tps_b, req_b, reqv_b = robust(
+    n_q, ttft_q, tps_q, req_q, reqv_q, setup_q = robust(
+        "w4a8", [full_depth, 14, 7])
+    n_b, ttft_b, tps_b, req_b, reqv_b, setup_b = robust(
         "bf16", [full_depth, 26, 24, 20, 14, 7])
 
     if n_q != n_b:
@@ -506,6 +543,11 @@ def main():
         "decode_speedup": round(tps_q_cmp / tps_b, 2),
         "ttft_ms_w4a8": round(ttft_q * 1e3, 1),
         "gemv": os.environ.get("MQUANT_GEMV", "xla"),
+        "lm_head_bits": head_bits,
+        # persistent-compile-cache evidence: warm runs load executables from
+        # disk (cold W4A8 ≈ 9 min of XLA/Pallas compiles, round-4 measured)
+        "setup_compile_s_w4a8": round(setup_q, 1),
+        "setup_compile_s_bf16": round(setup_b, 1),
         **rl,
     }))
 

@@ -122,17 +122,33 @@ def score_mcq(rows: List[dict], extract_fn=None) -> Dict[str, float]:
     circular) accuracy; circular consistency when rows carry a shared
     ``group`` id (all rotations must be right — MMBench protocol).
 
-    ``extract_fn(prediction, options) -> Optional[letter]``: pluggable
-    fallback extraction consulted when the built-in exact/containment
-    matching finds nothing — the hook where VLMEvalKit plugs its ChatGPT
-    judge (ref: third/VLMEvalKit/vlmeval/dataset/image_mcq.py:216-224);
-    the default, like the reference's default, is exact matching only."""
+    ``extract_fn(prediction, options[, question]) -> Optional[letter]``:
+    pluggable fallback extraction consulted when the built-in
+    exact/containment matching finds nothing — the hook where VLMEvalKit
+    plugs its ChatGPT judge (ref: third/VLMEvalKit/vlmeval/dataset/
+    image_mcq.py:216-224); the default, like the reference's default, is
+    exact matching only. A three-parameter callable (e.g.
+    ``evaluation.judge.make_model_judge`` — any served model as the judge)
+    also receives the row's ``question``."""
+    wants_question = False
+    if extract_fn is not None:
+        import inspect
+
+        try:
+            wants_question = len(
+                inspect.signature(extract_fn).parameters) >= 3
+        except (TypeError, ValueError):
+            pass
     ok_rows = []
     groups = defaultdict(list)
     for r in rows:
         got = extract_option(r["prediction"], r["options"])
         if got is None and extract_fn is not None:
-            got = extract_fn(r["prediction"], r["options"])
+            if wants_question:
+                got = extract_fn(r["prediction"], r["options"],
+                                 r.get("question", ""))
+            else:
+                got = extract_fn(r["prediction"], r["options"])
         ok = got == r["answer"]
         ok_rows.append(ok)
         if r.get("group") is not None:

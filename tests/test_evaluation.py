@@ -695,3 +695,66 @@ class TestBatchedEval:
         assert batched["metrics"] == serial["metrics"]
         assert len(fn.engine._requests) == 0  # released after each group
         assert fn.engine.stats()["queued"] == 0
+
+
+class TestModelJudge:
+    """evaluation/judge.py: any served model as the MCQ answer matcher (the
+    reference's ChatGPT-judge slot, ref image_mcq.py:216-224)."""
+
+    OPTS = {"A": "a cat", "B": "a dog", "C": "a bird"}
+
+    def test_judge_rescues_unmatched_row(self):
+        from mquant_tpu.evaluation.judge import make_model_judge
+
+        seen = []
+
+        def model(prompt):
+            seen.append(prompt)
+            return "B"
+
+        rows = [{"options": self.OPTS, "answer": "B", "question": "what?",
+                 "prediction": "it is canine, a puppy"}]  # unmatchable
+        m = S.score_mcq(rows, extract_fn=make_model_judge(model))
+        assert m["acc"] == 100.0
+        assert len(seen) == 1
+        # the judge prompt carries question, options and the prediction
+        assert "what?" in seen[0] and "a dog" in seen[0] \
+            and "puppy" in seen[0]
+
+    def test_judge_not_consulted_when_exact_matching_works(self):
+        from mquant_tpu.evaluation.judge import make_model_judge
+
+        calls = []
+        judge = make_model_judge(lambda p: calls.append(p) or "C")
+        rows = [{"options": self.OPTS, "answer": "B", "prediction": "B."}]
+        m = S.score_mcq(rows, extract_fn=judge)
+        assert m["acc"] == 100.0 and not calls  # judge can't flip a match
+
+    def test_z_verdict_and_garbage_score_zero(self):
+        from mquant_tpu.evaluation.judge import make_model_judge
+
+        rows = [{"options": self.OPTS, "answer": "A", "prediction": "hmm"}]
+        assert S.score_mcq(rows, extract_fn=make_model_judge(
+            lambda p: "Z"))["acc"] == 0.0
+        assert S.score_mcq(rows, extract_fn=make_model_judge(
+            lambda p: "no idea at all"))["acc"] == 0.0
+
+    def test_retry_then_parse(self):
+        from mquant_tpu.evaluation.judge import make_model_judge
+
+        outs = iter(["(unintelligible)", "the option is C"])
+        rows = [{"options": self.OPTS, "answer": "C", "prediction": "tweet"}]
+        m = S.score_mcq(rows, extract_fn=make_model_judge(
+            lambda p: next(outs), retries=2))
+        assert m["acc"] == 100.0
+
+    def test_runner_judge_uses_text_generate(self):
+        from mquant_tpu.evaluation.judge import runner_judge
+
+        class FakeRunner:
+            def generate(self, prompt, max_new_tokens=None):
+                assert prompt["text"].startswith("Match the answer")
+                return "A"
+
+        fn = runner_judge(FakeRunner())
+        assert fn("some text", self.OPTS, "q?") == "A"
