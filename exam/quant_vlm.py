@@ -114,6 +114,11 @@ def parser_gen(model_default=None):
                    help="eval dataset (MME | MMBench | OCRBench | TextVQA_VAL "
                         "| DocVQA_VAL | SyntheticVQA | path to TSV)")
     p.add_argument("--eval_limit", type=int, default=None)
+    p.add_argument("--judge_artifact", default=None,
+                   help="artifact dir of a JUDGE model: MCQ predictions "
+                        "exact matching cannot parse are matched by this "
+                        "served model (the reference's ChatGPT-judge slot, "
+                        "egress-free)")
     p.add_argument("--eval_batch", type=int, default=0,
                    help=">1: evaluate through the continuous-batching "
                         "engine pool, eval_batch rows at a time")
@@ -203,9 +208,21 @@ def main(args=None):
         ds = build_dataset(args.dataset_name)
         batch_fn = (runner.engine_server(slots=args.eval_batch)
                     if args.eval_batch and args.eval_batch > 1 else None)
+        extract_fn = None
+        if args.judge_artifact:
+            # a second served model matches unparseable MCQ answers (the
+            # reference's ChatGPT-judge slot, image_mcq.py:216-224 — here
+            # any model artifact, e.g. the un-quantized or int8 variant)
+            from mquant_tpu.evaluation.judge import runner_judge
+            from mquant_tpu.serve.server import build_server_from_artifact
+
+            judge_runner = build_server_from_artifact(
+                args.judge_artifact, return_runner=True)
+            extract_fn = runner_judge(judge_runner)
         eval_dataset(runner.generate, ds, out_dir=args.output_dir,
                      model_name=args.model, limit=args.eval_limit,
-                     batch_fn=batch_fn, batch_size=args.eval_batch)
+                     batch_fn=batch_fn, batch_size=args.eval_batch,
+                     extract_fn=extract_fn)
 
 
 if __name__ == "__main__":

@@ -705,6 +705,7 @@ def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
                                tokenizer=None, slots: int = 4,
                                max_len: int = 512, port: int = 0,
                                host: str = "127.0.0.1",
+                               return_runner: bool = False,
                                **engine_kw) -> InferenceServer:
     """Quantize once (``run_pipeline(..., artifact_dir=...)``), serve forever:
     the artifact is self-describing (params + static scales + specs + config),
@@ -730,6 +731,8 @@ def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
             "realize_int") else "fake")
     runner = VLMRunner(meta["model"], cfg, params, specs=specs, state=state,
                        mode=mode, tokenizer=tokenizer, max_len=max_len)
+    if return_runner:  # e.g. a judge model for MCQ answer matching
+        return runner
     return InferenceServer.for_vlm(
         runner, slots=slots, max_len=max_len, host=host, port=port,
         model_name=meta.get("model", "mquant-tpu"), **engine_kw)
