@@ -99,10 +99,10 @@ def resolve_bench_head() -> int:
     v = os.environ.get("MQUANT_BENCH_HEAD", "auto")
     if v in ("4", "8"):
         return int(v)
-    from mquant_tpu.core import quant as Q
-    from mquant_tpu.core.formats import get_format
     from mquant_tpu.models.llm import decoder_forward
-    from mquant_tpu.utils.autobits import ppl_ratio_from_logits
+    from mquant_tpu.utils.autobits import (HEAD_GATE_DEFAULT,
+                                           head_quantized_decoder,
+                                           ppl_ratio_from_logits)
 
     cfg = dataclasses.replace(make_cfg(2), dtype=jnp.bfloat16)
     params = init_bf16_on_device(cfg, jax.random.key(9))
@@ -113,21 +113,12 @@ def resolve_bench_head() -> int:
         logits, _, _ = decoder_forward(cfg, p, toks)
         return logits
 
-    def head_fq(bits):
-        w = params["lm_head"]["w"]
-        fmt = get_format(bits, signed=True)
-        qp = Q.weight_qparams(w, fmt, per_channel=True, symmetric=True)
-        p2 = dict(params)
-        p2["lm_head"] = {**params["lm_head"],
-                         "w": Q.fake_quantize(w, qp, fmt).astype(w.dtype)}
-        return p2
-
     lf = run(params)
-    r4 = ppl_ratio_from_logits(lf, run(head_fq(4)))
-    r8 = ppl_ratio_from_logits(lf, run(head_fq(8)))
-    pick = 4 if r4 <= 1.002 else 8
+    r4 = ppl_ratio_from_logits(lf, run(head_quantized_decoder(params, 4)))
+    r8 = ppl_ratio_from_logits(lf, run(head_quantized_decoder(params, 8)))
+    pick = 4 if r4 <= HEAD_GATE_DEFAULT else 8
     log(f"lm_head gate @7B dims: W4 ppl ratio {r4:.5f}, int8 {r8:.5f} "
-        f"(gate 1.002) -> {pick}-bit head")
+        f"(gate {HEAD_GATE_DEFAULT}) -> {pick}-bit head")
     os.environ["MQUANT_BENCH_HEAD"] = str(pick)
     del params
     gc.collect()

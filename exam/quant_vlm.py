@@ -214,10 +214,9 @@ def main(args=None):
             # reference's ChatGPT-judge slot, image_mcq.py:216-224 — here
             # any model artifact, e.g. the un-quantized or int8 variant)
             from mquant_tpu.evaluation.judge import runner_judge
-            from mquant_tpu.serve.server import build_server_from_artifact
+            from mquant_tpu.serve.server import build_runner_from_artifact
 
-            judge_runner = build_server_from_artifact(
-                args.judge_artifact, return_runner=True)
+            judge_runner = build_runner_from_artifact(args.judge_artifact)
             extract_fn = runner_judge(judge_runner)
         eval_dataset(runner.generate, ds, out_dir=args.output_dir,
                      model_name=args.model, limit=args.eval_limit,

@@ -266,7 +266,7 @@ class ServingEngine:
                 kw["rope_delta"] = z
             scratch = jax.tree.map(jnp.copy, self.cache)
             admit(self.params, prompt, jnp.ones((), jnp.int32), scratch,
-                  z, **kw)
+                  z, jnp.float32(self.ntk_alpha), **kw)
         tok = jnp.zeros((self.slots, 1), jnp.int32)
         active = jnp.zeros((self.slots,), bool).at[0].set(True)
         scratch = jax.tree.map(jnp.copy, self.cache)
@@ -330,7 +330,8 @@ class ServingEngine:
         output."""
         return list(self._requests[rid].out)
 
-    def register_prefix(self, tokens) -> None:
+    def register_prefix(self, tokens, expect_len: Optional[int] = None
+                        ) -> None:
         """Prefill a shared prompt prefix (a system prompt) ONCE and store
         its KV row on device; later token-id requests that start with it
         skip re-prefilling the prefix — admission cost drops from
@@ -346,22 +347,30 @@ class ServingEngine:
         dequantized rows. The stored rows themselves are bit-exact; the
         suffix's K/V carries the cache's quantization noise. At int8 this
         does not flip greedy tokens in practice; at int4 it can — same
-        trade-off as chunked prefill over a quantized cache."""
+        trade-off as chunked prefill over a quantized cache.
+
+        Dynamic NTK (Qwen-VL): the rope theta is baked into the stored K
+        rows, so a request only matches a prefix embedded at ITS alpha —
+        i.e. the alpha of the FULL prompt, not of the prefix alone. Pass
+        ``expect_len`` (the anticipated full-prompt length of the traffic
+        this prefix serves) so the rows are embedded in that NTK band;
+        registering a short system prompt without it would park the entry
+        at alpha(len(prefix)) where long-context requests never hit it.
+        Register once per expected band if traffic spans several."""
         arr = np.asarray(tokens, np.int64).reshape(-1)
         Lp = int(arr.shape[0])
         Tb = bucket_len(Lp, minimum=16)
         assert Tb <= self.max_len, (Lp, self.max_len)
         padded = np.zeros((1, Tb), np.int64)
         padded[0, :Lp] = arr
-        palpha = self._alpha_for(Lp)
-        key = ("prefix_fill", Tb, palpha)
+        palpha = self._alpha_for(expect_len if expect_len is not None else Lp)
+        key = ("prefix_fill", Tb)
         if key not in self._jit:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
-            alpha = palpha
 
             @jax.jit
-            def fill(params, prompt, length):
+            def fill(params, prompt, length, alpha):
                 row = init_cache(cfg, 1, self.max_len,
                                  quantized=self.kv_quant)
                 _, row, _ = decoder_forward(
@@ -374,7 +383,8 @@ class ServingEngine:
 
             self._jit[key] = fill
         row = self._jit[key](self.params, jnp.asarray(padded),
-                             jnp.asarray(Lp, jnp.int32))
+                             jnp.asarray(Lp, jnp.int32),
+                             jnp.float32(palpha))
         # the alpha the rows were embedded with rides along: under dynamic
         # NTK a request only matches a prefix prefilled at ITS alpha (the
         # rope theta is baked into the stored K rows)
@@ -435,16 +445,17 @@ class ServingEngine:
 
     # -- admission ----------------------------------------------------------
 
-    def _prefill_insert_fn(self, Tb: int, embeds: bool, has_pos: bool,
-                           alpha: Optional[float] = None):
-        alpha = self.ntk_alpha if alpha is None else alpha
-        key = ("admit", Tb, embeds, has_pos, alpha)
+    def _prefill_insert_fn(self, Tb: int, embeds: bool, has_pos: bool):
+        # the request's NTK alpha rides in as a TRACED scalar (rope_tables
+        # scales theta from data) so a new NTK band never recompiles the
+        # admission prefill — the same mechanism the decode blocks use
+        key = ("admit", Tb, embeds, has_pos)
         if key not in self._jit:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
             topk = self.sample_top_k
 
             @functools.partial(jax.jit, donate_argnums=(3,))
-            def admit(params, prompt, length, cache, slot, pos=None,
+            def admit(params, prompt, length, cache, slot, alpha, pos=None,
                       rope_delta=None):
                 row = init_cache(cfg, 1, self.max_len,
                                  quantized=self.kv_quant)
@@ -475,21 +486,19 @@ class ServingEngine:
             self._jit[key] = admit
         return self._jit[key]
 
-    def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool,
-                     alpha: Optional[float] = None):
+    def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool):
         """One admission piece: forward against the scratch row at its
         current pos (causal-with-offset), pos advances by the TRUE piece
         length (padded tail rows are overwritten by the next piece/decode).
-        ``alpha``: the request's FULL-prompt NTK alpha (what a one-shot
-        prefill would use) applied to every piece."""
-        alpha = self.ntk_alpha if alpha is None else alpha
-        key = ("row_step", Tp, embeds, has_pos, alpha)
+        ``alpha`` (traced scalar): the request's FULL-prompt NTK alpha (what
+        a one-shot prefill would use) applied to every piece."""
+        key = ("row_step", Tp, embeds, has_pos)
         if key not in self._jit:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
 
             @functools.partial(jax.jit, donate_argnums=(2,))
-            def step(params, piece, row, piece_len, pos=None):
+            def step(params, piece, row, piece_len, alpha, pos=None):
                 pos0 = row["pos"]
                 logits, row2, _ = decoder_forward(
                     cfg, params, piece, specs=specs, state=state, mode=mode,
@@ -598,10 +607,10 @@ class ServingEngine:
             p = np.pad(p, ((0, 0), (0, Tp - plen)), mode="edge")
             extra["pos"] = jnp.asarray(p[:, None])
         step = self._row_step_fn(Tp, arr.ndim == 2,
-                                 a.req.positions is not None,
-                                 alpha=self._alpha_for(T))
+                                 a.req.positions is not None)
         logits, a.row = step(self.params, jnp.asarray(piece), a.row,
-                             jnp.asarray(plen, jnp.int32), **extra)
+                             jnp.asarray(plen, jnp.int32),
+                             jnp.float32(self._alpha_for(T)), **extra)
         a.cursor = end
         if a.cursor < T:
             return
@@ -731,8 +740,7 @@ class ServingEngine:
                 prompt = np.zeros((1, Tb, arr.shape[1]), np.float32)
                 prompt[0, :T] = arr
             admit = self._prefill_insert_fn(Tb, arr.ndim == 2,
-                                            r.positions is not None,
-                                            alpha=self._alpha_for(T))
+                                            r.positions is not None)
             extra = {}
             if r.positions is not None:
                 # (3, 1, Tb) edge-padded M-RoPE ids; decode resumes at
@@ -744,7 +752,8 @@ class ServingEngine:
             first, self.cache = admit(
                 self.params, jnp.asarray(prompt),
                 jnp.asarray(T, jnp.int32), self.cache,
-                jnp.asarray(slot, jnp.int32), **extra)
+                jnp.asarray(slot, jnp.int32),
+                jnp.float32(self._alpha_for(T)), **extra)
             if self.sample_top_k:
                 tok, vals, idx, lse = first
                 self._finish_admit(

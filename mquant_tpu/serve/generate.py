@@ -473,23 +473,19 @@ class Generator:
                     cache2["rope_delta"] = rope_delta
                 return logits, cache2  # pos advanced by T (rows are aligned)
 
-            @jax.jit
-            def step_ragged(params, tok, cache, starts, alpha):
-                # causal-with-left-pad-exclusion: starts ≤ col ≤ pos (the
-                # step's own k/v is written at index pos). Passing attn_start
-                # instead of a materialized mask keeps the fused decode
-                # attention kernel eligible (models/llm.py).
-                logits, cache2, _ = decoder_forward(
-                    cfg, params, tok, specs=specs, state=state, mode=mode,
-                    cache=cache, attn_start=starts, ntk_alpha=alpha)
-                return logits, cache2
-
-            self._prefill_cache[key] = (prefill_ragged, step_ragged)
-        prefill_ragged, step_ragged = self._prefill_cache[key]
+            self._prefill_cache[key] = prefill_ragged
+        prefill_ragged = self._prefill_cache[key]
 
         nkey = ("decode_n_ragged_perrow", max_new_tokens - 1, eos_id)
         if nkey not in self._prefill_cache:
             cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            import os
+
+            w4pack = (mode == "real" and specs
+                      and os.environ.get("MQUANT_GEMV", "xla") == "pallas_w4"
+                      and os.environ.get("MQUANT_DECODE_W4PACK", "1") == "1")
+            s4 = (not w4pack and mode == "real" and specs
+                  and os.environ.get("MQUANT_DECODE_S4", "1") == "1")
 
             @jax.jit
             def decode_n_ragged(params, first_tok, cache, starts, alpha):
@@ -498,6 +494,21 @@ class Generator:
                     params = {k: v for k, v in params.items()
                               if k != "layers_packed"}
                     params["layers"] = packed
+                elif s4 or w4pack:
+                    # same decode weight-stream halving as decode_n: W4
+                    # sites re-stored once per fused loop (packed bytes for
+                    # the Pallas SWAR GEMV / native S4 for the XLA dot)
+                    from ..kernels.qmm import pack_w4_sites, s4_squeeze_sites
+
+                    in_dims = {"q": cfg.hidden, "k": cfg.hidden,
+                               "v": cfg.hidden, "gate": cfg.hidden,
+                               "up": cfg.hidden,
+                               "o": cfg.n_heads * cfg.head_dim,
+                               "down": cfg.inter_eff}
+                    params = dict(params)
+                    params["layers"] = (pack_w4_sites if w4pack
+                                        else s4_squeeze_sites)(
+                        params["layers"], specs, in_dims)
                 nB = first_tok.shape[0]
                 toks0 = jnp.full((nB, max_new_tokens - 1),
                                  eos_id if eos_id is not None else 0, jnp.int32)

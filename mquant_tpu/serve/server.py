@@ -529,26 +529,41 @@ class InferenceServer:
         system = "\n".join(m.get("content", "") for m in msgs
                            if m.get("role") == "system"
                            and isinstance(m.get("content"), str)) or None
-        # earlier TEXT-ONLY turns become real chat history ((q, a) pairs,
+        # EVERY earlier turn becomes real chat history ((q, a) pairs,
         # rendered as per-turn markup by the runner's template — ref
-        # make_context parity); the remaining turns (texts + images) are the
-        # final question
+        # make_context parity); list-content turns contribute their text
+        # parts. Only the FINAL turn may carry images (the runner embeds
+        # image features into the final user turn only) — an image in an
+        # earlier turn is rejected loudly instead of being silently merged
+        # into the final question.
         history: List[Any] = []
         pending_q: Any = None
         body = [m for m in msgs if m.get("role") != "system"]
         last = len(body) - 1
         texts: List[str] = []
         images: List[Any] = []
+
+        def parts_text(c):
+            if isinstance(c, str):
+                return c
+            return "\n".join(p.get("text", "") for p in c or []
+                             if p.get("type") == "text")
+
         for i, m in enumerate(body):
             c = m.get("content")
-            if i < last and isinstance(c, str):
+            if i < last:
+                if not isinstance(c, str) and any(
+                        p.get("type") == "image_url" for p in c or []):
+                    raise ValueError(
+                        "images are only supported in the final user turn; "
+                        "earlier turns join the text history")
                 if m.get("role") == "assistant":
-                    history.append((pending_q or "", c))
+                    history.append((pending_q or "", parts_text(c)))
                     pending_q = None
                 else:
                     if pending_q is not None:
                         history.append((pending_q, None))
-                    pending_q = c
+                    pending_q = parts_text(c)
                 continue
             if isinstance(c, str):
                 texts.append(c)
@@ -701,11 +716,34 @@ class InferenceServer:
 # ---------------------------------------------------------------------------
 
 
+def build_runner_from_artifact(artifact_dir: str, mode: Optional[str] = None,
+                               tokenizer=None, max_len: int = 512):
+    """Artifact → ``VLMRunner`` (no HTTP): the self-describing quantization
+    artifact (params + static scales + specs + config) reloaded as a ready
+    model object — e.g. a judge model for MCQ answer matching
+    (``evaluation/judge.runner_judge``), or programmatic batch inference.
+    ``mode`` defaults to "real" when the artifact was realized."""
+    from ..evaluation.adapter import VLMRunner
+    from ..utils.checkpoint import config_from_dict, load_artifact
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+    params, state, specs, meta = load_artifact(artifact_dir)
+    if "config_dict" not in meta:
+        raise ValueError(f"artifact at {artifact_dir} predates config_dict "
+                         "meta; re-export with run_pipeline")
+    cfg = config_from_dict(meta["config_dict"])
+    if mode is None:
+        mode = ("real" if (meta.get("quantize_config") or {}).get(
+            "realize_int") else "fake")
+    return VLMRunner(meta["model"], cfg, params, specs=specs, state=state,
+                     mode=mode, tokenizer=tokenizer, max_len=max_len)
+
+
 def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
                                tokenizer=None, slots: int = 4,
                                max_len: int = 512, port: int = 0,
                                host: str = "127.0.0.1",
-                               return_runner: bool = False,
                                **engine_kw) -> InferenceServer:
     """Quantize once (``run_pipeline(..., artifact_dir=...)``), serve forever:
     the artifact is self-describing (params + static scales + specs + config),
@@ -715,27 +753,11 @@ def build_server_from_artifact(artifact_dir: str, mode: Optional[str] = None,
     Enables the persistent XLA compilation cache: a cold W4A8 boot pays
     ~548 s of compiles (round-4 measurement); warm boots load executables
     from disk (override dir with $MQUANT_COMPILE_CACHE, "off" disables)."""
-    from ..utils.misc import enable_compilation_cache
-
-    enable_compilation_cache()
-    from ..evaluation.adapter import VLMRunner
-    from ..utils.checkpoint import config_from_dict, load_artifact
-
-    params, state, specs, meta = load_artifact(artifact_dir)
-    if "config_dict" not in meta:
-        raise ValueError(f"artifact at {artifact_dir} predates config_dict "
-                         "meta; re-export with run_pipeline")
-    cfg = config_from_dict(meta["config_dict"])
-    if mode is None:
-        mode = ("real" if (meta.get("quantize_config") or {}).get(
-            "realize_int") else "fake")
-    runner = VLMRunner(meta["model"], cfg, params, specs=specs, state=state,
-                       mode=mode, tokenizer=tokenizer, max_len=max_len)
-    if return_runner:  # e.g. a judge model for MCQ answer matching
-        return runner
+    runner = build_runner_from_artifact(artifact_dir, mode=mode,
+                                        tokenizer=tokenizer, max_len=max_len)
     return InferenceServer.for_vlm(
         runner, slots=slots, max_len=max_len, host=host, port=port,
-        model_name=meta.get("model", "mquant-tpu"), **engine_kw)
+        model_name=runner.fam.name, **engine_kw)
 
 
 def main(argv=None):

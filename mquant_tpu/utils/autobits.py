@@ -169,9 +169,16 @@ def autobits_specs(fam, cfg, params: Dict, specs: Dict, batch: dict,
     return new_specs, sens, bits
 
 
-def head_quantized_params(params: Dict, bits: int) -> Dict:
-    """Params copy with ONLY the lm_head weights RTN-fake-quantized at
-    ``bits`` (per-out-channel minmax — the probe/offline grid)."""
+# the head-only perplexity-ratio budget: W4 head accepted iff its ratio
+# stays under this (a fraction of the pipeline's <1% total gate). One
+# constant shared by decide_head_bits and bench.resolve_bench_head.
+HEAD_GATE_DEFAULT = 1.002
+
+
+def head_quantized_decoder(dec_params: Dict, bits: int) -> Dict:
+    """Decoder-tree copy (lm_head at top level) with ONLY the lm_head
+    weights RTN-fake-quantized at ``bits`` (per-out-channel minmax — the
+    probe/offline grid)."""
     from ..core import quant as Q
     from ..core.formats import get_format
 
@@ -182,8 +189,14 @@ def head_quantized_params(params: Dict, bits: int) -> Dict:
                               reduce_axes=(-2,) if w.ndim == 3 else None)
         return Q.fake_quantize(w, qp, fmt).astype(w.dtype)
 
+    return _map_site_weights(dec_params, "lm_head", fq)
+
+
+def head_quantized_params(params: Dict, bits: int) -> Dict:
+    """VLM-params copy (decoder under ``params["llm"]``) with only the
+    lm_head fake-quantized at ``bits``."""
     out = dict(params)
-    out["llm"] = _map_site_weights(params["llm"], "lm_head", fq)
+    out["llm"] = head_quantized_decoder(params["llm"], bits)
     return out
 
 
@@ -200,7 +213,8 @@ def ppl_ratio_from_logits(lf, lq) -> float:
 
 
 def decide_head_bits(fam, cfg, params: Dict, specs: Dict, batch: dict,
-                     low: int = 4, high: int = 8, gate: float = 1.002,
+                     low: int = 4, high: int = 8,
+                     gate: float = HEAD_GATE_DEFAULT,
                      ) -> Tuple[int, Dict[int, float]]:
     """Quality-proxy gate for the lm_head weight width: measure the
     perplexity ratio of quantizing ONLY the head at ``low`` vs ``high`` and

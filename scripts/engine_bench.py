@@ -11,6 +11,7 @@ Reports aggregate wall-clock + tokens/s for both. Run on the TPU chip:
   python scripts/engine_bench.py [depth] [slots]
 """
 
+import gc
 import sys
 import time
 
@@ -64,6 +65,8 @@ def main():
     dt_serial = time.perf_counter() - t0
     log(f"serial: {dt_serial:.2f} s total, "
         f"{total_toks / dt_serial:.1f} tok/s aggregate")
+    del gen, out
+    gc.collect()  # one live model copy at a time (16 GB chip)
 
     # -- continuous batching ------------------------------------------------
     eng = ServingEngine(cfg, params, specs=specs, state=state, mode="real",
@@ -91,12 +94,16 @@ def main():
     # (B=slots vs B=1 serial) is NOT asserted on chip: bf16 batched matmuls
     # break argmax near-ties differently, and random-init logits are
     # tie-dense (CPU f32 tests assert the full equality, tests/test_engine.py).
+    del eng
+    gc.collect()
     solo = ServingEngine(cfg, params, specs=specs, state=state, mode="real",
                          slots=slots, max_len=2048, steps_per_block=16)
     rid = solo.submit(prompts[0], max_new_tokens=GEN)
     souts = solo.run()
     ok = souts[rid] == outs[min(outs)]
     log(f"slot isolation (solo vs mixed pool): {'OK' if ok else 'MISMATCH'}")
+    del solo
+    gc.collect()
 
     # -- B=8 pure batched decode (steady state, no admissions) --------------
     from mquant_tpu.serve.generate import measure_decode_tps

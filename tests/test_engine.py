@@ -470,8 +470,9 @@ class TestWarmup:
         rid = warm.submit(p, max_new_tokens=6)
         assert warm.run()[rid] == want
         # the run reused the warmed jits for this shape (bucket 16 + block);
-        # admit keys carry the request's NTK alpha (1.0 inside the band)
-        assert ("admit", 16, False, False, 1.0) in warm._jit
+        # the request's NTK alpha rides in as DATA, so admit keys carry no
+        # alpha — a new NTK band never recompiles admission
+        assert ("admit", 16, False, False) in warm._jit
         assert ("block", 3) in warm._jit
 
     def test_warmup_sampling_and_spec_variants(self):

@@ -765,14 +765,13 @@ class TestModelJudge:
         chain — load, text-only generate, exact-matching parse — runs."""
         from mquant_tpu.evaluation.judge import runner_judge
         from mquant_tpu.pipeline import QuantizeConfig, run_pipeline
-        from mquant_tpu.serve.server import build_server_from_artifact
+        from mquant_tpu.serve.server import build_runner_from_artifact
 
         art = str(tmp_path / "art")
         q = QuantizeConfig(llm_w_bits=4, visual_w_bits=8, calib_num=8,
                            nsamples=4, realize_int=False)
         run_pipeline("qwen2vl", q, tiny=True, artifact_dir=art)
-        runner = build_server_from_artifact(art, return_runner=True,
-                                            max_len=256)
+        runner = build_runner_from_artifact(art, max_len=256)
         fn = runner_judge(runner, max_new_tokens=4, retries=1)
         out = fn("unparseable blob", self.OPTS, "what?")
         assert out in (None, "A", "B", "C")  # parsed or honestly absent

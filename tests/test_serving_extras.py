@@ -431,6 +431,13 @@ class TestDynamicNTK:
         assert list(eng.alphas) == [7.0, 1.0]
         assert outs[ra] == solo["long"]
         assert outs[rb] == solo["short"]
+        # alpha rides into admission as TRACED data: the jit keys carry no
+        # alpha, so a new NTK band never recompiles the admission prefill
+        admit_keys = [k for k in eng._jit if k[0] in ("admit", "row_step",
+                                                      "prefix_fill")]
+        assert admit_keys and all(
+            not any(isinstance(e, float) for e in k) for k in admit_keys), \
+            admit_keys
 
     def test_engine_spec_decode_per_request_alpha(self):
         """Speculative pool: same per-request alpha exactness (the verify
