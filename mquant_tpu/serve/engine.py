@@ -138,7 +138,15 @@ class ServingEngine:
         self.prefix_hits = 0
         self._next_rid = 0
         self._requests: Dict[int, _Request] = {}  # rid → request (all states)
-        self.cache = init_cache(cfg, slots, max_len, quantized=kv_quant)
+        # the decode attention streams the whole KV BUFFER every step
+        # (models/llm.py: k_all is the full cache), so max_len is a CAP, not
+        # the allocation: the buffer starts at a small bucket and grows to
+        # the bucketed high-water mark of admitted work (_grow). Each new
+        # bucket retraces the admit/block jits once (persisted by the
+        # compile cache); the steady-state decode then streams only
+        # ceil(need/256)*256 rows instead of max_len.
+        self.cache = init_cache(cfg, slots, self._cache_bucket(256),
+                                quantized=kv_quant)
         self.cache["pos"] = jnp.zeros((slots,), jnp.int32)
         self.cache["rope_delta"] = jnp.zeros((slots,), jnp.int32)
         # spec_k > 0: decode blocks run BATCHED self-speculative rounds —
@@ -217,6 +225,7 @@ class ServingEngine:
         assert need <= self.max_len, (
             f"prompt {T} + decode {max_new_tokens} exceeds engine max_len "
             f"{self.max_len}")
+        self._grow(need)
         if positions is not None:
             positions = np.asarray(positions)
             if positions.ndim == 1:
@@ -257,6 +266,7 @@ class ServingEngine:
             Tb = bucket_len(int(T), minimum=16)
             if Tb + self.spec_k > self.max_len:
                 continue
+            self._grow(Tb + self.spec_k)  # scratch rows must hold the bucket
             admit = self._prefill_insert_fn(Tb, embeds, with_positions)
             prompt = (jnp.zeros((1, Tb, self.cfg.hidden), jnp.float32)
                       if embeds else jnp.zeros((1, Tb), jnp.int64))
@@ -330,6 +340,37 @@ class ServingEngine:
         output."""
         return list(self._requests[rid].out)
 
+    def _cache_bucket(self, n: int, step: int = 256) -> int:
+        return max(16, min(self.max_len, -(-int(n) // step) * step))
+
+    def _cache_S(self) -> int:
+        return int(self.cache["k"].shape[2])
+
+    def _grow(self, need: int) -> None:
+        """Grow the pool's KV buffer (sequence axis) to the bucket holding
+        ``need`` rows. One device pad-copy; jits retrace at the new shape
+        (once per bucket). Registered prefix rows pad along, so they stay
+        insertable into the pool."""
+        S = self._cache_S()
+        newS = self._cache_bucket(need)
+        if newS <= S:
+            return
+        assert self._admitting is None,             "grow() must not interleave with a chunked admission in flight"
+
+        def pad_seq(tree, to):
+            out = dict(tree)
+            for nm in ("k", "v", "k_scale", "v_scale", "k_zp", "v_zp"):
+                if nm in out:
+                    a = out[nm]
+                    cfgpad = [(0, 0)] * a.ndim
+                    cfgpad[2] = (0, to - a.shape[2])
+                    out[nm] = jnp.pad(a, cfgpad)
+            return out
+
+        self.cache = pad_seq(self.cache, newS)
+        self._prefixes = [(ids, pad_seq(row, newS), al)
+                          for ids, row, al in self._prefixes]
+
     def register_prefix(self, tokens, expect_len: Optional[int] = None
                         ) -> None:
         """Prefill a shared prompt prefix (a system prompt) ONCE and store
@@ -364,14 +405,16 @@ class ServingEngine:
         padded = np.zeros((1, Tb), np.int64)
         padded[0, :Lp] = arr
         palpha = self._alpha_for(expect_len if expect_len is not None else Lp)
-        key = ("prefix_fill", Tb)
+        self._grow(Lp)  # the prefix row must fit (and insert into) the pool
+        S_row = self._cache_S()
+        key = ("prefix_fill", Tb, S_row)
         if key not in self._jit:
             cfg, specs, state, mode = (self.cfg, self.specs, self.state,
                                        self.mode)
 
             @jax.jit
             def fill(params, prompt, length, alpha):
-                row = init_cache(cfg, 1, self.max_len,
+                row = init_cache(cfg, 1, S_row,
                                  quantized=self.kv_quant)
                 _, row, _ = decoder_forward(
                     cfg, params, prompt, specs=specs, state=state, mode=mode,
@@ -457,7 +500,9 @@ class ServingEngine:
             @functools.partial(jax.jit, donate_argnums=(3,))
             def admit(params, prompt, length, cache, slot, alpha, pos=None,
                       rope_delta=None):
-                row = init_cache(cfg, 1, self.max_len,
+                # scratch row at the POOL's current buffer length (static
+                # at trace time; a bucket growth simply retraces)
+                row = init_cache(cfg, 1, cache["k"].shape[2],
                                  quantized=self.kv_quant)
                 logits, row, _ = decoder_forward(
                     cfg, params, prompt, specs=specs, state=state, mode=mode,
@@ -576,7 +621,7 @@ class ServingEngine:
             cursor = len(ptoks)
             self.prefix_hits += 1
         else:
-            row = init_cache(self.cfg, 1, self.max_len,
+            row = init_cache(self.cfg, 1, self._cache_S(),
                              quantized=self.kv_quant)
             row["pos"] = jnp.zeros((), jnp.int32)
             cursor = 0
@@ -592,9 +637,9 @@ class ServingEngine:
         end = min(a.cursor + chunk, T)
         plen = end - a.cursor
         Tp = min(bucket_len(plen, minimum=16), max(chunk, 16))
-        # never write past the cache end (tail-bucket overhang): the piece
+        # never write past the ROW's end (tail-bucket overhang): the piece
         # writes at row pos == a.cursor
-        Tp = min(Tp, self.max_len - a.cursor)
+        Tp = min(Tp, int(a.row["k"].shape[2]) - a.cursor)
         if arr.ndim == 1:
             piece = np.zeros((1, Tp), np.int64)
             piece[0, :plen] = arr[a.cursor:end]

@@ -106,25 +106,35 @@ def main():
     gc.collect()
 
     # -- B=8 pure batched decode (steady state, no admissions) --------------
+    # prefill 512 (not 1024): the (8, T) prefill's activation buffers must
+    # fit NEXT to the resident weights on the 16 GB chip; decode bytes/step
+    # are position-dependent and the roofline below uses the true kv_pos
     from mquant_tpu.serve.generate import measure_decode_tps
 
-    B = 8
-    genb = Generator(cfg, params, specs=specs, state=state, mode="real",
-                     max_len=2048, batch=B)
-    toks_b = jnp.ones((B, 1024), jnp.int32)
-    tps_b8 = measure_decode_tps(genb, toks_b, n_tokens=64, on_device=True)
-    log(f"batched decode B={B} (prefill 1024): {tps_b8:.1f} tok/s aggregate")
+    B, Tpre = 8, 512
+    tps_b8 = None
+    try:
+        genb = Generator(cfg, params, specs=specs, state=state, mode="real",
+                         max_len=Tpre + 128, batch=B)
+        toks_b = jnp.ones((B, Tpre), jnp.int32)
+        tps_b8 = measure_decode_tps(genb, toks_b, n_tokens=64, on_device=True)
+        log(f"batched decode B={B} (prefill {Tpre}): "
+            f"{tps_b8:.1f} tok/s aggregate")
+        del genb
+        gc.collect()
+    except Exception as e:  # noqa: BLE001 — keep the engine numbers
+        log(f"batched B={B} phase failed: {type(e).__name__}: {str(e)[:200]}")
 
     # -- roofline attribution for the multi-stream paths --------------------
     # (VERDICT r4 #8: bytes/step + the binding resource for the paths a
     # deployer runs, not just the B=1 loop)
     import json
 
-    rl_b8 = bench.pooled_roofline(cfg, tps_b8, B, kv_pos=1024 + 32)
-    # engine pool: aggregate includes admission prefills; mean decode
-    # position ≈ mean prompt (597) + GEN/2
-    rl_eng = bench.pooled_roofline(cfg, got / dt_engine, slots,
-                                   kv_pos=int(np.mean(lens)) + GEN // 2)
+    # the attention matmul streams the full cache BUFFER per step
+    rl_b8 = (bench.pooled_roofline(cfg, tps_b8, B, s_attn=Tpre + 128)
+             if tps_b8 else None)
+    # engine pool: aggregate includes admission prefills
+    rl_eng = bench.pooled_roofline(cfg, got / dt_engine, slots, s_attn=2048)
     rl_eng["includes_admission_prefills"] = True
     out = {
         "depth": depth, "slots": slots,
@@ -132,7 +142,7 @@ def main():
         "engine_tok_s": round(got / dt_engine, 1),
         "engine_speedup_vs_serial": round(dt_serial / dt_engine, 2),
         "slot_isolation_ok": bool(ok),
-        "batched_b8_tok_s": round(tps_b8, 1),
+        "batched_b8_tok_s": round(tps_b8, 1) if tps_b8 else None,
         "roofline_batched_b8": rl_b8,
         "roofline_engine": rl_eng,
     }

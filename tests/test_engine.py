@@ -482,3 +482,60 @@ class TestWarmup:
                       ).warmup(prompt_lens=(8,))
         ServingEngine(cfg, params, slots=2, max_len=64, spec_k=3
                       ).warmup(prompt_lens=(8,))
+
+
+class TestBucketedCacheGrowth:
+    """max_len is a CAP: the pool's KV buffer starts at a small bucket and
+    grows to the bucketed high-water mark of admitted work — the decode
+    attention streams the whole BUFFER per step, so a 2048-cap engine
+    serving 300-token work must not pay 2048 rows of KV reads."""
+
+    def test_starts_small_grows_on_demand_outputs_exact(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.key(0))
+        eng = ServingEngine(cfg, params, slots=2, max_len=1024,
+                            steps_per_block=4)
+        assert int(eng.cache["k"].shape[2]) == 256  # initial bucket
+        p_short = np.arange(1, 20, dtype=np.int64)
+        p_long = (np.arange(300) % 40 + 1).astype(np.int64)
+
+        solo = {}
+        gen = Generator(cfg, params, max_len=1024)
+        for nm, p in (("s", p_short), ("l", p_long)):
+            out = gen.generate(jnp.asarray(p)[None], max_new_tokens=6)
+            solo[nm] = [int(t) for t in np.asarray(out)[0]]
+
+        ra = eng.submit(p_short, max_new_tokens=6)
+        assert int(eng.cache["k"].shape[2]) == 256  # short work: no growth
+        rb = eng.submit(p_long, max_new_tokens=6)
+        # long prompt: admission bucket 512 covers prompt+decode → S=512,
+        # half the 1024 cap's KV stream
+        assert int(eng.cache["k"].shape[2]) == 512
+        outs = eng.run()
+        assert outs[ra] == solo["s"]
+        assert outs[rb] == solo["l"]
+
+    def test_growth_with_registered_prefix(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.key(0))
+        eng = ServingEngine(cfg, params, slots=2, max_len=1024,
+                            steps_per_block=4)
+        pref = np.arange(1, 33, dtype=np.int64)
+        eng.register_prefix(pref)
+        # growth must pad the registered row so it stays insertable
+        long_req = np.concatenate([pref, (np.arange(270) % 40 + 1)])
+        rid = eng.submit(long_req.astype(np.int64), max_new_tokens=5)
+        outs = eng.run()
+        assert eng.prefix_hits == 1
+        gen = Generator(cfg, params, max_len=1024)
+        want = np.asarray(gen.generate(jnp.asarray(long_req)[None],
+                                       max_new_tokens=5))[0]
+        assert outs[rid] == [int(t) for t in want]
+
+    def test_cap_still_enforced(self):
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.key(0))
+        eng = ServingEngine(cfg, params, slots=1, max_len=128,
+                            steps_per_block=2)
+        with pytest.raises(AssertionError):
+            eng.submit(np.arange(1, 200, dtype=np.int64), max_new_tokens=8)
