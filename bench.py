@@ -333,9 +333,15 @@ def decode_step_bytes(cfg, w4_packed: bool, s_attn: int) -> float:
 
 def prefill_int8_macs(cfg, T: int) -> float:
     """int8 GEMM MACs in one prefill over the quantized weight sites (the
-    attention/norm work is extra, so the derived MFU is a lower bound)."""
+    attention/norm work is extra, so the derived MFU is a lower bound).
+
+    The lm_head counts ONCE, not xT: the serving prefill slices the last
+    position before the head (models/llm.py last_index path), so only one
+    token's logits are computed. Counting it per-token overstated prefill
+    MACs by 8.3% at 7B dims (vocab 152k) — the round-4 prefill_mfu_int8
+    0.684 was really 0.632."""
     per_layer = sum(a * b for a, b in site_dims(cfg).values())
-    return T * (cfg.n_layers * per_layer + cfg.hidden * cfg.vocab)
+    return T * cfg.n_layers * per_layer + cfg.hidden * cfg.vocab
 
 
 def pooled_roofline(cfg, tps_total: float, B: int, s_attn: int,

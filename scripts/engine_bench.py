@@ -83,9 +83,12 @@ def main():
     outs = eng.run()
     dt_engine = time.perf_counter() - t0
     got = sum(len(v) for v in outs.values())
+    # the pool's KV buffer is bucketed to its high-water mark (engine._grow);
+    # the attention matmul streams THIS many rows per step, not max_len
+    s_attn_eng = eng._cache_S()
     log(f"engine (slots={slots}, block=16): {dt_engine:.2f} s total, "
         f"{got / dt_engine:.1f} tok/s aggregate "
-        f"({dt_serial / dt_engine:.2f}x serial)")
+        f"({dt_serial / dt_engine:.2f}x serial); kv buffer {s_attn_eng}")
 
     # slot-isolation exactness: the same request served SOLO in the pool must
     # produce the same tokens it produced mixed with 11 others (rows of the
@@ -134,7 +137,8 @@ def main():
     rl_b8 = (bench.pooled_roofline(cfg, tps_b8, B, s_attn=Tpre + 128)
              if tps_b8 else None)
     # engine pool: aggregate includes admission prefills
-    rl_eng = bench.pooled_roofline(cfg, got / dt_engine, slots, s_attn=2048)
+    rl_eng = bench.pooled_roofline(cfg, got / dt_engine, slots,
+                                   s_attn=s_attn_eng)
     rl_eng["includes_admission_prefills"] = True
     out = {
         "depth": depth, "slots": slots,

@@ -42,26 +42,64 @@ T = 1024
 REPS = 32
 
 
-def timed(name, fn, *args):
-    """One jit running fn REPS times (carry-chained so XLA can't dead-code
-    or parallelize the reps); returns ms per rep."""
+def _fetch(x):
+    """Force completion by fetching one scalar (block_until_ready does not
+    wait on the tunnel backend — see serve/generate._force)."""
+    import numpy as np
 
-    @jax.jit
-    def loop(*a):
-        def body(i, carry):
-            return fn(*a, carry)
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
 
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
-    out = loop(*args)
-    out.block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        loop(*args).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    ms = best / REPS * 1e3
-    log(f"  {name:28s} {ms:7.3f} ms")
+def timed(name, fn, carry0, *args):
+    """Per-rep time of fn with a REAL tensor carry chained through every rep
+    (fn: (carry, *args) -> carry of the same pytree shape), measured as the
+    slope between two chain lengths so the per-dispatch tunnel RTT cancels.
+
+    Three hazards this harness defeats (each produced garbage in earlier
+    versions of this probe):
+      * scalar `y[0,0]` reductions — XLA pushes the slice through the dot
+        and hoists the loop-invariant body out of the fori_loop (seven
+        7B-dims GEMMs "measured" 0.002 ms);
+      * `block_until_ready` — returns without waiting on the axon tunnel;
+        a value must be FETCHED;
+      * dispatch memoization — repeated identical (fn, args) calls return
+        cached results; every trial must vary its inputs."""
+
+    def loop_for(reps):
+        @jax.jit
+        def loop(c0, *a):
+            def body(i, c):
+                return fn(c, *a)
+
+            out = jax.lax.fori_loop(0, reps, body, c0)
+            # return ONE element per leaf: _fetch np.asarray()s the whole
+            # returned array, and shipping a multi-MB carry over the ~20 MB/s
+            # tunnel (0.15-1.5 s) buries the compute delta in transfer noise.
+            # XLA cannot narrow the slice through the loop: every body step
+            # consumes the full previous carry.
+            return jax.tree.map(lambda t: t.ravel()[:1], out)
+
+        return loop
+
+    def vary(c, i):
+        return jax.tree.map(
+            lambda t: t + jnp.asarray((i % 100) + 1, jnp.int32).astype(
+                t.dtype), c)
+
+    times = {}
+    for reps in (8, REPS):
+        loop = loop_for(reps)
+        _fetch(loop(carry0, *args))  # compile
+        best = float("inf")
+        for i in range(4):
+            c0 = vary(carry0, 10 * reps + i)
+            t0 = time.perf_counter()
+            _fetch(loop(c0, *args))
+            best = min(best, time.perf_counter() - t0)
+        times[reps] = best
+    ms = (times[REPS] - times[8]) / (REPS - 8) * 1e3
+    log(f"  {name:28s} {ms:7.3f} ms  "
+        f"(chain8 {times[8]*1e3:.2f} ms, chain{REPS} {times[REPS]*1e3:.2f} ms)")
     return ms
 
 
@@ -82,58 +120,69 @@ def main():
           for i, (s, (a, b)) in enumerate(sites.items())}
     xi8 = jax.random.randint(key, (T, I), -127, 128, jnp.int8)
 
-    def gemms(x, xi, ws, carry):
-        acc = carry
+    def gemms(carry, ws):
+        # carry = (x int8 (T,Hd), xi int8 (T,I)); per-site row-max is a
+        # non-factorable reduction (sum_j would fold into a GEMV: the row
+        # maxes force every output column to exist), and the next rep's
+        # inputs mix in those maxes so the chain is serial.
+        x, xi = carry
+        m = jnp.zeros((T,), jnp.int32)
         for s, w in ws.items():
             inp = xi if s == "down" else x
             y = jax.lax.dot_general(
                 inp, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            acc = acc + y[0, 0].astype(jnp.float32)
-        return acc
+            m = m + jnp.max(y, axis=1)
+        nx = ((x.astype(jnp.int32) + m[:, None]) % 255 - 127).astype(jnp.int8)
+        nxi = ((xi.astype(jnp.int32) + m[:, None]) % 255 - 127
+               ).astype(jnp.int8)
+        return (nx, nxi)
 
-    t_gemm = timed("int8 site GEMMs (x7)", gemms, x8, xi8, ws)
+    t_gemm = timed("int8 site GEMMs (x7)", gemms, (x8, xi8), ws)
 
     q = jax.random.normal(key, (H, T, hd), jnp.bfloat16)
     k = jax.random.normal(key, (H, T, hd), jnp.bfloat16)
     v = jax.random.normal(key, (H, T, hd), jnp.bfloat16)
     mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
 
-    def attn(q, k, v, carry):
+    def attn(q, k, v):
         s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32)
         s = jnp.where(mask, s / (hd ** 0.5), -1e30)
         p = jax.nn.softmax(s, -1).astype(jnp.bfloat16)
         o = jnp.einsum("hts,hsd->htd", p, v)
-        return carry + o[0, 0, 0].astype(jnp.float32)
+        return o
 
-    t_attn = timed("attention (QK^T+softmax+AV)", attn, q, k, v)
+    t_attn = timed("attention (QK^T+softmax+AV)",
+                   lambda c, k, v: attn(c, k, v), q, k, v)
 
     xh = jax.random.normal(key, (T * (I // 128), 128), jnp.bfloat16)
     h128 = jnp.asarray(jax.random.orthogonal(key, 128), jnp.bfloat16)
 
-    def had(xh, h, carry):
-        y = xh @ h
-        return carry + y[0, 0].astype(jnp.float32)
-
-    t_had = timed("online Hadamard (I x H128)", had, xh, h128)
+    t_had = timed("online Hadamard (I x H128)",
+                  lambda c, h: c @ h, xh, h128)
 
     xf = jax.random.normal(key, (T, Hd), jnp.bfloat16)
     g = jnp.ones((Hd,), jnp.bfloat16)
 
-    def norms_quant(x, g, carry):
-        # 2 RMSNorms + 2 act quantizations + silu-mul at inter width
+    gate0 = jax.random.normal(jax.random.key(1), (T, I), jnp.bfloat16)
+
+    def norms_quant(carry, g):
+        # 2 RMSNorms + 2 act quantizations + silu-mul at inter width; the
+        # next rep's inputs are the previous rep's full outputs.
+        x, gate = carry
         for _ in range(2):
             var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1,
                            keepdims=True)
             y = (x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)) * g
             qx = jnp.clip(jnp.round(y.astype(jnp.float32) / 0.05), -127, 127)
-            carry = carry + qx[0, 0]
-        gate = jax.random.normal(jax.random.key(1), (T, I), jnp.bfloat16)
+            x = (y + 1e-3 * qx.astype(jnp.bfloat16)).astype(jnp.bfloat16)
         up = gate + 1.0
         act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
-        return carry + act[0, 0]
+        gate = (0.99 * gate.astype(jnp.float32) + 1e-3 * act
+                ).astype(jnp.bfloat16)
+        return (x, gate)
 
-    t_vpu = timed("norms+quant+silu (VPU)", norms_quant, xf, g)
+    t_vpu = timed("norms+quant+silu (VPU)", norms_quant, (xf, gate0), g)
 
     comp_sum = t_gemm + t_attn + t_had + t_vpu
 
