@@ -26,6 +26,7 @@ from mquant_tpu.transform.hadamard import auto_pad_size  # noqa: E402
 
 DEPTH = int(os.environ.get("DEPTH", "28"))
 PREF = int(os.environ.get("PREF", "1024"))
+BATCH = int(os.environ.get("BATCH", "1"))  # B>1: the batched decode step
 OUT = os.environ.get("OUT", "/tmp/decode_n.hlo")
 
 
@@ -35,8 +36,8 @@ def main():
     cfg = B.make_cfg(DEPTH, intermediate_pad=pad)
     params, state = B.init_w4a8_on_device(cfg, key)
     gen = Generator(cfg, params, specs=B.llm_specs(), state=state,
-                    mode="real", max_len=PREF + 128, batch=1)
-    toks = jnp.ones((1, PREF), jnp.int32)
+                    mode="real", max_len=PREF + 128, batch=BATCH)
+    toks = jnp.ones((BATCH, PREF), jnp.int32)
     logits, cache = gen.prefill(toks)
     tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
     dec = gen._decode_n(128)
