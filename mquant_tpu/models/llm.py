@@ -612,7 +612,13 @@ def decoder_forward(
     h, ys = jax.lax.scan(body, h, xs, unroll=max(1, unroll))
 
     if last_index is not None:
-        h = jax.lax.dynamic_slice_in_dim(h, jnp.asarray(last_index, jnp.int32), 1, 1)
+        li = jnp.asarray(last_index, jnp.int32)
+        if li.ndim == 1:
+            # per-row last positions (batched admission prefill: rows in the
+            # same length bucket keep their own true lengths)
+            h = jnp.take_along_axis(h, li[:, None, None], axis=1)
+        else:
+            h = jax.lax.dynamic_slice_in_dim(h, li, 1, 1)
     h = L.rms_norm(h, params["ln_f"]["w"], cfg.norm_eps)
     if cfg.tie_embeddings:
         logits = h @ params["embed"]["w"].T.astype(h.dtype)

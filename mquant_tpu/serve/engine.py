@@ -105,7 +105,8 @@ class ServingEngine:
                  kv_quant: bool = False, eos_id: Optional[int] = None,
                  steps_per_block: int = 8, ntk_alpha: float = 1.0,
                  admit_chunk: int = 0, spec_k: int = 0,
-                 sample_top_k: int = 0, seed: int = 0):
+                 sample_top_k: int = 0, seed: int = 0,
+                 admit_batch_tokens: int = 4096):
         self.cfg = cfg
         self.params = params
         self.specs = specs or {}
@@ -117,6 +118,10 @@ class ServingEngine:
         self.eos_id = eos_id
         self.steps_per_block = steps_per_block
         self.ntk_alpha = ntk_alpha
+        # cap on a batched admission prefill's padded (k × Tb) token count:
+        # bounds the prefill's activation memory next to the resident
+        # weights (k is additionally bucketed to 1/2/4/8 per compiled size)
+        self.admit_batch_tokens = admit_batch_tokens
         # per-request dynamic NTK (Qwen-VL): each slot carries its own alpha,
         # derived from ITS prompt length at admission (ref parity:
         # modeling_qwen_opt.py:696-707 computes alpha per request); the decode
@@ -531,6 +536,54 @@ class ServingEngine:
             self._jit[key] = admit
         return self._jit[key]
 
+    def _prefill_insert_multi_fn(self, Tb: int, k: int, embeds: bool,
+                                 has_pos: bool):
+        """Batched admission: k same-bucket prompts prefill as ONE (k, Tb)
+        forward and insert into k slots. Each row keeps its true length
+        (per-row ``last_index`` head gather) and its own NTK alpha. One
+        dispatch + one compiled program instead of k — admission cost on a
+        remote chip is dominated by per-call round trips, and the batched
+        prefill also uses the MXU better than k serial (1, Tb) calls."""
+        key = ("admitN", Tb, k, embeds, has_pos)
+        if key not in self._jit:
+            cfg, specs, state, mode = self.cfg, self.specs, self.state, self.mode
+            topk = self.sample_top_k
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def admit_n(params, prompts, lengths, cache, slots, alphas,
+                        pos=None, rope_deltas=None):
+                rows = init_cache(cfg, k, cache["k"].shape[2],
+                                  quantized=self.kv_quant)
+                # M-RoPE models take a scalar alpha (per-row alpha is
+                # unsupported there); the group key holds alpha fixed then
+                alpha = alphas[0] if has_pos else alphas
+                logits, rows, _ = decoder_forward(
+                    cfg, params, prompts, specs=specs, state=state, mode=mode,
+                    cache=rows, prefill_fresh=True, ntk_alpha=alpha,
+                    positions=pos, last_index=lengths - 1)
+                new = dict(cache)
+                for nm in ("k", "v", "k_scale", "v_scale", "k_zp", "v_zp"):
+                    if nm in cache:
+                        # (L, k, S, ...) rows scatter to the slot axis; pad
+                        # rows (bucketed k) duplicate a real row's slot with
+                        # IDENTICAL data, so write order can't matter
+                        new[nm] = cache[nm].at[:, slots].set(
+                            rows[nm].astype(cache[nm].dtype))
+                new["pos"] = cache["pos"].at[slots].set(lengths)
+                new["rope_delta"] = cache["rope_delta"].at[slots].set(
+                    jnp.zeros((k,), jnp.int32) if rope_deltas is None
+                    else rope_deltas)
+                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                l32 = logits[:, 0].astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(l32, axis=-1)
+                if topk:
+                    return (tok, *jax.lax.top_k(l32, topk), lse), new
+                lp = jnp.max(l32, axis=-1) - lse
+                return (tok, lp), new
+
+            self._jit[key] = admit_n
+        return self._jit[key]
+
     def _row_step_fn(self, Tp: int, embeds: bool, has_pos: bool):
         """One admission piece: forward against the scratch row at its
         current pos (causal-with-offset), pos advances by the TRUE piece
@@ -758,6 +811,34 @@ class ServingEngine:
             self._advance_admission()
             if self._admitting is not None:
                 return
+        # plain admissions are COLLECTED here, grouped by length bucket and
+        # dispatched as batched (k, Tb) prefills, then ALL first tokens are
+        # fetched in one device_get at the end of the tick: each dispatch
+        # and each forced np.asarray is a host↔device round trip (expensive
+        # when the chip sits behind a network tunnel), and nothing
+        # downstream needs admission k's token before admission k+1's
+        # prefill runs
+        dispatched = []  # (members [(r, slot), ...], first device tuple)
+        plain = []  # (r, slot, prompt_row, T, alpha, pos, rope_delta, Tb)
+
+        def flush():
+            self._dispatch_plain(plain, dispatched)
+            if not dispatched:
+                return
+            firsts = jax.device_get([d[1] for d in dispatched])
+            for (members, _), f in zip(dispatched, firsts):
+                for i, (r, slot) in enumerate(members):
+                    if self.sample_top_k:
+                        tok, vals, idx, lse = f
+                        self._finish_admit(r, slot, int(tok[i]),
+                                           topk=(vals[i], idx[i],
+                                                 float(lse[i])))
+                    else:
+                        tok, lp = f
+                        self._finish_admit(r, slot, int(tok[i]),
+                                           lp=float(lp[i]))
+            dispatched.clear()
+
         free = [i for i, r in enumerate(self._active) if r is None]
         while free and self._queue:
             slot = free.pop(0)
@@ -772,6 +853,7 @@ class ServingEngine:
                 if self.admit_chunk and suffix_len > self.admit_chunk:
                     self._advance_admission()  # one piece this tick
                     if self._admitting is not None:
+                        flush()
                         return
                 else:
                     while self._admitting is not None:
@@ -779,36 +861,76 @@ class ServingEngine:
                 continue
             Tb = bucket_len(T, minimum=16)
             if arr.ndim == 1:
-                prompt = np.zeros((1, Tb), np.int64)
-                prompt[0, :T] = arr
+                prompt = np.zeros((Tb,), np.int64)
+                prompt[:T] = arr
             else:
-                prompt = np.zeros((1, Tb, arr.shape[1]), np.float32)
-                prompt[0, :T] = arr
-            admit = self._prefill_insert_fn(Tb, arr.ndim == 2,
-                                            r.positions is not None)
-            extra = {}
+                prompt = np.zeros((Tb, arr.shape[1]), np.float32)
+                prompt[:T] = arr
+            pos = rope_delta = None
             if r.positions is not None:
-                # (3, 1, Tb) edge-padded M-RoPE ids; decode resumes at
+                # (3, Tb) edge-padded M-RoPE ids; decode resumes at
                 # max(position)+1 via the slot's rope_delta
                 pos = np.pad(r.positions, ((0, 0), (0, Tb - T)), mode="edge")
-                extra["pos"] = jnp.asarray(pos[:, None])
-                extra["rope_delta"] = jnp.asarray(
-                    int(r.positions.max()) + 1 - T, jnp.int32)
-            first, self.cache = admit(
-                self.params, jnp.asarray(prompt),
-                jnp.asarray(T, jnp.int32), self.cache,
-                jnp.asarray(slot, jnp.int32),
-                jnp.float32(self._alpha_for(T)), **extra)
-            if self.sample_top_k:
-                tok, vals, idx, lse = first
-                self._finish_admit(
-                    r, slot, int(np.asarray(tok)[0]),
-                    topk=(np.asarray(vals)[0], np.asarray(idx)[0],
-                          float(np.asarray(lse)[0])))
-            else:
-                tok, lp = first
-                self._finish_admit(r, slot, int(np.asarray(tok)[0]),
-                                   lp=float(np.asarray(lp)[0]))
+                rope_delta = int(r.positions.max()) + 1 - T
+            plain.append((r, slot, prompt, T, self._alpha_for(T), pos,
+                          rope_delta, Tb))
+        flush()
+
+    def _dispatch_plain(self, plain, dispatched):
+        """Group collected plain admissions by (bucket, kind) and dispatch
+        each group as ONE batched prefill (size bucketed to 1/2/4/8, padded
+        by repeating the last member — pad rows write identical data to the
+        same slot, so scatter order cannot matter). Groups are capped at
+        ``admit_batch_tokens`` total padded tokens so the batched prefill's
+        activations stay within the chip's memory headroom."""
+        if not plain:
+            return
+        groups: Dict[Any, list] = {}
+        for item in plain:
+            r, slot, prompt, T, alpha, pos, rope_delta, Tb = item
+            gkey = (Tb, prompt.ndim == 2, pos is not None,
+                    # M-RoPE models take one scalar alpha per prefill call
+                    round(alpha, 6) if pos is not None else None)
+            groups.setdefault(gkey, []).append(item)
+        plain.clear()
+        for (Tb, embeds, has_pos, _), items in groups.items():
+            max_k = max(1, self.admit_batch_tokens // Tb)
+            while items:
+                chunk, items = items[:max_k], items[max_k:]
+                k = 1 << (len(chunk) - 1).bit_length()  # 1/2/4/8 bucket
+                if k == 1:
+                    r, slot, prompt, T, alpha, pos, rope_delta, _ = chunk[0]
+                    admit = self._prefill_insert_fn(Tb, embeds, has_pos)
+                    extra = {}
+                    if has_pos:
+                        extra["pos"] = jnp.asarray(pos[:, None])
+                        extra["rope_delta"] = jnp.asarray(rope_delta,
+                                                          jnp.int32)
+                    first, self.cache = admit(
+                        self.params, jnp.asarray(prompt[None]),
+                        jnp.asarray(T, jnp.int32), self.cache,
+                        jnp.asarray(slot, jnp.int32),
+                        jnp.float32(alpha), **extra)
+                    dispatched.append(([(r, slot)], first))
+                    continue
+                padded = chunk + [chunk[-1]] * (k - len(chunk))
+                prompts = np.stack([c[2] for c in padded])
+                lengths = np.asarray([c[3] for c in padded], np.int32)
+                slots = np.asarray([c[1] for c in padded], np.int32)
+                alphas = np.asarray([c[4] for c in padded], np.float32)
+                admit_n = self._prefill_insert_multi_fn(Tb, k, embeds,
+                                                        has_pos)
+                extra = {}
+                if has_pos:
+                    extra["pos"] = jnp.asarray(
+                        np.stack([c[5] for c in padded], axis=1))
+                    extra["rope_deltas"] = jnp.asarray(
+                        np.asarray([c[6] for c in padded], np.int32))
+                first, self.cache = admit_n(
+                    self.params, jnp.asarray(prompts),
+                    jnp.asarray(lengths), self.cache, jnp.asarray(slots),
+                    jnp.asarray(alphas), **extra)
+                dispatched.append(([(c[0], c[1]) for c in chunk], first))
 
     # -- decode -------------------------------------------------------------
 
@@ -1018,7 +1140,7 @@ class ServingEngine:
         out, olp, cnt, self.cache, self.hist, self.hist_len = block(
             self.params, jnp.asarray(tok), jnp.asarray(active), self.cache,
             self.hist, self.hist_len, jnp.asarray(budget), **extra)
-        out, olp, cnt = np.asarray(out), np.asarray(olp), np.asarray(cnt)
+        out, olp, cnt = jax.device_get((out, olp, cnt))  # one round trip
         self.spec_emitted += int(cnt.sum())
         self.spec_row_rounds += int(active.sum()) * self.steps_per_block
         for i, r in enumerate(self._active):
@@ -1080,7 +1202,10 @@ class ServingEngine:
             out, lps, self.cache = block(self.params, jnp.asarray(tok),
                                          jnp.asarray(active), self.cache,
                                          **dyn_extra)
-        out, lps = np.asarray(out), np.asarray(lps)
+        # one transfer for both outputs: each forced np.asarray is its own
+        # host↔device round trip (which dominates per-block overhead when
+        # the chip is remote)
+        out, lps = jax.device_get((out, lps))
         for i, r in enumerate(self._active):
             if r is None or r.done:
                 continue

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Where does the engine pool's wall-clock go?
+
+Phase-times the ServingEngine on the real chip: admission prefills vs fused
+decode blocks vs everything else (host scheduling, transfers, retire loops).
+Also measures the bare fused-block device time (same block fn, tokens
+chained on device, one sync at the end) so the per-block HOST overhead is
+isolated from device compute.
+
+Run: python scripts/engine_phase_probe.py [depth] [slots]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 28
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    import os
+
+    os.environ.setdefault("MQUANT_GEMV", "pallas_w4")
+    os.environ.setdefault("MQUANT_BENCH_HEAD", "8")
+    import bench
+
+    from mquant_tpu.serve.engine import ServingEngine
+
+    cfg = bench.make_cfg(depth)
+    specs = bench.llm_specs()
+    log(f"init w4a8 depth={depth} on {jax.devices()}")
+    params, state = bench.init_w4a8_on_device(cfg, jax.random.key(0))
+
+    GEN = 96
+    lens = [256, 512, 1024] * 4  # the engine_bench workload
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 1000, size=n).astype(np.int64) for n in lens]
+
+    eng = ServingEngine(cfg, params, specs=specs, state=state, mode="real",
+                        slots=slots, max_len=2048, steps_per_block=16)
+    for n in sorted(set(lens)):
+        eng.submit(prompts[lens.index(n)], max_new_tokens=2)
+    eng.run()
+
+    # -- phase-instrumented run --------------------------------------------
+    admits = []
+    blocks = []
+    orig_admit, orig_block = eng._admit, eng._decode_block
+
+    def timed_admit():
+        t0 = time.perf_counter()
+        orig_admit()
+        admits.append(time.perf_counter() - t0)
+
+    def timed_block():
+        t0 = time.perf_counter()
+        orig_block()
+        blocks.append(time.perf_counter() - t0)
+
+    eng._admit, eng._decode_block = timed_admit, timed_block
+
+    # two passes over the same workload: pass 1 includes any one-time
+    # warm-up (first-dispatch effects, buffer growth retraces); pass 2 is
+    # the steady state a long-lived server sees
+    for pass_no in (1, 2):
+        admits.clear()
+        blocks.clear()
+        for p in prompts:
+            eng.submit(p, max_new_tokens=GEN)
+        t0 = time.perf_counter()
+        outs = eng.run()
+        dt = time.perf_counter() - t0
+        got = sum(len(v) for v in outs.values())
+        other = dt - sum(admits) - sum(blocks)
+        log(f"-- pass {pass_no}: {dt:.3f} s for {got} tok "
+            f"-> {got/dt:.1f} tok/s")
+        log(f"  admit ticks {len(admits):3d}: {sum(admits):.3f} s  "
+            + " ".join(f"{a*1e3:.0f}" for a in admits))
+        log(f"  decode blocks {len(blocks):3d}: {sum(blocks):.3f} s  "
+            + " ".join(f"{b*1e3:.0f}" for b in blocks))
+        log(f"  other (scheduler/retire): {other:.3f} s")
+    t_admit = [sum(admits)]
+    t_block = [sum(blocks)]
+    n_admit, n_block = [len(admits)], [len(blocks)]
+
+    # -- bare fused block: device-side chained tokens, one sync ------------
+    # same compiled block fn the engine used; input token for block k+1 is
+    # block k's out[:, -1:] (device data) — measures what the block costs
+    # with NO per-block host sync or np conversion
+    eng._admit, eng._decode_block = orig_admit, orig_block
+    blk = eng._decode_block_fn(eng.steps_per_block)
+    tok = jnp.zeros((slots, 1), jnp.int32)
+    active = jnp.ones((slots,), bool)
+    extra = ({"alphas": jnp.asarray(eng.alphas)} if eng._dyn else {})
+    cache = eng.cache
+    out, lps, cache = blk(eng.params, tok, active, cache, **extra)
+    np.asarray(out)  # tunnel backend: block_until_ready does not wait
+    NB = 6
+    t0 = time.perf_counter()
+    for _ in range(NB):
+        out, lps, cache = blk(eng.params, out[:, -1:], active, cache, **extra)
+    np.asarray(out)
+    dt_bare = time.perf_counter() - t0
+    per_block = dt_bare / NB
+    log(f"bare block ({eng.steps_per_block} steps, kv buffer "
+        f"{eng._cache_S()}): {per_block*1e3:.1f} ms/block "
+        f"-> {slots*eng.steps_per_block/per_block:.1f} tok/s ceiling")
+
+    # -- per-block host overhead -------------------------------------------
+    eng_ms = t_block[0] / max(n_block[0], 1) * 1e3
+    log(f"per-block host overhead: {eng_ms - per_block*1e3:.1f} ms "
+        f"({(eng_ms - per_block*1e3)/eng_ms*100:.0f}% of block wall)")
+
+    import json
+    print(json.dumps({
+        "depth": depth, "slots": slots,
+        "engine_tok_s": round(got / dt, 1),
+        "t_admit_s": round(t_admit[0], 3),
+        "t_block_s": round(t_block[0], 3),
+        "t_other_s": round(other, 3),
+        "n_admit": n_admit[0], "n_block": n_block[0],
+        "ms_per_block_engine": round(eng_ms, 1),
+        "ms_per_block_bare": round(per_block * 1e3, 1),
+        "kv_buffer": int(eng._cache_S()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

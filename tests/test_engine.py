@@ -135,6 +135,47 @@ class TestEngine:
         with pytest.raises(AssertionError):
             eng.submit(list(range(30)), max_new_tokens=8)
 
+    def test_batched_admission_mixed_lengths(self):
+        """Same-bucket prompts admit as ONE batched (k, Tb) prefill (size
+        bucketed to 1/2/4/8, padded by repeating the last member). Each row
+        keeps its TRUE length via the per-row last_index gather — outputs
+        must equal solo runs despite sharing the prefill call."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(21))
+        rng = np.random.default_rng(7)
+        # three prompts in the 32-bucket (→ k=4 padded batch), one in 64
+        lens = (20, 23, 22, 40)
+        prompts = [list(rng.integers(1, 90, size=n)) for n in lens]
+        eng = ServingEngine(cfg, params, slots=4, max_len=128,
+                            steps_per_block=4)
+        rids = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        outs = eng.run()
+        assert any(k[0] == "admitN" for k in eng._jit), \
+            "batched admission path never compiled"
+        for rid, p in zip(rids, prompts):
+            assert outs[rid] == _solo(cfg, params, p, 7), (rid, p)
+
+    def test_batched_admission_mrope(self):
+        """Two same-bucket M-RoPE requests share one batched admission;
+        per-row rope_delta and positions survive the batching."""
+        cfg = _cfg(mrope_sections=(2, 2, 2), head_dim=12, n_heads=4,
+                   hidden=48)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(22))
+        T = 8
+        pos_a = np.broadcast_to(np.arange(T)[None], (3, T)).copy()
+        pos_a[1:, 2:6] = 2
+        pos_b = np.broadcast_to(np.arange(T)[None], (3, T)).copy()
+        pos_b[1:, 1:5] = 1
+        pa, pb = list(range(5, 5 + T)), list(range(40, 40 + T))
+        eng = ServingEngine(cfg, params, slots=2, max_len=128,
+                            steps_per_block=3)
+        ra = eng.submit(pa, max_new_tokens=6, positions=pos_a)
+        rb = eng.submit(pb, max_new_tokens=6, positions=pos_b)
+        outs = eng.run()
+        assert any(k[0] == "admitN" for k in eng._jit)
+        assert outs[ra] == _solo(cfg, params, pa, 6, positions=pos_a)
+        assert outs[rb] == _solo(cfg, params, pb, 6, positions=pos_b)
+
 
 class TestPrefixCaching:
     def test_prefix_reuse_matches_solo(self):
