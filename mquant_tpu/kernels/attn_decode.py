@@ -42,6 +42,12 @@ and its full-cache VMEM DMA sits on the critical path. Same verdict as the
 fused had-quant/rms-quant prefill kernels (scripts/ttft_decompose.py): on
 this chip XLA's own fusion+overlap wins; the kernel and its exactness tests
 stay as the documented baseline for future mesh-sharded revisits.
+
+B=8 A/B (slot-pool shapes, scripts/engine_kv_sweep.py MQUANT_ATTN=fused,
+same depth-28 pallas_w4 config): fused 8.53/9.70/10.72/11.86 ms/step vs XLA
+8.93/9.43/9.97/10.81 at S=512/768/1024/1280 — a marginal win at S=512 only;
+the per-row full-cache DMA grows with S and loses from S≥768. Verdict
+unchanged at batch: default stays XLA.
 """
 
 from __future__ import annotations
@@ -57,7 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(pos_ref,  # (B,) int32  [scalar prefetch, SMEM]
             start_ref,  # (B,) int32 first attendable column [scalar prefetch]
             q_ref,  # (1, H, hd) VMEM
-            knew_ref, vnew_ref,  # (1, KVHd) VMEM   (KVHd = KVH*hd)
+            knew_ref, vnew_ref,  # (1, 1, KVHd) VMEM   (KVHd = KVH*hd)
             kc_ref, vc_ref,  # (B, S, KVHd) ANY/HBM (aliased → kout/vout)
             o_ref,  # (1, H, hd) VMEM out
             kout_ref, vout_ref,  # aliased ANY outs
@@ -88,8 +94,8 @@ def _kernel(pos_ref,  # (B,) int32  [scalar prefetch, SMEM]
     base = pl.multiple_of((pos // 8) * 8, 8)  # S % 8 == 0 ⇒ base+8 ≤ S
     off = pos - base
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == off
-    kw_ref[...] = jnp.where(rowsel, knew_ref[:], ks_ref[pl.ds(base, 8), :])
-    vw_ref[...] = jnp.where(rowsel, vnew_ref[:], vs_ref[pl.ds(base, 8), :])
+    kw_ref[...] = jnp.where(rowsel, knew_ref[0], ks_ref[pl.ds(base, 8), :])
+    vw_ref[...] = jnp.where(rowsel, vnew_ref[0], vs_ref[pl.ds(base, 8), :])
     st_k = pltpu.make_async_copy(kw_ref, kout_ref.at[b, pl.ds(base, 8)],
                                  sem.at[2])
     st_v = pltpu.make_async_copy(vw_ref, vout_ref.at[b, pl.ds(base, 8)],
@@ -111,8 +117,8 @@ def _kernel(pos_ref,  # (B,) int32  [scalar prefetch, SMEM]
         qg = q[h * g:(h + 1) * g, :]  # (G, hd)
         kh = ks_ref[:, h * hd:(h + 1) * hd]  # (S, hd) lane-aligned slice
         vh = vs_ref[:, h * hd:(h + 1) * hd]
-        kn = knew_ref[:, h * hd:(h + 1) * hd]  # (1, hd) this step's k
-        vn = vnew_ref[:, h * hd:(h + 1) * hd]  # (1, hd) this step's v
+        kn = knew_ref[0, :, h * hd:(h + 1) * hd]  # (1, hd) this step's k
+        vn = vnew_ref[0, :, h * hd:(h + 1) * hd]  # (1, hd) this step's v
         scores = jax.lax.dot_general(
             qg, kh, nt, preferred_element_type=jnp.float32) * scale
         scores = jnp.where(valid, scores, jnp.float32(-1e30))
@@ -163,8 +169,12 @@ def attn_decode_fused(q: jax.Array,  # (B, 1, H, hd) post-rope
     start = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (B,))
     kc = k_cache.reshape(B, S, KVH * hd)
     vc = v_cache.reshape(B, S, KVH * hd)
-    kn = k_new.reshape(B, KVH * hd).astype(k_cache.dtype)
-    vn = v_new.reshape(B, KVH * hd).astype(v_cache.dtype)
+    # (B, 1, KVHd): the singleton sublane axis keeps the per-b block spec
+    # legal at B > 1 (a (1, KVHd) block on a (B, KVHd) array violates
+    # Mosaic's 8-sublane block rule; with the array's sublane dim == 1 the
+    # block can equal it)
+    kn = k_new.reshape(B, 1, KVH * hd).astype(k_cache.dtype)
+    vn = v_new.reshape(B, 1, KVH * hd).astype(v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -172,9 +182,9 @@ def attn_decode_fused(q: jax.Array,  # (B, 1, H, hd) post-rope
         in_specs=[
             pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH * hd), lambda b, *_: (b, 0),
+            pl.BlockSpec((1, 1, KVH * hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH * hd), lambda b, *_: (b, 0),
+            pl.BlockSpec((1, 1, KVH * hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),

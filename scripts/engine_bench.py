@@ -71,10 +71,12 @@ def main():
     # -- continuous batching ------------------------------------------------
     eng = ServingEngine(cfg, params, specs=specs, state=state, mode="real",
                         slots=slots, max_len=2048, steps_per_block=16)
-    # warm THIS engine's jit cache (one admit per prompt bucket + the block
-    # fn — a fresh instance would recompile everything inside the timed run)
-    for n in sorted(set(lens)):
-        eng.submit(prompts[lens.index(n)], max_new_tokens=2)
+    # warm THIS engine's jit cache with the FULL workload shape (every
+    # batched-admission size + the block fn — a fresh instance would
+    # recompile/retrace everything inside the timed run; a long-lived
+    # server pays these once)
+    for p in prompts:
+        eng.submit(p, max_new_tokens=2)
     eng.run()
 
     t0 = time.perf_counter()

@@ -72,7 +72,12 @@ def main():
 
     alphas = jnp.full((B,), 10.0, jnp.float32)
     results = {}
-    for kv_tag, kvq in (("bf16", False), ("int8", True)):
+    # MQUANT_ATTN=fused: A/B the Pallas fused decode-attention kernel at
+    # B=8 (rejected at B=1; the batched pool amortizes its launch cost
+    # differently). The kernel needs a cfg-dtype cache — skip int8 then.
+    kv_variants = (("bf16", False),) if os.environ.get(
+        "MQUANT_ATTN") == "fused" else (("bf16", False), ("int8", True))
+    for kv_tag, kvq in kv_variants:
         for S in (512, 768, 1024, 1280):
             cache = init_cache(cfg, B, S, quantized=kvq)
             cache["pos"] = jnp.asarray(
