@@ -27,6 +27,7 @@ def log(*a):
 def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 28
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spb = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     import os
 
     os.environ.setdefault("MQUANT_GEMV", "pallas_w4")
@@ -46,7 +47,7 @@ def main():
     prompts = [rng.integers(1, 1000, size=n).astype(np.int64) for n in lens]
 
     eng = ServingEngine(cfg, params, specs=specs, state=state, mode="real",
-                        slots=slots, max_len=2048, steps_per_block=16)
+                        slots=slots, max_len=2048, steps_per_block=spb)
     for n in sorted(set(lens)):
         eng.submit(prompts[lens.index(n)], max_new_tokens=2)
     eng.run()
