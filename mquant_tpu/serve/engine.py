@@ -282,6 +282,30 @@ class ServingEngine:
             scratch = jax.tree.map(jnp.copy, self.cache)
             admit(self.params, prompt, jnp.ones((), jnp.int32), scratch,
                   z, jnp.float32(self.ntk_alpha), **kw)
+            # batched-admission sizes this pool can dispatch for the bucket
+            # (concurrent same-bucket bursts admit as ONE (k, Tb) prefill;
+            # without warming them the first burst compiles mid-serving)
+            max_k = max(1, self.admit_batch_tokens // Tb)
+            cap = min(8, 1 << (max_k.bit_length() - 1))
+            k = 2
+            # a size-k batch dispatches when a chunk of (k/2, k] members
+            # fits the pool, i.e. while k/2 < slots (chunks never exceed
+            # free slots, but the 1/2/4/8 rounding can exceed them)
+            while k <= cap and k // 2 < self.slots:
+                admit_n = self._prefill_insert_multi_fn(Tb, k, embeds,
+                                                        with_positions)
+                kn = {}
+                if with_positions:
+                    kn["pos"] = jnp.zeros((3, k, Tb), jnp.int32)
+                    kn["rope_deltas"] = jnp.zeros((k,), jnp.int32)
+                scratch = jax.tree.map(jnp.copy, self.cache)
+                admit_n(self.params,
+                        jnp.zeros((k, Tb, self.cfg.hidden), jnp.float32)
+                        if embeds else jnp.zeros((k, Tb), jnp.int64),
+                        jnp.ones((k,), jnp.int32), scratch,
+                        jnp.arange(k, dtype=jnp.int32),
+                        jnp.full((k,), self.ntk_alpha, jnp.float32), **kn)
+                k *= 2
         tok = jnp.zeros((self.slots, 1), jnp.int32)
         active = jnp.zeros((self.slots,), bool).at[0].set(True)
         scratch = jax.tree.map(jnp.copy, self.cache)
@@ -505,9 +529,11 @@ class ServingEngine:
             @functools.partial(jax.jit, donate_argnums=(3,))
             def admit(params, prompt, length, cache, slot, alpha, pos=None,
                       rope_delta=None):
-                # scratch row at the POOL's current buffer length (static
-                # at trace time; a bucket growth simply retraces)
-                row = init_cache(cfg, 1, cache["k"].shape[2],
+                # scratch row sized to the PROMPT bucket (static at trace
+                # time): prefill_fresh attends locally, so the row is only
+                # a write target — a pool-length row would cost a full-S
+                # allocation + write per admission for a Tb-token prompt
+                row = init_cache(cfg, 1, prompt.shape[1],
                                  quantized=self.kv_quant)
                 logits, row, _ = decoder_forward(
                     cfg, params, prompt, specs=specs, state=state, mode=mode,
@@ -552,8 +578,11 @@ class ServingEngine:
             @functools.partial(jax.jit, donate_argnums=(3,))
             def admit_n(params, prompts, lengths, cache, slots, alphas,
                         pos=None, rope_deltas=None):
-                rows = init_cache(cfg, k, cache["k"].shape[2],
-                                  quantized=self.kv_quant)
+                # scratch rows sized to the PROMPT bucket, not the pool
+                # buffer: prefill_fresh attends locally, so the rows are
+                # only a write target — k × S full-length rows would make a
+                # short-prompt burst's transient KV dwarf its token count
+                rows = init_cache(cfg, k, Tb, quantized=self.kv_quant)
                 # M-RoPE models take a scalar alpha (per-row alpha is
                 # unsupported there); the group key holds alpha fixed then
                 alpha = alphas[0] if has_pos else alphas
@@ -564,10 +593,12 @@ class ServingEngine:
                 new = dict(cache)
                 for nm in ("k", "v", "k_scale", "v_scale", "k_zp", "v_zp"):
                     if nm in cache:
-                        # (L, k, S, ...) rows scatter to the slot axis; pad
-                        # rows (bucketed k) duplicate a real row's slot with
-                        # IDENTICAL data, so write order can't matter
-                        new[nm] = cache[nm].at[:, slots].set(
+                        # (L, k, Tb, ...) rows scatter into the first Tb
+                        # columns of the slot axis (the stale tail beyond a
+                        # row's pos is never attended); pad rows (bucketed
+                        # k) duplicate a real row's slot with IDENTICAL
+                        # data, so write order can't matter
+                        new[nm] = cache[nm].at[:, slots, :Tb].set(
                             rows[nm].astype(cache[nm].dtype))
                 new["pos"] = cache["pos"].at[slots].set(lengths)
                 new["rope_delta"] = cache["rope_delta"].at[slots].set(
@@ -894,9 +925,14 @@ class ServingEngine:
             groups.setdefault(gkey, []).append(item)
         plain.clear()
         for (Tb, embeds, has_pos, _), items in groups.items():
+            # cap = power-of-two floor of the token budget, clamped to 8:
+            # cutting chunks AT the cap keeps every dispatched k within both
+            # the admit_batch_tokens cap and the 1/2/4/8 compiled-size set,
+            # and pad rows only appear on the non-power-of-two remainder
             max_k = max(1, self.admit_batch_tokens // Tb)
+            cap = min(8, 1 << (max_k.bit_length() - 1))
             while items:
-                chunk, items = items[:max_k], items[max_k:]
+                chunk, items = items[:cap], items[cap:]
                 k = 1 << (len(chunk) - 1).bit_length()  # 1/2/4/8 bucket
                 if k == 1:
                     r, slot, prompt, T, alpha, pos, rope_delta, _ = chunk[0]

@@ -155,6 +155,25 @@ class TestEngine:
         for rid, p in zip(rids, prompts):
             assert outs[rid] == _solo(cfg, params, p, 7), (rid, p)
 
+    def test_batched_admission_token_cap(self):
+        """admit_batch_tokens bounds the dispatched batch: chunks are cut
+        at the power-of-two floor of the budget, so no compiled admission
+        ever exceeds the cap (review finding: rounding up AFTER the chunk
+        cut could dispatch 8×Tb against a ~5×Tb budget)."""
+        cfg = _cfg()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(23))
+        rng = np.random.default_rng(11)
+        # five 32-bucket prompts against a 3×32-token budget → cap 2
+        prompts = [list(rng.integers(1, 90, size=20)) for _ in range(5)]
+        eng = ServingEngine(cfg, params, slots=5, max_len=128,
+                            steps_per_block=4, admit_batch_tokens=96)
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        outs = eng.run()
+        sizes = {k[2] for k in eng._jit if k[0] == "admitN"}
+        assert sizes and max(sizes) <= 2, sizes
+        for rid, p in zip(rids, prompts):
+            assert outs[rid] == _solo(cfg, params, p, 5), (rid, p)
+
     def test_batched_admission_mrope(self):
         """Two same-bucket M-RoPE requests share one batched admission;
         per-row rope_delta and positions survive the batching."""
